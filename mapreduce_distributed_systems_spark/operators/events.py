@@ -1,1 +1,150 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Event-time analytics over the `events` stream table (build plan M3,
+batch form; the streaming twins live in streaming/).
+
+Tumbling / sliding windows use Spark's `window()`, sessionization uses
+`session_window()` — these are the batch duals of the Structured
+Streaming operators, so the same plans run under readStream with a
+watermark (see streaming/kv_stream.py for the stateful variant).
+
+Window-start semantics pinned for the oracle:
+- tumbling 1 h  == date_trunc('hour', ts)
+- sliding 1 h / 30 min: an event belongs to windows starting at
+  floor(epoch/1800)*1800 and that minus 1800 (epoch-aligned, the same
+  alignment Spark uses);
+- session (30 min gap): events merge while gap < 30 min strictly
+  (Spark merges overlapping [ts, ts+gap) windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=TUMBLING_ORACLE,
+    tags=("events", "window-agg"),
+    bench=True,
+    doc="Tumbling 1-hour event-time windows per event_type.",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+SLIDING_ORACLE = """
+SELECT make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800) * 1000000)
+         AS window_start,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events, (SELECT unnest([0, 1]) AS k)
+GROUP BY 1
+"""
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle=SLIDING_ORACLE,
+    tags=("events", "window-agg"),
+    doc="Sliding 1-hour windows every 30 min (each event in 2 windows).",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS last_event_ts,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "events_sessionize",
+    oracle=SESSION_ORACLE,
+    tags=("events", "session"),
+    bench=True,
+    doc="Sessionization: 30-min-gap sessions per user via session_window.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events", "total_value")
+    )
+
+
+JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "events_json_props",
+    oracle=JSON_ORACLE,
+    tags=("events", "json"),
+    doc="Semi-structured: JSON prop extraction + bucket aggregation.",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

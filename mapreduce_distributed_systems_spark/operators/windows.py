@@ -1,1 +1,161 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Window functions over `orders` (build plan M3).
+
+All windows order with a unique tiebreak (o_orderkey) so frames are
+deterministic — the same discipline the reference's reducer applies by
+sorting values before emitting (mrapps/nocrash.go:40-46).
+
+Scale note: a window partitioned by o_custkey shuffles once on
+custkey; running frames then stream within each partition. Skewed
+customers are split by AQE only for joins — for windows the mitigation
+is bounding frame state (rows frames, not unbounded range over huge
+partitions); all frames here are O(1)-state running frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+RUNNING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       row_number() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+@register(
+    "window_running_total",
+    oracle=RUNNING_ORACLE,
+    tags=("window",),
+    bench=True,
+    doc="Per-customer running revenue + order sequence number.",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+TOP3_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@register(
+    "window_rank_top3",
+    oracle=TOP3_ORACLE,
+    tags=("window", "topk"),
+    doc="Top-3 orders per customer (row_number, deterministic tiebreak).",
+)
+def window_rank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+LAG_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice - lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev,
+       round(lead(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - o_totalprice, 2
+       ) AS delta_next
+FROM orders
+"""
+
+
+@register(
+    "window_lag_lead",
+    oracle=LAG_ORACLE,
+    tags=("window",),
+    doc="lag/lead deltas between consecutive orders per customer.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "delta_prev"
+        ),
+        F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias(
+            "delta_next"
+        ),
+    )
+
+
+NTILE_ORACLE = """
+SELECT o_orderkey,
+       ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+       round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+       round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume
+FROM orders
+"""
+
+
+@register(
+    "window_ntile_pctrank",
+    oracle=NTILE_ORACLE,
+    tags=("window",),
+    doc="Global ntile/percent_rank/cume_dist (single-partition window — "
+    "at 100 TB this is the one window shape to avoid; kept for surface "
+    "parity and bounded inputs).",
+)
+def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register(
+    "top_k_orders",
+    oracle=TOPK_ORACLE,
+    tags=("relational", "topk"),
+    doc="Global top-20 by price — TakeOrderedAndProject, no full sort.",
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

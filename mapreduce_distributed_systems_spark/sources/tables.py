@@ -34,7 +34,15 @@ ALWAYS_BROADCAST = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts stored as TIMESTAMP(NANOS): read as int64 ns under
+        # spark.sql.legacy.parquet.nanosAsLong, truncate to µs — the
+        # same ns→µs truncation DuckDB applies when it reads the file.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(
