@@ -1,1 +1,208 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""KV op-log semantics (SURVEY.md §2.C, build plan M4) — batch replay.
+
+The reference's declared KV surface (kvraft/client.go:37-60, model
+models/kv.go:40-54) is: Get(key) -> current value ('' if absent),
+Put(key,v) overwrites, Append(key,v) concatenates, ops applied
+exactly once in raft-log commit order despite client retries
+(kvraft/test_test.go:138-179). In batch form the commit order is an
+explicit total order column and "the state" is a replay:
+
+    final(key) = payload(last put) ++ payloads(appends after it)
+
+Op log derivation from `events` (FIXTURES.md §3):
+  key      = cast(user_id % 20 as string)
+  op       = signup|purchase -> put, click|view -> append, error -> get
+  payload  = cast(value as string)
+  order    = (ts, event_id)           # ≙ raft commit order
+  client   = user_id, seq = props.k   # retry-dedup identity (C4)
+
+Scale note: the replay is one shuffle on key; per-key state is built
+with array_sort(collect_list(struct(seq,payload))) — bounded by writes
+per key. For 100 TB op logs the same plan holds because the heavy
+filter (seq >= last_put_seq) drops all superseded history before the
+collect; a raft-style snapshot (C6) is exactly a materialized
+checkpoint of this query at a cutoff seq.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+OP_CASE_SQL = """
+CASE WHEN event_type IN ('signup', 'purchase') THEN 'put'
+     WHEN event_type IN ('click', 'view') THEN 'append'
+     ELSE 'get' END
+"""
+
+
+def op_log(events: DataFrame) -> DataFrame:
+    """Derive the ordered KV op log from the events table."""
+    return events.select(
+        F.col("user_id").cast("long").alias("client_id"),
+        (F.col("user_id") % 20).cast("string").alias("key"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.col("value").cast("string").alias("payload"),
+        F.get_json_object("props", "$.k").cast("int").alias("client_seq"),
+        "ts",
+        "event_id",
+    )
+
+
+def replay(ops: DataFrame) -> DataFrame:
+    """Fold the op log into final per-key state (models/kv.go:40-54)."""
+    w = W.partitionBy("key").orderBy("ts", "event_id")
+    writes = (
+        ops.where(F.col("op") != "get")
+        .withColumn("seq", F.row_number().over(w))
+    )
+    last_put = (
+        writes.where(F.col("op") == "put")
+        .groupBy("key")
+        .agg(F.max("seq").alias("last_put_seq"))
+    )
+    live = writes.join(last_put, "key", "left").where(
+        F.col("seq") >= F.coalesce(F.col("last_put_seq"), F.lit(0))
+    )
+    ordered_concat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "payload"))),
+            lambda s: s.payload,
+        ),
+        "",
+    )
+    return live.groupBy("key").agg(
+        ordered_concat.alias("final_value"),
+        F.count("*").alias("n_effective_ops"),
+    )
+
+
+KV_REPLAY_ORACLE = f"""
+WITH ops AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+         {OP_CASE_SQL} AS op,
+         CAST(value AS VARCHAR) AS payload,
+         ts, event_id
+  FROM events
+),
+writes AS (
+  SELECT key, op, payload,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS seq
+  FROM ops WHERE op <> 'get'
+),
+lp AS (SELECT key, max(seq) AS last_put_seq FROM writes WHERE op = 'put' GROUP BY key)
+SELECT w.key,
+       string_agg(w.payload, '' ORDER BY w.seq) AS final_value,
+       count(*) AS n_effective_ops
+FROM writes w LEFT JOIN lp ON w.key = lp.key
+WHERE w.seq >= coalesce(lp.last_put_seq, 0)
+GROUP BY w.key
+"""
+
+
+@register(
+    "kv_replay_final",
+    oracle=KV_REPLAY_ORACLE,
+    tags=("kv", "stateful"),
+    bench=True,
+    doc="KV op-log replay to final state (C1-C3 batch semantics).",
+)
+def kv_replay_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return replay(op_log(load_table(spark, sf_dir, "events")))
+
+
+KV_DEDUP_ORACLE = f"""
+WITH raw AS (
+  SELECT user_id AS client_id,
+         CAST(user_id % 20 AS VARCHAR) AS key,
+         {OP_CASE_SQL} AS op,
+         CAST(value AS VARCHAR) AS payload,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS client_seq,
+         ts, event_id
+  FROM events
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY client_id, client_seq ORDER BY ts, event_id) AS dup_rn
+    FROM raw
+  ) WHERE dup_rn = 1
+),
+writes AS (
+  SELECT key, op, payload,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS seq
+  FROM deduped WHERE op <> 'get'
+),
+lp AS (SELECT key, max(seq) AS last_put_seq FROM writes WHERE op = 'put' GROUP BY key)
+SELECT w.key,
+       string_agg(w.payload, '' ORDER BY w.seq) AS final_value,
+       count(*) AS n_effective_ops
+FROM writes w LEFT JOIN lp ON w.key = lp.key
+WHERE w.seq >= coalesce(lp.last_put_seq, 0)
+GROUP BY w.key
+"""
+
+
+@register(
+    "kv_replay_dedup",
+    oracle=KV_DEDUP_ORACLE,
+    tags=("kv", "stateful", "dedup"),
+    doc="Replay with client-retry suppression first (C4 exactly-once: "
+    "keep first occurrence of each (client_id, client_seq)).",
+)
+def kv_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = op_log(load_table(spark, sf_dir, "events"))
+    dw = W.partitionBy("client_id", "client_seq").orderBy("ts", "event_id")
+    deduped = (
+        ops.withColumn("dup_rn", F.row_number().over(dw))
+        .where(F.col("dup_rn") == 1)
+        .drop("dup_rn")
+    )
+    return replay(deduped)
+
+
+KV_GET_ORACLE = f"""
+WITH ops AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+         {OP_CASE_SQL} AS op,
+         CAST(value AS VARCHAR) AS payload,
+         ts, event_id
+  FROM events
+),
+writes AS (
+  SELECT key, op, payload,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS seq
+  FROM ops WHERE op <> 'get'
+),
+lp AS (SELECT key, max(seq) AS last_put_seq FROM writes WHERE op = 'put' GROUP BY key),
+state AS (
+  SELECT w.key, string_agg(w.payload, '' ORDER BY w.seq) AS final_value
+  FROM writes w LEFT JOIN lp ON w.key = lp.key
+  WHERE w.seq >= coalesce(lp.last_put_seq, 0)
+  GROUP BY w.key
+),
+universe AS (SELECT CAST(x AS VARCHAR) AS key FROM generate_series(0, 24) t(x))
+SELECT u.key, coalesce(s.final_value, '') AS value
+FROM universe u LEFT JOIN state s ON u.key = s.key
+"""
+
+
+@register(
+    "kv_get_lookup",
+    oracle=KV_GET_ORACLE,
+    tags=("kv", "lookup"),
+    doc="Get over a key universe incl. absent keys -> '' "
+    "(kvraft/client.go:27-28 absent-key contract).",
+)
+def kv_get_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = replay(op_log(load_table(spark, sf_dir, "events"))).select(
+        "key", "final_value"
+    )
+    # 25-key universe: 20 live keys + 5 absent, exercising the ''-default
+    universe = spark.range(25).select(F.col("id").cast("string").alias("key"))
+    return universe.join(F.broadcast(state), "key", "left").select(
+        "key", F.coalesce("final_value", F.lit("")).alias("value")
+    )
