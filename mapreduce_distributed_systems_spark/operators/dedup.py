@@ -1,1 +1,478 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Deduplication operators for large-scale training-data pipelines
+(north star, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine — each a Catalyst-optimizable DataFrame plan
+with a DuckDB oracle.
+
+Every hash used is md5 (identical lowercase hex in Spark and DuckDB),
+so oracles reproduce the exact candidate sets — no engine-specific
+hash functions anywhere.
+
+Scale design (100 TB):
+- exact dedup groups on md5(text) (16-byte shuffle key), never on the
+  full text;
+- MinHash/LSH shuffles only (doc_id, 8 minhash strings) + band keys —
+  the classic shingle→signature→band→bucket-join pipeline; candidate
+  verification joins the shingle table only for candidate pairs;
+- SimHash shuffles a single 16-bit signature (production: 64-bit, same
+  plan) and bucket-joins on signature nibbles;
+- embedding near-dup blocks on a coarse key (label here; at scale an
+  LSH/IVF cell id) so the pair join is per-block, never a full cross
+  join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+EXACT_ORACLE = """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=EXACT_ORACLE,
+    tags=("dedup",),
+    doc="Exact dedup: keep min doc_id per identical text.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    ).select("keeper_doc_id", "n_copies")
+
+
+EXACT_HASH_ORACLE = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+@register(
+    "dedup_exact_hash",
+    oracle=EXACT_HASH_ORACLE,
+    tags=("dedup",),
+    bench=True,
+    doc="Exact dedup at scale: group on md5(text) (16-byte shuffle key), "
+    "emit only duplicate groups.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+N_PERMS = 8  # 8 md5-seeded "permutations", 4 bands x 2 rows
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 3-word shingle) pairs."""
+    toks = docs.select("doc_id", words("text").alias("t")).where(
+        F.size("t") >= SHINGLE_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> "
+                "concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+                "element_at(t, i + 2)))"
+            )
+        ).alias("shingle"),
+    )
+    return sh.dropDuplicates(["doc_id", "shingle"])
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                            "bkey"
+                        ),
+                    )
+                    for b in range(N_PERMS // 2)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id,
+         {', '.join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_PERMS))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+                   WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
+  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                           AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=MINHASH_ORACLE,
+    tags=("dedup", "lsh"),
+    bench=True,
+    doc="Near-dup text dedup: shingle -> 8-perm MinHash -> 4-band LSH "
+    "bucket join -> exact-Jaccard verification of candidates.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs).cache()
+    cand = lsh_candidates(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # production: 64-bit, identical plan
+HAMMING_MAX = 2
+
+# hex digit value of md5 prefix, portable across both engines
+_SPARK_HEXVAL = (
+    "(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 + "
+    "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 + "
+    "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substring(h, 4, 1)) - 1)"
+)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    tok_w = (
+        docs.select("doc_id", F.explode(words("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", F.md5("tok"))
+        .withColumn("val", F.expr(_SPARK_HEXVAL))
+    )
+    bits = tok_w.select(
+        "doc_id",
+        "w",
+        "val",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    contrib = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(
+                F.expr("(val div cast(pow(2, bit) as bigint)) % 2 = 1"), F.col("w")
+            ).otherwise(-F.col("w"))
+        ).alias("c")
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("c") > 0, F.expr("cast(pow(2, bit) as bigint)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+SIMHASH_ORACLE = f"""
+WITH tok_w AS (
+  SELECT doc_id, tok, count(*) AS w, md5(tok) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+  GROUP BY doc_id, tok
+),
+vals AS (
+  SELECT doc_id, w,
+         (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 +
+         (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 +
+         (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 +
+         (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) AS val
+  FROM tok_w
+),
+contrib AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (val // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
+                  THEN w ELSE -w END) AS c
+  FROM vals, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
+  GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+  FROM contrib GROUP BY doc_id
+),
+nibbles AS (
+  SELECT doc_id, simhash, k, (simhash // CAST(pow(16, k) AS BIGINT)) % 16 AS nib
+  FROM sig, (SELECT unnest(range(0, {SIMHASH_BITS // 4})) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM nibbles a JOIN nibbles b
+    ON a.k = b.k AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=SIMHASH_ORACLE,
+    tags=("dedup", "simhash"),
+    doc="SimHash near-dup: weighted 16-bit signature, nibble-band bucket "
+    "join, hamming-distance filter.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    nib = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS // 4 - 1))).alias("k"),
+    ).withColumn("nib", F.expr("(simhash div cast(pow(16, k) as bigint)) % 16"))
+    a, b = nib.alias("a"), nib.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, on a deterministic sample)
+# --------------------------------------------------------------------------
+
+NGRAM_ORACLE = """
+WITH sample_docs AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS t
+  FROM sample_docs
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(coalesce(i.i, 0) AS DOUBLE) / (a.n + b.n - coalesce(i.i, 0)), 4)
+         AS jaccard
+FROM sizes a
+JOIN sizes b ON a.doc_id < b.doc_id
+LEFT JOIN inter i ON i.doc_a = a.doc_id AND i.doc_b = b.doc_id
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=NGRAM_ORACLE,
+    tags=("dedup", "ngram"),
+    doc="Exact 3-gram Jaccard over all pairs of a 2% doc_id sample "
+    "(the brute-force ground truth the LSH path approximates).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    sh = shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n")).cache()
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        sizes.alias("x")
+        .join(sizes.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n").alias("na"),
+            F.col("y.n").alias("nb"),
+        )
+    )
+    jac = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (label-blocked)
+# --------------------------------------------------------------------------
+
+COSINE_THRESHOLD = 0.3  # synthetic embeddings top out ~0.47 within label
+
+EMB_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos_sim, 4) AS cos_sim
+FROM pairs WHERE round(cos_sim, 6) >= {COSINE_THRESHOLD}
+"""
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), 0d, (acc, v) -> acc + v))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), 0d, (acc, v) -> acc + v))"
+    )
+    return dot / (na * nb)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=EMB_ORACLE,
+    tags=("dedup", "embedding"),
+    doc="Embedding near-dup: label-blocked pair join + cosine threshold "
+    "(at scale the block key is an LSH/IVF cell, same plan).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine_expr("a.v", "b.v").alias("cos_sim"),
+    )
+    return pairs.where(F.round("cos_sim", 6) >= COSINE_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim")
+    )

@@ -1,1 +1,149 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Multimodal column handling (north star): image/audio/video as
+opaque `binary` columns with typed metadata, processed by Arrow-batched
+Pandas UDFs (`mapInPandas`) — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and oracle-tested;
+the actual codec step is STUBBED (no image/audio libs in this
+container) behind `decode_image` / `decode_audio`, which raise
+NotImplementedError unless the deterministic fake is requested.
+
+The driver testdata has no binary table, so `documents.text` is
+encoded to utf-8 bytes as the stand-in payload; everything downstream
+treats it as an opaque blob.
+
+Scale design (100 TB of blobs):
+- metadata extraction is mapInPandas over the blob column only
+  (column pruning keeps other columns out of the Arrow transfer);
+- batches are bounded by spark.sql.execution.arrow.maxRecordsPerBatch,
+  so executor memory is independent of blob-table size;
+- frame sampling emits one row per sampled frame (explode AFTER the
+  UDF, keeping the UDF 1-row-in/1-row-out and shuffle-free).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+
+def decode_image(blob: bytes, fake: bool = False) -> dict:
+    """STUB: real decode needs an image lib not present here.
+
+    With fake=True returns deterministic pseudo-metadata derived from
+    the bytes (stable across engines and runs)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library; not available in "
+            "this environment — use fake=True for the deterministic stub"
+        )
+    return {
+        "width": blob[0] % 64 + 1 if blob else 1,
+        "height": blob[1] % 64 + 1 if len(blob) > 1 else 1,
+        "n_bytes": len(blob),
+    }
+
+
+def decode_audio(blob: bytes, fake: bool = False) -> dict:
+    """STUB: real decode needs an audio lib not present here."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library; not available in "
+            "this environment — use fake=True for the deterministic stub"
+        )
+    return {"sample_rate": 16000, "n_samples": len(blob) * 2, "n_bytes": len(blob)}
+
+
+BLOB_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, content_md5 string, "
+    "fake_width int, fake_height int"
+)
+
+
+def _blob_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-blob metadata, vectorized per Arrow batch."""
+    for pdf in batches:
+        blobs = pdf["blob"]
+        meta = [decode_image(b, fake=True) for b in blobs]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [m["n_bytes"] for m in meta],
+                "content_md5": [hashlib.md5(b).hexdigest() for b in blobs],
+                "fake_width": [m["width"] for m in meta],
+                "fake_height": [m["height"] for m in meta],
+            }
+        )
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       ascii(substring(text, 1, 1)) % 64 + 1 AS fake_width,
+       ascii(substring(text, 2, 1)) % 64 + 1 AS fake_height
+FROM documents
+"""
+
+
+@register(
+    "multimodal_features",
+    oracle=MULTIMODAL_ORACLE,
+    tags=("multimodal", "pandas-udf"),
+    doc="Opaque-blob metadata extraction via Arrow-batched mapInPandas "
+    "(deterministic fake decode; real codec stubbed).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return blobs.mapInPandas(_blob_features, schema=BLOB_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+FRAME_BYTES = 16
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Treat each blob as a 'video': fixed 16-byte frames, keep every
+    4th frame, emit (doc_id, frame_idx, md5(frame))."""
+    for pdf in batches:
+        out_doc, out_idx, out_md5 = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            n_frames = len(blob) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = blob[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_md5.append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
+        )
+
+
+FRAME_ORACLE = f"""
+SELECT doc_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       md5(substring(text, idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM documents,
+     (SELECT unnest(range(0, 10000, {FRAME_STRIDE})) AS idx)
+WHERE idx < length(text) // {FRAME_BYTES}
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=FRAME_ORACLE,
+    tags=("multimodal", "pandas-udf"),
+    doc="'Video' frame sampling over opaque blobs: fixed-size frames, "
+    "stride sampling, per-frame hash — mapInPandas fan-out.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return blobs.mapInPandas(_sample_frames, schema=FRAME_SAMPLE_SCHEMA)

@@ -1,1 +1,248 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Similarity search over the `embeddings` table (north star,
+BASELINE.json): brute-force cosine top-k as the exactness baseline, a
+random-hyperplane-LSH bucketed variant as the scale path, and
+per-label centroid analytics.
+
+Determinism discipline: ranking always orders by (round(cos, 6) DESC,
+vec_id) so ties and float noise cannot reorder results between Spark
+and the DuckDB oracle. LSH hyperplanes are derived from md5 (identical
+in both engines), so bucket assignments — and therefore candidate
+sets — are reproducible anywhere.
+
+Scale design (100 TB):
+- brute force: queries are broadcast; each executor scans its slice of
+  the corpus and emits only its local top-k per query (window over the
+  shuffled pairs is the local[*] shape; at cluster scale swap the final
+  rank for a treeAggregate-style partial top-k — the plan keeps the
+  corpus un-shuffled either way);
+- LSH: the corpus is bucketed once (narrow map), candidates come from
+  a bucket-equi join — the shuffle is on the bucket key, and recall is
+  tuned by bands/bits, never by scanning everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.operators.dedup import cosine_expr
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+TOP_K = 10
+QUERY_FILTER = "vec_id % 100 = 0"  # deterministic query subset
+
+BRUTE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {QUERY_FILTER}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=BRUTE_ORACLE,
+    tags=("similarity", "ann"),
+    bench=True,
+    doc="Brute-force cosine top-10 for a deterministic query subset — "
+    "the exact baseline for the LSH path.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("qv", "v"), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH ANN
+# --------------------------------------------------------------------------
+
+N_PLANES = 24
+N_BANDS = 6  # 6 bands x 4 bits (recall-tuned for weakly-similar vectors)
+DIM = 64
+
+# plane p, dim d -> ±1, from md5 (identical both engines)
+_PLANE_SIGN_SPARK = (
+    "CASE WHEN substring(md5(concat('p', cast(p as string), ':', "
+    "cast(d as string))), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END"
+)
+
+
+def rh_signatures(emb: DataFrame) -> DataFrame:
+    """24-bit random-hyperplane signature per vector (6 bands x 4 bits).
+
+    Narrow plan: explode (vec, dim) once, join the planes via a
+    generated (p, d) grid, aggregate sign bits back — no shuffle of
+    the raw vectors, only (vec_id, signature)."""
+    spark = emb.sparkSession
+    grid = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p")).crossJoin(
+        spark.range(DIM).select((F.col("id") + 1).cast("int").alias("d"))
+    ).withColumn("sign", F.expr(_PLANE_SIGN_SPARK))
+    comps = (
+        emb.select("vec_id", F.posexplode("v").alias("d0", "x"))
+        .withColumn("d", F.col("d0") + 1)
+        .drop("d0")
+    )
+    dots = (
+        comps.join(F.broadcast(grid), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("sign")).alias("dot"))
+    )
+    return dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("cast(pow(2, p) as bigint)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sig")
+    )
+
+
+ANN_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+grid AS (
+  SELECT p, d,
+         CASE WHEN substring(md5('p' || CAST(p AS VARCHAR) || ':' ||
+                CAST(d AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END AS sign
+  FROM (SELECT unnest(range(0, {N_PLANES})) AS p),
+       (SELECT unnest(range(1, {DIM} + 1)) AS d)
+),
+dots AS (
+  SELECT e.vec_id, g.p, sum(e.v[g.d] * g.sign) AS dot
+  FROM e, grid g GROUP BY e.vec_id, g.p
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, k, (sig // CAST(pow(16, k) AS BIGINT)) % 16 AS bkey
+  FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS k)
+),
+q AS (SELECT vec_id AS query_id FROM e WHERE {QUERY_FILTER}),
+cand AS (
+  SELECT DISTINCT q.query_id, b2.vec_id AS neighbor_id
+  FROM q
+  JOIN bands b1 ON b1.vec_id = q.query_id
+  JOIN bands b2 ON b2.k = b1.k AND b2.bkey = b1.bkey AND b2.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=ANN_LSH_ORACLE,
+    tags=("similarity", "ann", "lsh"),
+    doc="ANN via 24-plane random-hyperplane LSH: signature -> 6-band "
+    "bucket join -> cosine rank of candidates only. Recall vs the "
+    "brute-force baseline asserted in tests/test_similarity.py.",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = rh_signatures(emb)
+    bands = sig.select(
+        "vec_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("k"),
+    ).withColumn("bkey", F.expr("(sig div cast(pow(16, k) as bigint)) % 16")).drop("sig")
+    q = emb.where(F.expr(QUERY_FILTER)).select(F.col("vec_id").alias("query_id"))
+    qb = q.join(bands, q.query_id == bands.vec_id).select("query_id", "k", "bkey")
+    cand = (
+        qb.join(bands, ["k", "bkey"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qa = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    nb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        cand.join(qa, "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qv", "nv"), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= TOP_K
+    )
+
+
+CENTROID_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comps AS (
+  SELECT label, d, avg(v[d]) AS c
+  FROM e, (SELECT unnest(range(1, {DIM} + 1)) AS d)
+  GROUP BY label, d
+)
+SELECT label,
+       count(*) AS dim,
+       round(sqrt(sum(c * c)), 6) AS centroid_norm
+FROM comps GROUP BY label
+"""
+
+
+@register(
+    "embedding_centroids",
+    oracle=CENTROID_ORACLE,
+    tags=("similarity", "vector-agg"),
+    doc="Per-label centroid (componentwise mean) and its norm.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comps = emb.select(
+        "label", F.posexplode("v").alias("d0", "x")
+    ).withColumn("d", F.col("d0") + 1)
+    cents = comps.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    return cents.groupBy("label").agg(
+        F.count("*").alias("dim"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+    )

@@ -1,1 +1,226 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Text-analysis operators for training-data pipelines (north star):
+quality scoring, n-gram/stopword language ID, token counting
+(whitespace / letter-run / BPE-ish), document fingerprinting.
+
+All pure built-in expressions (whole-stage codegen, zero Python in the
+hot path); every query oracle-checked against DuckDB. The tokenizer is
+the reference's (letter runs, functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+_SW_LIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4)
+         AS ttr,
+       round(CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}} ]', '', 'g'))
+             AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+       round(CAST(len(list_filter(toks, x -> lower(x) IN ({_SW_LIST_SQL})))
+             AS DOUBLE) / greatest(len(toks), 1), 4) AS stopword_ratio,
+       round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS avg_word_len
+FROM t
+"""
+
+
+@register(
+    "text_quality",
+    oracle=QUALITY_ORACLE,
+    tags=("text", "quality"),
+    bench=True,
+    doc="Per-doc quality features: length, type-token ratio, punctuation "
+    "ratio, stopword ratio, avg word length.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words("text")
+    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    sw = F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS_EN))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / n_toks, 4).alias("ttr"),
+        F.round(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[^\p{L} ]", ""))
+            ).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+        F.round(F.size(sw) / n_toks, 4).alias("stopword_ratio"),
+        F.round(
+            F.length(F.concat_ws("", toks)).cast("double") / n_toks, 4
+        ).alias("avg_word_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-profile scores + argmax with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+}
+
+
+def _lang_score_sql(lang: str, arr: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"CAST(len(list_filter({arr}, x -> lower(x) IN ({lst}))) AS DOUBLE)"
+        f" / greatest(len({arr}), 1)"
+    )
+
+
+LANG_ID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en', 'toks')} AS s_en,
+         {_lang_score_sql('de', 'toks')} AS s_de,
+         {_lang_score_sql('es', 'toks')} AS s_es,
+         {_lang_score_sql('fr', 'toks')} AS s_fr
+  FROM t
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
+"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=LANG_ID_ORACLE,
+    tags=("text", "lang-id"),
+    doc="Stopword-profile language ID (en/de/es/fr), reported as a "
+    "labeled-vs-predicted confusion table.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words("text")
+    scored = docs.select("doc_id", "lang", toks.alias("toks"))
+    for lang, sw in LANG_PROFILES.items():
+        ratio = F.size(F.filter(F.col("toks"), lambda x: F.lower(x).isin(*sw))) / (
+            F.greatest(F.size("toks"), F.lit(1)).cast("double")
+        )
+        scored = scored.withColumn(f"s_{lang}", ratio)
+    pred = scored.withColumn(
+        "lang_pred",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr"),
+    )
+    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+TOKEN_COUNT_ORACLE = """
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+         AS ws_tokens,
+       sum(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')))
+         AS word_tokens,
+       sum(len(regexp_extract_all(text, '\\p{L}{1,4}'))) AS subword_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+@register(
+    "token_count_methods",
+    oracle=TOKEN_COUNT_ORACLE,
+    tags=("text", "tokens"),
+    doc="Token counting 3 ways per source: whitespace, letter-run words, "
+    "BPE-ish fixed-max-width subword pieces.",
+)
+def token_count_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")))
+    word = F.size(words("text"))
+    sub = F.size(F.expr(r"regexp_extract_all(text, '\\p{L}{1,4}', 0)"))
+    return (
+        docs.select("source", ws.alias("ws"), word.alias("wt"), sub.alias("st"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("wt").alias("word_tokens"),
+            F.sum("st").alias("subword_tokens"),
+        )
+    )
+
+
+FINGERPRINT_ORACLE = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_sort(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
+                   i -> md5(substring(text, i, 8)))) AS win_hashes
+  FROM documents
+)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       array_to_string(win_hashes[1:4], '|') AS winnow_fp
+FROM w
+"""
+
+
+@register(
+    "doc_fingerprint",
+    oracle=FINGERPRINT_ORACLE,
+    tags=("text", "fingerprint"),
+    doc="Document fingerprints: full-content md5 + winnowing-style "
+    "4-min-hash of 8-char windows (stride 4).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    win = F.expr(
+        "array_sort(transform(sequence(1, greatest(length(text) - 7, 1), 4), "
+        "i -> md5(substring(text, i, 8))))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.concat_ws("|", F.slice(win, 1, 4)).alias("winnow_fp"),
+    )

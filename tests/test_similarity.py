@@ -1,0 +1,42 @@
+"""Similarity-search behavior beyond oracle parity: LSH recall vs the
+brute-force baseline, and the multimodal codec-stub contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_distributed_systems_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+)
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+
+def test_lsh_recall_floor(spark, sf_dir):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in get_spec("ann_cosine_topk").fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in get_spec("ann_lsh_bucketed").fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    # weakly-similar random vectors: 6x4-bit RH-LSH lands ~0.45;
+    # the floor guards against silent signature/band regressions
+    assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_decode_stubs_raise_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"abc")
+
+
+def test_fake_decode_deterministic():
+    a = decode_image(b"hello world", fake=True)
+    b = decode_image(b"hello world", fake=True)
+    assert a == b
+    assert a["n_bytes"] == 11
+    assert 1 <= a["width"] <= 64 and 1 <= a["height"] <= 64
