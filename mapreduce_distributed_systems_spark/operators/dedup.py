@@ -104,11 +104,16 @@ def shingle_table(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """8 'permutations' = the 8 disjoint 4-hex-char (16-bit) slices of
+    ONE md5 per shingle — one hash computation per row instead of
+    eight, with independent bits per slice (map-side-combinable min
+    aggregates either way)."""
+    hashed = sh.select("doc_id", F.md5("shingle").alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.substring("h", 4 * i + 1, 4)).alias(f"h{i}")
         for i in range(N_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
@@ -156,7 +161,7 @@ sh AS (
 ),
 mh AS (
   SELECT doc_id,
-         {', '.join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_PERMS))}
+         {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(N_PERMS))}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
@@ -441,17 +446,21 @@ FROM pairs WHERE round(cos_sim, 6) >= {COSINE_THRESHOLD}
 """
 
 
-def cosine_expr(a: str, b: str) -> F.Column:
-    dot = F.expr(
+def dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (acc, v) -> acc + v)"
     )
-    na = F.expr(
-        f"sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), 0d, (acc, v) -> acc + v))"
-    )
-    nb = F.expr(
-        f"sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), 0d, (acc, v) -> acc + v))"
-    )
-    return dot / (na * nb)
+
+
+def norm_expr(a: str) -> F.Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """Full cosine — for one-off pairs. In pair joins, precompute each
+    side's norm once per VECTOR (norm_expr) and divide the dot by the
+    product: 3x fewer array passes per pair."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 @register(
@@ -464,14 +473,14 @@ def cosine_expr(a: str, b: str) -> F.Column:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", norm_expr("v"))
     a, b = emb.alias("a"), emb.alias("b")
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        cosine_expr("a.v", "b.v").alias("cos_sim"),
+        (dot_expr("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
     )
     return pairs.where(F.round("cos_sim", 6) >= COSINE_THRESHOLD).select(
         "vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_distributed_systems_spark.operators.dedup import cosine_expr
+from mapreduce_distributed_systems_spark.operators.dedup import dot_expr, norm_expr
 from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
 
@@ -60,20 +60,39 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
     "the exact baseline for the LSH path.",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = emb.where(F.expr(QUERY_FILTER)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = (
-        F.broadcast(q)
-        .join(emb, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "v"), 6).alias("cos_sim"),
-        )
+    """Scoring is a per-partition BLAS matrix multiply (Arrow-batched
+    mapInPandas): the small query matrix ships in the task closure,
+    the corpus is scanned once, never shuffled; only (query, neighbor,
+    score) triples reach the top-k window. This is the scale shape —
+    on a cluster each executor multiplies its corpus slice against the
+    broadcast query block."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = emb.where(F.expr(QUERY_FILTER)).collect()  # small by construction
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_nrm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            s = (m @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
+            n, k = s.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cos_sim": s.ravel(),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    ).where(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "cos_sim", F.round("cos_sim", 6)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -197,15 +216,24 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qa = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    nb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    embn = emb.withColumn("nrm", norm_expr("v"))
+    qa = embn.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    nb = embn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
+    )
     scored = (
         cand.join(qa, "query_id")
         .join(nb, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr("qv", "nv"), 6).alias("cos_sim"),
+            F.round(
+                dot_expr("qv", "nv") / (F.col("qnrm") * F.col("nnrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -1,0 +1,76 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4, §7 M7).
+
+Correctness tests prove the answers; these prove the PLANS stay the
+ones that survive 100 TB: filters reach the parquet scan, column
+pruning holds, small dims broadcast, aggregates combine map-side,
+global top-k never does a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = physical_plan(get_spec("q1_pricing_summary").fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused columns must not be read
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+    assert "l_partkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = physical_plan(get_spec("q5_local_supplier").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wc_partial_aggregation(spark, sf_dir):
+    # the map-side combine the reference lacks (SURVEY.md §2.A note)
+    plan = physical_plan(get_spec("wc").fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = physical_plan(get_spec("top_k_orders").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort operator
+
+
+def test_scalar_funcs_codegen(spark, sf_dir):
+    plan = physical_plan(get_spec("scalar_funcs").fn(spark, sf_dir))
+    assert "*(" in plan  # '*(n)' prefix marks a WholeStageCodegen span
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    semi = physical_plan(get_spec("join_semi_customers").fn(spark, sf_dir))
+    anti = physical_plan(get_spec("join_anti_parts").fn(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_shard_pruned_read_pushes_filter(spark, sf_dir):
+    plan = physical_plan(get_spec("shard_pruned_read").fn(spark, sf_dir))
+    # the shard predicate is on a derived column, but the events scan
+    # must still only read the columns the query needs
+    tail = plan.split("ReadSchema")[-1]
+    assert "props" not in tail and "event_type" not in tail
+
+
+def test_kv_replay_single_shuffle_on_key(spark, sf_dir):
+    plan = physical_plan(get_spec("kv_replay_final").fn(spark, sf_dir))
+    # replay shuffles on the kv key for the window; the final groupBy
+    # must reuse that partitioning rather than exchange again: one
+    # hashpartitioning exchange on key-derived columns is expected
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_broadcast_lookup_in_kv_get(spark, sf_dir):
+    plan = physical_plan(get_spec("kv_get_lookup").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
