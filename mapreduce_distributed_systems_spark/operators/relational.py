@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_distributed_systems_spark.plans.registry import register
-from mapreduce_distributed_systems_spark.sources import load_table
+from mapreduce_distributed_systems_spark.sources import load_table, load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -594,3 +594,120 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first5_sorted"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot / grouping sets / skew-salted aggregation / bag set ops
+# --------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle=PIVOT_ORACLE,
+    tags=("relational", "pivot"),
+    doc="Pivot order status into columns (explicit value list keeps the "
+    "schema static — required for both scale and oracle parity).",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "grouping_sets_orders",
+    oracle=GROUPING_SETS_ORACLE,
+    tags=("relational", "aggregate", "grouping-sets"),
+    doc="Explicit GROUPING SETS via the SQL API (same Catalyst Expand "
+    "operator as rollup/cube).",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_ORACLE)
+
+
+SALTED_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "skew_salted_agg",
+    oracle=SALTED_ORACLE,
+    tags=("relational", "aggregate", "skew"),
+    doc="Skew-safe aggregation: explicit salt -> two-phase agg. Same "
+    "result as the plain groupBy (the oracle); the salted plan bounds "
+    "any single reducer's share of a hot key to 1/N_SALT.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", (F.col("event_id") % n_salt))
+        .groupBy("user_id", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+    )
+
+
+SET_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register(
+    "set_except_all",
+    oracle=SET_EXCEPT_ALL_ORACLE,
+    tags=("relational", "set"),
+    doc="EXCEPT ALL (bag semantics — multiplicity-aware difference).",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+SET_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register(
+    "set_intersect_all",
+    oracle=SET_INTERSECT_ALL_ORACLE,
+    tags=("relational", "set"),
+    doc="INTERSECT ALL (bag semantics).",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)

@@ -218,3 +218,35 @@ def shard_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count("*").alias("n_ops"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "shard_migration_moves",
+    oracle=None,  # input is the driver-side controller history
+    tags=("shard", "controller"),
+    doc="C12 analogue: per config transition, which shards moved and "
+    "how many — computed as a lag window over the config history "
+    "(shard movement is a data diff, not an RPC protocol).",
+)
+def shard_migration_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hist = shard_rebalance_history(spark, sf_dir)
+    w = W.partitionBy("shard").orderBy("num")
+    moves = (
+        hist.withColumn("prev_gid", F.lag("gid").over(w))
+        .where(F.col("prev_gid").isNotNull() & (F.col("gid") != F.col("prev_gid")))
+    )
+    return moves.groupBy("num").agg(
+        F.count("*").alias("n_moves"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("shard", "prev_gid", "gid"))),
+                lambda s: F.concat_ws(
+                    ">", s.shard.cast("string"), s.prev_gid.cast("string"),
+                    s.gid.cast("string")
+                ),
+            ),
+        ).alias("moves"),
+    )

@@ -1,0 +1,56 @@
+"""Execution-strategy differential tests (SURVEY.md §5 plan): the same
+query must produce identical results under different physical
+strategies — the Spark analogue of the reference's sequential-vs-
+distributed golden comparison (main/test-mr.sh:103-111)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", ["wc", "q5_local_supplier", "kv_replay_final"])
+def test_shuffle_partition_count_invariance(spark, sf_dir, name):
+    spec = get_spec(name)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        sequential = _rows(spec.fn(spark, sf_dir))  # ≙ mrsequential oracle
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        parallel = _rows(spec.fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert sequential == parallel
+
+
+def test_broadcast_vs_sortmerge_join(spark, sf_dir):
+    spec = get_spec("join_left_outer")
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with_bc = _rows(spec.fn(spark, sf_dir))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        without_bc = _rows(spec.fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    assert with_bc == without_bc
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """The documented scale trade for count(distinct): HLL must land
+    within 5% of exact on this data."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact <= 0.05

@@ -78,3 +78,33 @@ def test_stream_equals_batch(spark, sf_dir):
     b = {(r["key"], r["final_value"], r["n_effective_ops"]) for r in batch.collect()}
     s = {(r["key"], r["final_value"], r["n_effective_ops"]) for r in stream.collect()}
     assert b == s
+
+
+def test_snapshot_plus_incremental_equals_full_replay(spark, sf_dir):
+    """C6 snapshot/compaction analogue: materialize state at a seq
+    cutoff, replay only the tail on top of it, compare to full replay.
+    Snapshot = 'put <state>' per key at the cutoff (models/kv.go last-put
+    reset makes a snapshot exactly a synthetic Put)."""
+    from pyspark.sql import functions as F
+
+    ops = op_log(load_table(spark, sf_dir, "events")).where(F.col("op") != "get")
+    cutoff = ops.select(F.expr("percentile(event_id, 0.5)").alias("c")).collect()[0].c
+
+    head = ops.where(F.col("event_id") <= cutoff)
+    tail = ops.where(F.col("event_id") > cutoff)
+
+    snapshot = replay(head).select(
+        F.col("key"),
+        F.lit("put").alias("op"),
+        F.col("final_value").alias("payload"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("ts"),  # before tail
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("client_id"),
+        F.lit(None).cast("int").alias("client_seq"),
+    )
+    compacted = replay(snapshot.unionByName(tail.select(snapshot.columns)))
+    full = replay(ops)
+
+    got = {(r["key"], r["final_value"]) for r in compacted.collect()}
+    want = {(r["key"], r["final_value"]) for r in full.collect()}
+    assert got == want

@@ -1,0 +1,172 @@
+"""Streaming hardening (C6 snapshot/exactly-once, event-time
+watermarks): checkpointed restart must resume without reprocessing,
+and late data beyond the watermark must be dropped."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from mapreduce_distributed_systems_spark.operators.kv import op_log, replay
+from mapreduce_distributed_systems_spark.sources import load_table
+from mapreduce_distributed_systems_spark.streaming.kv_stream import (
+    OUTPUT_SCHEMA,
+    STATE_SCHEMA,
+    _update_state,
+)
+
+
+def _staged_stream(spark, src_dir, collected):
+    """KV-replay stream over a multi-file source dir, one file per
+    batch, emitting into a driver-side list via foreachBatch."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select(
+            (F.col("user_id") % 20).cast("string").alias("key"),
+            F.expr(
+                "CASE WHEN event_type IN ('signup','purchase') THEN 'put' "
+                "WHEN event_type IN ('click','view') THEN 'append' "
+                "ELSE 'get' END"
+            ).alias("op"),
+            F.col("value").cast("string").alias("payload"),
+            "ts",
+            "event_id",
+        )
+        .where(F.col("op") != "get")
+    )
+    folded = stream.groupBy("key").applyInPandasWithState(
+        _update_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df, batch_id):
+        collected.append((batch_id, batch_df.toPandas()))
+
+    return folded.writeStream.foreachBatch(sink).outputMode("update")
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir):
+    # stage events as 4 files ordered by time so batches are a
+    # deterministic prefix-partition of the log
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="kv_restart_src_")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    n = len(pdf)
+    for j in range(4):
+        pdf.iloc[j * n // 4 : (j + 1) * n // 4].to_parquet(
+            f"{src}/part-{j}.parquet", index=False
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="kv_restart_ckpt_")
+    collected: list = []
+
+    # run 1: stop after >= 2 of the 4 files (a mid-log "crash")
+    import time
+
+    q1 = _staged_stream(spark, src, collected).option(
+        "checkpointLocation", ckpt
+    ).start()
+    deadline = time.time() + 120
+    while len(collected) < 2 and time.time() < deadline:
+        time.sleep(0.2)
+        if q1.exception() is not None:
+            raise q1.exception()
+    q1.stop()
+    q1.awaitTermination()
+    assert len(collected) >= 2, "stream made no progress before stop"
+
+    # run 2: same checkpoint — must resume at the next unprocessed file
+    q2 = _staged_stream(spark, src, collected).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    seen_batches = sorted(b for b, _ in collected)
+    assert seen_batches == sorted(set(seen_batches)), "a batch was reprocessed"
+    assert max(seen_batches) == 3  # all 4 files processed exactly once
+
+    # final streamed state == batch replay of the full log
+    allpdf = pd.concat([p for _, p in collected])
+    final = (
+        allpdf.sort_values("writes_seen")
+        .groupby("key", as_index=False)
+        .last()[["key", "final_value", "n_effective_ops"]]
+    )
+    got = {
+        (r.key, r.final_value, int(r.n_effective_ops))
+        for r in final.itertuples(index=False)
+    }
+    want = {
+        (r["key"], r["final_value"], r["n_effective_ops"])
+        for r in replay(op_log(ev)).collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_data(spark):
+    src = tempfile.mkdtemp(prefix="wm_src_")
+    on_time = pd.DataFrame(
+        {
+            # µs precision: ns parquet timestamps arrive as bigint here
+            "ts": pd.to_datetime(
+                ["2024-01-01 02:05:00", "2024-01-01 02:35:00", "2024-01-01 03:10:00"]
+            ).astype("datetime64[us]"),
+            "k": ["a", "a", "a"],
+        }
+    )
+    late = pd.DataFrame(
+        {
+            # > 30 min older than max seen event time (03:10) => late
+            "ts": pd.to_datetime(["2024-01-01 00:05:00"]).astype("datetime64[us]"),
+            "k": ["a"],
+        }
+    )
+    on_time.to_parquet(f"{src}/f0.parquet", index=False)
+
+    schema = spark.read.parquet(src).schema
+    counts = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # parquet-without-tz infers TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "k", "n")
+    )
+    out: list = []
+
+    def sink(batch_df, batch_id):
+        out.append(batch_df.toPandas())
+
+    ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # second file arrives AFTER the watermark advanced past its hour
+    late.to_parquet(f"{src}/f1-late.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    allpdf = pd.concat(out) if out else pd.DataFrame(columns=["ws", "k", "n"])
+    hours = set(pd.to_datetime(allpdf["ws"]).dt.hour)
+    assert 2 in hours and 3 in hours
+    assert 0 not in hours, "late row beyond watermark must be dropped"
