@@ -1,0 +1,187 @@
+"""End-to-end training-data cleaning pipeline (north star synthesis):
+
+    raw documents
+      -> quality gate (length / token-count / type-token-ratio)
+      -> exact dedup        (keep min doc_id per identical text)
+      -> near-dup removal   (MinHash-LSH pairs, drop the higher doc_id)
+      -> corpus stats per source (docs kept, tokens, chars)
+
+One declarative plan: Catalyst fuses the quality gate into the scan,
+the dedup stages reuse the shingle/signature pipeline from
+operators/dedup.py, and the only shuffles are the two dedup groupings
+plus the final per-source aggregate. This is the composition a 100 TB
+pretraining-corpus job actually runs; every stage is the tested
+operator, and the whole pipeline is oracle-checked end-to-end.
+
+Also here: `wc_mr_facade` — the reference's word count executed through
+the RDD map_reduce facade (closures pickled by value), gated against
+the SAME oracle as the DataFrame `wc`, so the facade itself sits inside
+the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    lsh_candidates,
+    minhash_signatures,
+    shingle_table,
+)
+from mapreduce_distributed_systems_spark.operators.wordcount import WC_ORACLE
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+MIN_TOKENS = 50
+MIN_TTR = 0.05
+
+PIPELINE_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS toks
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, source, text, toks
+  FROM quality
+  WHERE len(toks) >= {MIN_TOKENS}
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= {MIN_TTR}
+),
+exact_kept AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY text
+),
+kept AS (
+  SELECT g.* FROM gated g JOIN exact_kept k ON g.doc_id = k.doc_id
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
+  FROM kept WHERE len(toks) >= 3
+),
+mh AS (
+  SELECT doc_id,
+         {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+                   WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
+  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                           AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+near_dups AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+  JOIN (
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+  ) x ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b
+  WHERE CAST(x.i AS DOUBLE) / (na.n + nb.n - x.i) >= {JACCARD_THRESHOLD}
+),
+clean AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dups)
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(toks)) AS total_tokens,
+       sum(length(text)) AS total_chars
+FROM clean GROUP BY source
+"""
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=PIPELINE_ORACLE,
+    tags=("pipeline", "dedup", "quality"),
+    bench=True,
+    doc="Full corpus-cleaning pipeline: quality gate -> exact dedup -> "
+    "MinHash-LSH near-dup removal -> per-source stats, one plan.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "source", "text", words("text").alias("toks"))
+    gated = toked.where(
+        (F.size("toks") >= MIN_TOKENS)
+        & (
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+            >= MIN_TTR
+        )
+    )
+    exact_kept = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(exact_kept.select("doc_id"), "doc_id").cache()
+
+    sh = shingle_table(kept.select("doc_id", "text"))
+    cand = lsh_candidates(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    near_dups = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = kept.join(near_dups, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "wc_mr_facade",
+    oracle=WC_ORACLE,
+    tags=("mr-app", "rdd-facade"),
+    doc="Word count through the RDD map_reduce facade (reference "
+    "Map/Reduce signature, mr/worker.go:29-30) — same oracle as 'wc', "
+    "so the facade itself is inside the correctness gate.",
+)
+def wc_mr_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.operators.mr import map_reduce
+
+    # closures (pickled by value — no module shipping needed on workers)
+    def wc_map(filename: str, contents: str):
+        out, cur = [], []
+        for ch in contents:
+            if ch.isalpha():
+                cur.append(ch)
+            elif cur:
+                out.append(("".join(cur), "1"))
+                cur = []
+        if cur:
+            out.append(("".join(cur), "1"))
+        return out
+
+    def wc_reduce(key: str, values: list) -> str:
+        return str(len(values))
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+    out = map_reduce(spark, docs, wc_map, wc_reduce, n_reduce=10)
+    return out.select(
+        F.col("key").alias("word"), F.col("value").cast("long").alias("cnt")
+    )

@@ -93,12 +93,17 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir):
     q2.stop()
     q2.awaitTermination()
 
-    seen_batches = sorted(b for b, _ in collected)
-    assert seen_batches == sorted(set(seen_batches)), "a batch was reprocessed"
-    assert max(seen_batches) == 3  # all 4 files processed exactly once
-
-    # final streamed state == batch replay of the full log
-    allpdf = pd.concat([p for _, p in collected])
+    # foreachBatch is at-least-once: a batch interrupted by stop() may
+    # re-run after restart. The exactly-once contract lives in the
+    # STATE (checkpointed, versioned per batch): a re-run batch
+    # recomputes from committed state, never double-applies. So assert
+    # coverage + final-state correctness, keeping the LAST emission of
+    # any re-run batch id.
+    assert {b for b, _ in collected} == {0, 1, 2, 3}
+    last_by_batch: dict = {}
+    for b, p in collected:
+        last_by_batch[b] = p
+    allpdf = pd.concat([last_by_batch[b] for b in sorted(last_by_batch)])
     final = (
         allpdf.sort_values("writes_seen")
         .groupby("key", as_index=False)
