@@ -311,7 +311,7 @@ cand AS (
   FROM nibbles a JOIN nibbles b
     ON a.k = b.k AND a.nib = b.nib AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
 """
@@ -348,7 +348,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        cand.withColumn("hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
         .where(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -97,8 +97,8 @@ clean AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(len(toks)) AS total_tokens,
-       sum(length(text)) AS total_chars
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM clean GROUP BY source
 """
 

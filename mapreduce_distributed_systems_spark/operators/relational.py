@@ -503,12 +503,12 @@ SCALAR_ORACLE = """
 SELECT o_orderkey,
        upper(substring(o_orderpriority, 3)) AS prio_name,
        concat(o_orderstatus, '-', substring(o_orderpriority, 1, 1)) AS status_code,
-       length(o_orderpriority) AS prio_len,
-       year(o_orderdate) AS y,
-       month(o_orderdate) AS m,
-       day(o_orderdate) AS d,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS d,
        (o_orderdate::DATE + 30) AS due_date,
-       (DATE '2002-01-01' - o_orderdate::DATE) AS days_to_2002,
+       CAST(DATE '2002-01-01' - o_orderdate::DATE AS BIGINT) AS days_to_2002,
        round(o_totalprice / 7, 3) AS price_div,
        CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
        round(sqrt(o_totalprice), 6) AS price_sqrt,
@@ -536,12 +536,12 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("o_orderstatus"), F.lit("-"), F.substring("o_orderpriority", 1, 1)
         ).alias("status_code"),
-        F.length("o_orderpriority").alias("prio_len"),
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
         F.date_add(d, 30).alias("due_date"),
-        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
         F.round(F.col("o_totalprice") / 7, 3).alias("price_div"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
@@ -558,8 +558,8 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_ORACLE = """
 SELECT doc_id,
-       len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_distinct,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
        toks[1] AS first_tok,
        toks[-1] AS last_tok,
        list_contains(toks, 'the') AS has_the,
@@ -585,8 +585,8 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = words("text")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.element_at(toks, 1).alias("first_tok"),
         F.element_at(toks, -1).alias("last_tok"),
         F.array_contains(toks, "the").alias("has_the"),

@@ -43,8 +43,8 @@ scored AS (
   FROM q JOIN e ON e.vec_id <> q.query_id
 ),
 ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
@@ -96,7 +96,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
     )
 
@@ -182,8 +182,8 @@ scored AS (
   FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.neighbor_id
 ),
 ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
@@ -237,7 +237,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= TOP_K
     )
 

@@ -27,9 +27,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, lang, source,
-       length(text) AS n_chars,
-       len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
        round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4)
          AS ttr,
        round(CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}} ]', '', 'g'))
@@ -59,9 +59,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.round(F.size(F.array_distinct(toks)) / n_toks, 4).alias("ttr"),
         F.round(
             (
@@ -158,11 +158,11 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_ORACLE = """
 SELECT source,
        count(*) AS n_docs,
-       sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT)
          AS ws_tokens,
-       sum(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')))
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> ''))) AS BIGINT)
          AS word_tokens,
-       sum(len(regexp_extract_all(text, '\\p{L}{1,4}'))) AS subword_tokens
+       CAST(sum(len(regexp_extract_all(text, '\\p{L}{1,4}'))) AS BIGINT) AS subword_tokens
 FROM documents
 GROUP BY source
 """
@@ -185,9 +185,9 @@ def token_count_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("ws").alias("ws_tokens"),
-            F.sum("wt").alias("word_tokens"),
-            F.sum("st").alias("subword_tokens"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("wt").cast("long").alias("word_tokens"),
+            F.sum("st").cast("long").alias("subword_tokens"),
         )
     )
 

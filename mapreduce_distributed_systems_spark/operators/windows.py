@@ -24,8 +24,8 @@ SELECT o_orderkey, o_custkey,
        round(sum(o_totalprice) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-       row_number() OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+       CAST(row_number() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
 FROM orders
 """
 
@@ -46,7 +46,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
         ).alias("running_total"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
 
@@ -54,8 +54,8 @@ TOP3_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (
-           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
   FROM orders
 )
 WHERE rn <= 3
@@ -72,7 +72,7 @@ def window_rank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -112,7 +112,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NTILE_ORACLE = """
 SELECT o_orderkey,
-       ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+       CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile,
        round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
        round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume
 FROM orders
@@ -132,7 +132,7 @@ def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
-        F.ntile(10).over(w).alias("decile"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
