@@ -60,3 +60,32 @@ def inverted_index(docs: DataFrame) -> DataFrame:
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "inverted_index_bucketed",
+    oracle=INDEX_ORACLE,  # must agree exactly with the direct form
+    tags=("mr-app", "aggregate", "distinct", "scale-path"),
+    doc="Scale-path inverted index: postings built per (word, doc bucket) "
+    "then merged — a hot word's postings list is assembled from B "
+    "pre-deduped, pre-sorted bucket lists instead of one giant "
+    "collect_set, bounding any single aggregation row (SCALE.md).",
+)
+def q_inverted_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_buckets = 4
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .dropDuplicates(["doc_id", "word"])
+        .withColumn("b", F.col("doc_id") % n_buckets)
+    )
+    per_bucket = pairs.groupBy("word", "b").agg(
+        F.count("*").alias("n_b"),
+        F.sort_array(F.collect_set("doc_id")).alias("docs_b"),
+    )
+    return per_bucket.groupBy("word").agg(
+        F.sum("n_b").alias("n_docs"),
+        F.concat_ws(
+            ",", F.array_sort(F.flatten(F.collect_list("docs_b")))
+        ).alias("docs"),
+    )

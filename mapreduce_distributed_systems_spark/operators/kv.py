@@ -206,3 +206,83 @@ def kv_get_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return universe.join(F.broadcast(state), "key", "left").select(
         "key", F.coalesce("final_value", F.lit("")).alias("value")
     )
+
+
+KV_GET_ASOF_ORACLE = f"""
+WITH ops AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+         {OP_CASE_SQL} AS op,
+         CAST(value AS VARCHAR) AS payload,
+         ts, event_id,
+         row_number() OVER (PARTITION BY user_id % 20 ORDER BY ts, event_id) AS seq
+  FROM events
+),
+anchored AS (
+  SELECT *,
+         coalesce(max(CASE WHEN op = 'put' THEN seq END) OVER (
+           PARTITION BY key ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS last_put_seq
+  FROM ops
+),
+gets AS (SELECT key, seq AS get_seq, last_put_seq FROM anchored WHERE op = 'get'),
+writes AS (SELECT key, seq, payload FROM ops WHERE op <> 'get')
+SELECT g.key, g.get_seq,
+       coalesce(string_agg(w.payload, '' ORDER BY w.seq), '') AS value_at_get
+FROM gets g
+LEFT JOIN writes w
+  ON w.key = g.key AND w.seq < g.get_seq AND w.seq >= g.last_put_seq
+GROUP BY g.key, g.get_seq
+"""
+
+
+@register(
+    "kv_get_asof",
+    oracle=KV_GET_ASOF_ORACLE,
+    tags=("kv", "lookup", "linearizability"),
+    doc="Point-in-time Get: the value every 'get' op observes under the "
+    "serial model (models/kv.go) — the batch form of the reference's "
+    "porcupine linearizability check (C5): each read is derived from, "
+    "and therefore consistent with, the total op order.",
+)
+def kv_get_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = op_log(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("key").orderBy("ts", "event_id")
+    seqd = ops.withColumn("seq", F.row_number().over(w))
+    anchored = seqd.withColumn(
+        "last_put_seq",
+        F.coalesce(
+            F.max(F.when(F.col("op") == "put", F.col("seq"))).over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+            F.lit(0),
+        ),
+    )
+    gets = anchored.where(F.col("op") == "get").select(
+        "key", F.col("seq").alias("get_seq"), "last_put_seq"
+    )
+    writes = seqd.where(F.col("op") != "get").select(
+        F.col("key").alias("wkey"), "seq", "payload"
+    )
+    joined = gets.join(
+        writes,
+        (F.col("wkey") == F.col("key"))
+        & (F.col("seq") < F.col("get_seq"))
+        & (F.col("seq") >= F.col("last_put_seq")),
+        "left",
+    )
+    ordered_concat = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("payload").isNotNull(), F.struct("seq", "payload")
+                    )
+                )
+            ),
+            lambda s: s.payload,
+        ),
+        "",
+    )
+    return joined.groupBy("key", "get_seq").agg(
+        ordered_concat.alias("value_at_get")
+    )

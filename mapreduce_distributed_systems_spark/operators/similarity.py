@@ -274,3 +274,115 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("dim"),
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse cells -> probe nearest cells -> exact rank inside
+# --------------------------------------------------------------------------
+
+N_PROBE = 3
+
+ANN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(range(1, {DIM} + 1)) AS d),
+cents AS (
+  SELECT label, d, avg(v[d]) AS c FROM e, dims GROUP BY label, d
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {QUERY_FILTER}),
+qdist AS (
+  SELECT q.query_id, c.label,
+         round(sum((q.qv[c.d] - c.c) * (q.qv[c.d] - c.c)), 6) AS dist2
+  FROM q JOIN cents c ON true
+  GROUP BY q.query_id, c.label
+),
+probed AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY dist2, label) AS cell_rank
+    FROM qdist
+  ) WHERE cell_rank <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id
+  FROM probed p JOIN e ON e.label = p.label
+  WHERE e.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=ANN_IVF_ORACLE,
+    tags=("similarity", "ann", "ivf"),
+    doc="IVF-style ANN: coarse cells (label centroids here; k-means cells "
+    "in production), probe the 3 nearest cells per query, exact cosine "
+    "rank only inside probed cells — the inverted-file scale path where "
+    "scan cost is n_probe/n_cells of the corpus.",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comps = emb.select(
+        "label", F.posexplode("v").alias("d0", "x")
+    ).withColumn("d", F.col("d0") + 1)
+    cents = comps.groupBy("label", "d").agg(F.avg("x").alias("c"))
+
+    q = emb.where(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qcomps = q.select(
+        "query_id", F.posexplode("qv").alias("d0", "qx")
+    ).withColumn("d", F.col("d0") + 1)
+    qdist = (
+        qcomps.join(F.broadcast(cents), "d")
+        .groupBy("query_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))), 6
+            ).alias("dist2")
+        )
+    )
+    cw = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("label"))
+    probed = (
+        qdist.withColumn("cell_rank", F.row_number().over(cw))
+        .where(F.col("cell_rank") <= N_PROBE)
+        .select("query_id", "label")
+    )
+    embn = emb.withColumn("nrm", norm_expr("v"))
+    cand = (
+        F.broadcast(probed)
+        .join(embn, "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"), F.col("nrm").alias("nnrm"))
+    )
+    qn = embn.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = cand.join(qn, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot_expr("qv", "nv") / (F.col("qnrm") * F.col("nnrm")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= TOP_K
+    )
