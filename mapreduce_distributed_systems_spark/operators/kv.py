@@ -258,7 +258,7 @@ def kv_get_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     gets = anchored.where(F.col("op") == "get").select(
-        "key", F.col("seq").alias("get_seq"), "last_put_seq"
+        "key", F.col("seq").cast("long").alias("get_seq"), "last_put_seq"
     )
     writes = seqd.where(F.col("op") != "get").select(
         F.col("key").alias("wkey"), "seq", "payload"

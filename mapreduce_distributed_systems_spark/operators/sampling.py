@@ -1,0 +1,152 @@
+"""Deterministic sampling & dataset-split operators for training-data
+pipelines (north star).
+
+Sampling for 100 TB corpora must be content-addressed, not RNG-based:
+a hash-derived sample is (a) reproducible across engines/runs, (b)
+stable under re-partitioning, (c) consistent between incremental runs
+over growing data. All operators key on the first 4 hex chars of
+md5(id) interpreted as a 16-bit bucket (identical in Spark and
+DuckDB), giving 65536 assignment buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+# 16-bit bucket from md5 of the id — portable hex->int arithmetic
+_BUCKET_SPARK = (
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 4096 + "
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1) * 256 + "
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 3, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 4, 1)) - 1)"
+)
+_BUCKET_DUCK = _BUCKET_SPARK.replace("instr(", "strpos(").replace(
+    "cast(doc_id as string)", "CAST(doc_id AS VARCHAR)"
+)
+
+SAMPLE_PCT_BUCKETS = 6554  # ~10% of 65536
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_BUCKET_DUCK} < {SAMPLE_PCT_BUCKETS}
+"""
+
+
+@register(
+    "sample_deterministic_10pct",
+    oracle=SAMPLE_ORACLE,
+    tags=("sampling", "pipeline"),
+    doc="Content-addressed ~10% sample: md5-bucket of doc_id < 6554/65536 "
+    "— reproducible across engines, runs, and partitionings.",
+)
+def sample_deterministic_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.expr(_BUCKET_SPARK) < SAMPLE_PCT_BUCKETS).select(
+        "doc_id", "source", "lang"
+    )
+
+
+SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_DUCK} < 58982 THEN 'train'
+            WHEN {_BUCKET_DUCK} < 62259 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register(
+    "dataset_split_assign",
+    oracle=SPLIT_ORACLE,
+    tags=("sampling", "pipeline"),
+    doc="Stable train/valid/test assignment (~90/5/5) from the same "
+    "md5 bucket — membership never changes as the corpus grows.",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.expr(_BUCKET_SPARK)
+    return docs.select(
+        "doc_id",
+        F.when(b < 58982, "train").when(b < 62259, "valid").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+STRATIFIED_ORACLE = f"""
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_BUCKET_DUCK}, doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+WHERE rk <= 20
+"""
+
+
+@register(
+    "stratified_sample_per_lang",
+    oracle=STRATIFIED_ORACLE,
+    tags=("sampling", "pipeline"),
+    doc="Stratified sample: 20 docs per language, chosen by hash order "
+    "(deterministic, balanced across strata regardless of skew).",
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.expr(_BUCKET_SPARK), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS column_name,
+       count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+       round(min(o_orderkey), 4) AS min_v, round(max(o_orderkey), 4) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(DISTINCT o_custkey),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       round(min(o_custkey), 4), round(max(o_custkey), 4)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(DISTINCT o_totalprice),
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+FROM orders
+"""
+
+
+@register(
+    "profile_orders",
+    oracle=PROFILE_ORACLE,
+    tags=("profiling", "pipeline"),
+    doc="Column profiler over orders (count/distinct/nulls/min/max per "
+    "column) — one scan, all profiles as a union of aggregates.",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n"),
+            F.countDistinct(col).alias("n_distinct"),
+            (F.count("*") - F.count(col)).cast("long").alias("n_null"),
+            F.round(F.min(col), 4).cast("double").alias("min_v"),
+            F.round(F.max(col), 4).cast("double").alias("max_v"),
+        )
+
+    return prof("o_orderkey").unionByName(prof("o_custkey")).unionByName(
+        prof("o_totalprice")
+    )

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.text_analysis",
     "mapreduce_distributed_systems_spark.operators.multimodal",
     "mapreduce_distributed_systems_spark.operators.pipeline",
+    "mapreduce_distributed_systems_spark.operators.sampling",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
 )
 

@@ -175,3 +175,61 @@ def test_watermark_drops_late_data(spark):
     hours = set(pd.to_datetime(allpdf["ws"]).dt.hour)
     assert 2 in hours and 3 in hours
     assert 0 not in hours, "late row beyond watermark must be dropped"
+
+
+def test_streaming_sessionization_equals_batch(spark, sf_dir):
+    """session_window under readStream (availableNow) must produce the
+    same sessions as the batch events_sessionize query."""
+    import pandas as pd
+
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in get_spec("events_sessionize").fn(spark, sf_dir).collect()
+    }
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # append-mode session windows only emit once the watermark passes a
+    # session's END; a far-future sentinel event (user_id = -1, filtered
+    # from the comparison) flushes every real session out of state
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sentinel = raw.agg(F.max("ts").alias("ts")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.lit(10**15)).alias("ts"),  # max + ~11.5 days (ns)
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*[f.name for f in schema.fields])
+    sentinel.write.mode("overwrite").parquet(f"{src}/zz-sentinel.parquet.dir")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+    out: list = []
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: out.append(df.toPandas()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    allpdf = pd.concat(out) if out else pd.DataFrame()
+    got = {
+        (int(r.user_id), r.session_start.to_pydatetime(), int(r.n_events))
+        for r in allpdf.itertuples(index=False)
+        if r.user_id != -1  # drop the watermark-flush sentinel
+    }
+    assert got == batch
