@@ -159,3 +159,76 @@ def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+RANGE_30D_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(count(*) OVER w30 AS BIGINT) AS n_orders_30d,
+       round(sum(o_totalprice) OVER w30, 2) AS spend_30d
+FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS ord_sec FROM orders)
+WINDOW w30 AS (
+  PARTITION BY o_custkey ORDER BY ord_sec
+  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register(
+    "window_range_30d",
+    oracle=RANGE_30D_ORACLE,
+    tags=("window", "range-frame"),
+    doc="Event-time RANGE frame: per customer, rolling 30-day order "
+    "count and spend (range on epoch seconds — value-based frame, not "
+    "row-based, so simultaneous orders share a frame).",
+)
+def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "ord_sec", F.unix_timestamp("o_orderdate")
+    )
+    w30 = (
+        W.partitionBy("o_custkey")
+        .orderBy("ord_sec")
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w30).cast("long").alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w30), 2).alias("spend_30d"),
+    )
+
+
+VALUE_PICKS_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER wo AS first_price,
+       last_value(o_totalprice) OVER wo AS latest_price,
+       nth_value(o_totalprice, 2) OVER wo AS second_price
+FROM orders
+WINDOW wo AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register(
+    "window_value_picks",
+    oracle=VALUE_PICKS_ORACLE,
+    tags=("window", "value-picks"),
+    doc="first_value / last_value / nth_value over a running frame "
+    "(frame explicitly pinned: default frames differ across engines).",
+)
+def window_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wo = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(wo).alias("first_price"),
+        F.last("o_totalprice").over(wo).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(wo).alias("second_price"),
+    )

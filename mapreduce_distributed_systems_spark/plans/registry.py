@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.multimodal",
     "mapreduce_distributed_systems_spark.operators.pipeline",
     "mapreduce_distributed_systems_spark.operators.sampling",
+    "mapreduce_distributed_systems_spark.operators.kmeans",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
 )
 
