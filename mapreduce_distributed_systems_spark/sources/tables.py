@@ -34,6 +34,9 @@ ALWAYS_BROADCAST = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    from mapreduce_distributed_systems_spark.session import ensure_session_compat
+
+    ensure_session_compat(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts stored as TIMESTAMP(NANOS): read as int64 ns under

@@ -72,6 +72,9 @@ def _update_state(
 def streamed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the op-log stream to completion (availableNow) and return
     the final per-key state."""
+    from mapreduce_distributed_systems_spark.session import ensure_session_compat
+
+    ensure_session_compat(spark)
     # file-source needs an explicit schema; ts arrives as int64 ns
     # (spark.sql.legacy.parquet.nanosAsLong) and stays ns — only the
     # total order matters for replay
