@@ -581,8 +581,9 @@ FROM (
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_distributed_systems_spark.functions.text import words
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = words("text")
+    # materialize the token array once (see text_analysis.text_quality)
+    docs = _t(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    toks = F.col("toks")
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),

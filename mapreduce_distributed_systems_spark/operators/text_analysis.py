@@ -51,8 +51,13 @@ FROM t
     "ratio, stopword ratio, avg word length.",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = words("text")
+    # tokenize ONCE into a materialized projection — referencing the
+    # words() expression per feature column would re-run the regex
+    # split for every output column (no CSE across project fields)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", words("text")
+    )
+    toks = F.col("toks")
     n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
     sw = F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS_EN))
     return docs.select(
