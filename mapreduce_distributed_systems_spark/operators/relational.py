@@ -712,3 +712,34 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.intersectAll(b)
+
+
+MAXBY_ORACLE = """
+SELECT c_mktsegment,
+       max_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+         AS top_customer,
+       min_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+         AS bottom_customer,
+       round(max(c_acctbal), 2) AS top_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "agg_max_by",
+    oracle=MAXBY_ORACLE,
+    tags=("relational", "aggregate", "argmax"),
+    doc="max_by/min_by argmax aggregates — per-group top-1 WITHOUT a "
+    "window (single agg pass; ties broken via a composite bigint key "
+    "so both engines pick the same row).",
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ord_key = F.expr(
+        "cast(round(c_acctbal * 100) as bigint) * 1000000 + c_custkey"
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", ord_key).alias("top_customer"),
+        F.min_by("c_custkey", ord_key).alias("bottom_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+    )

@@ -54,3 +54,18 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.approx_count_distinct("o_custkey").alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact <= 0.05
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """Sketch trade for exact percentiles at scale: approx_percentile
+    must land within 2% relative of the exact interpolated median."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact <= 0.02
