@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.kv",
     "mapreduce_distributed_systems_spark.operators.shard",
     "mapreduce_distributed_systems_spark.operators.dedup",
+    "mapreduce_distributed_systems_spark.operators.simhash64",
     "mapreduce_distributed_systems_spark.operators.similarity",
     "mapreduce_distributed_systems_spark.operators.text_analysis",
     "mapreduce_distributed_systems_spark.operators.multimodal",

@@ -46,3 +46,28 @@ def test_minhash_lsh_catches_exact_duplicates(spark, planted):
         a, b = g.ids[0], g.ids[1]
         assert (a, b) in pairs, f"planted dup pair {(a, b)} missed by LSH"
         assert pairs[(a, b)] == 1.0
+
+
+def test_simhash64_catches_exact_duplicates(spark):
+    """Identical texts have identical 64-bit signatures: every planted
+    pair must surface from the band join with hamming == 0."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in get_spec("dedup_simhash64").fn(spark, SF01).collect()
+    }
+    docs = load_table(spark, SF01, "documents")
+    grouped = (
+        docs.groupBy("text")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .collect()
+    )
+    assert len(grouped) == 8
+    for g in grouped:
+        a, b = g.ids[0], g.ids[1]
+        assert (a, b) in pairs, f"planted dup pair {(a, b)} missed by simhash64"
+        assert pairs[(a, b)] == 0
