@@ -14,16 +14,26 @@ The 64-bit signature is carried as TWO 32-bit halves (`sim_hi`,
 
 Per-token bits come from the first 16 hex chars of md5(token) (the
 same content-addressed scheme the 16-bit variant slices 4 chars from),
-so both engines derive identical signatures.
+parsed with one `conv(hex, 16, 10)` call per half, so both engines
+derive identical signatures.
+
+Recall bound (Manku et al., WWW'07): with 4 disjoint 16-bit bands,
+the pigeonhole principle guarantees that any pair within hamming
+distance 3 leaves at least one band untouched, i.e. collides in at
+least one bucket — recall is EXACT for t = HAMMING_MAX64 = 3. (t > 3
+would need permuted band tables; pairs at distance 4+ whose differing
+bits span all four bands would silently be missed.)
 
 Scale design (100 TB): the doc -> signature stage is a narrow
-tokenize + one groupBy(doc_id) aggregation; what shuffles afterwards
+tokenize + groupBy(doc_id, tok) term-weight count + ONE
+groupBy(doc_id) carrying 64 conditional-sum aggregates (all map-side
+combinable; no per-bit row explode anywhere). What shuffles afterwards
 is only (doc_id, two ints) exploded into 4 band rows. The candidate
 join is an equi-join on (band, 16-bit key) — the classic
-Charikar-style near-dup pipeline (Manku et al., WWW'07), never a
-cross join. With 4 bands of 16 bits a corpus of N docs spreads over
-~65k buckets per band; skewed buckets (boilerplate docs) are bounded
-by the band key's 16-bit cardinality and AQE skew-join splitting.
+Charikar-style near-dup pipeline, never a cross join. With 4 bands of
+16 bits a corpus of N docs spreads over ~65k buckets per band; skewed
+buckets (boilerplate docs) are bounded by the band key's 16-bit
+cardinality and AQE skew-join splitting.
 """
 
 from __future__ import annotations
@@ -35,73 +45,68 @@ from mapreduce_distributed_systems_spark.functions.text import words
 from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
 
-HAMMING_MAX64 = 6  # of 64 bits (Manku et al. use 3 of 64 at web scale)
-
-# value of hex digit i (1-based position p) in md5 string h
-def _hexval_spark(h: str, start: int, n: int) -> str:
-    """SQL expr: integer value of n hex chars of `h` from 1-based
-    `start` (n <= 8 so the result fits comfortably in a BIGINT)."""
-    terms = [
-        f"cast(instr('0123456789abcdef', substring({h}, {start + i}, 1)) - 1 "
-        f"as bigint) * {16 ** (n - 1 - i)}L"
-        for i in range(n)
-    ]
-    return " + ".join(terms)
+# 4 disjoint 16-bit bands guarantee recall only up to hamming 3
+# (pigeonhole) — see module docstring.
+HAMMING_MAX64 = 3
 
 
-def _hexval_duck(h: str, start: int, n: int) -> str:
-    terms = [
-        f"(strpos('0123456789abcdef', substring({h}, {start + i}, 1)) - 1) "
-        f"* {16 ** (n - 1 - i)}"
-        for i in range(n)
-    ]
-    return " + ".join(terms)
+def _bit_sum_aggs_spark() -> list[F.Column]:
+    """64 conditional-sum aggregates c_{half}_{bit}: +w when the bit is
+    set in the token hash half, -w otherwise."""
+    aggs = []
+    for half, col in (("hi", "val_hi"), ("lo", "val_lo")):
+        for b in range(32):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.expr(f"({col} & {1 << b}L) != 0"), F.col("w")
+                    ).otherwise(-F.col("w"))
+                ).alias(f"c_{half}_{b}")
+            )
+    return aggs
+
+
+def _half_expr(half: str) -> str:
+    """sim_<half> = sum over bits of 2^b where the contribution is
+    positive (same expression text works in Spark SQL and DuckDB)."""
+    return " + ".join(
+        f"(CASE WHEN c_{half}_{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
 
 
 def simhash64_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sim_hi, sim_lo): weighted 64-bit SimHash, halves as
-    32-bit values. One md5 per distinct (doc, token); the 64 bit
-    contributions explode from a half+bit grid (2 x 32 rows) and
-    aggregate back per doc — all built-in expressions, no UDFs."""
+    32-bit values. One md5 + two conv() parses per distinct
+    (doc, token); per-bit contributions are 64 conditional sums in a
+    single groupBy(doc_id) — all built-in expressions, no UDFs, no
+    row explosion."""
     tok_w = (
         docs.select("doc_id", F.explode(words("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("w"))
         .withColumn("h", F.md5("tok"))
         # hi = first 8 hex chars, lo = next 8 (32 bits each)
-        .withColumn("val_hi", F.expr(_hexval_spark("h", 1, 8)))
-        .withColumn("val_lo", F.expr(_hexval_spark("h", 9, 8)))
+        .withColumn("val_hi", F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
+        .withColumn("val_lo", F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
     )
-    bits = tok_w.select(
+    contrib = tok_w.groupBy("doc_id").agg(*_bit_sum_aggs_spark())
+    return contrib.select(
         "doc_id",
-        "w",
-        F.explode(
-            F.expr(
-                "flatten(transform(array(val_hi, val_lo), (v, half) -> "
-                "transform(sequence(0, 31), b -> "
-                "struct(half as half, b as bit, "
-                "(v div shiftleft(1L, b)) % 2 as bit_on))))"
+        F.expr(_half_expr("hi")).cast("bigint").alias("sim_hi"),
+        F.expr(_half_expr("lo")).cast("bigint").alias("sim_lo"),
+    )
+
+
+def _bit_sum_aggs_duck() -> str:
+    terms = []
+    for half, col in (("hi", "val_hi"), ("lo", "val_lo")):
+        for b in range(32):
+            terms.append(
+                f"sum(CASE WHEN ({col} & {1 << b}) != 0 THEN w ELSE -w END)"
+                f" AS c_{half}_{b}"
             )
-        ).alias("hb"),
-    ).select("doc_id", "w", "hb.half", "hb.bit", "hb.bit_on")
-    contrib = bits.groupBy("doc_id", "half", "bit").agg(
-        F.sum(
-            F.when(F.col("bit_on") == 1, F.col("w")).otherwise(-F.col("w"))
-        ).alias("c")
-    )
-    return (
-        contrib.groupBy("doc_id", "half")
-        .agg(
-            F.sum(
-                F.when(F.col("c") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-            ).alias("s")
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("half") == 0, F.col("s"))).alias("sim_hi"),
-            F.max(F.when(F.col("half") == 1, F.col("s"))).alias("sim_lo"),
-        )
-    )
+    return ",\n         ".join(terms)
 
 
 SIMHASH64_ORACLE = f"""
@@ -117,33 +122,20 @@ WITH tok_w AS (
 ),
 vals AS (
   SELECT doc_id, w,
-         {_hexval_duck('h', 1, 8)} AS val_hi,
-         {_hexval_duck('h', 9, 8)} AS val_lo
+         ('0x' || substring(h, 1, 8))::BIGINT AS val_hi,
+         ('0x' || substring(h, 9, 8))::BIGINT AS val_lo
   FROM tok_w
 ),
-bits AS (
-  SELECT doc_id, w, half, bit,
-         ((CASE half WHEN 0 THEN val_hi ELSE val_lo END)
-           // (1::BIGINT << bit)) % 2 AS on_bit
-  FROM vals,
-       (SELECT unnest([0, 1]) AS half),
-       (SELECT unnest(range(0, 32)) AS bit)
-),
 contrib AS (
-  SELECT doc_id, half, bit,
-         sum(CASE WHEN on_bit = 1 THEN w ELSE -w END) AS c
-  FROM bits GROUP BY doc_id, half, bit
-),
-halves AS (
-  SELECT doc_id, half,
-         sum(CASE WHEN c > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS s
-  FROM contrib GROUP BY doc_id, half
+  SELECT doc_id,
+         {_bit_sum_aggs_duck()}
+  FROM vals GROUP BY doc_id
 ),
 sig AS (
   SELECT doc_id,
-         max(CASE WHEN half = 0 THEN s END) AS sim_hi,
-         max(CASE WHEN half = 1 THEN s END) AS sim_lo
-  FROM halves GROUP BY doc_id
+         CAST({_half_expr("hi")} AS BIGINT) AS sim_hi,
+         CAST({_half_expr("lo")} AS BIGINT) AS sim_lo
+  FROM contrib
 ),
 bands AS (
   SELECT doc_id, sim_hi, sim_lo, k,
@@ -170,9 +162,11 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {HAMMING_MAX64}
     "dedup_simhash64",
     oracle=SIMHASH64_ORACLE,
     tags=("dedup", "simhash"),
+    bench=True,
     doc="Production-width 64-bit SimHash near-dup: weighted signature "
-    "as two portable 32-bit halves, 4x16-bit band bucket join, "
-    "decomposed hamming filter (Manku et al. WWW'07 shape).",
+    "as two portable 32-bit halves, 4x16-bit band bucket join with "
+    "exact recall at hamming <= 3 (pigeonhole), decomposed hamming "
+    "filter (Manku et al. WWW'07 shape).",
 )
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash64_signatures(load_table(spark, sf_dir, "documents"))
