@@ -123,18 +123,53 @@ FROM orders
     "window_ntile_pctrank",
     oracle=NTILE_ORACLE,
     tags=("window",),
-    doc="Global ntile/percent_rank/cume_dist (single-partition window — "
-    "at 100 TB this is the one window shape to avoid; kept for surface "
-    "parity and bounded inputs).",
+    doc="Global ntile/percent_rank/cume_dist via DISTRIBUTED rank: "
+    "range-partition on the sort key, rank locally per partition, add "
+    "the per-partition row-count prefix offsets (an O(#partitions) "
+    "driver-side scalar, like zipWithIndex). No single-partition "
+    "window anywhere in the plan — the naive W.orderBy() formulation "
+    "funnels the whole table through one task at 100 TB.",
 )
 def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Persist the range-partitioned projection so the offset-count job
+    # and the final job see the SAME partition boundaries (range
+    # sampling re-draws per job otherwise). Two narrow columns only.
+    part = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(n_parts, "o_totalprice", "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["n"] for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_map = F.create_map(
+        *[F.lit(v) for pid in range(n_parts) for v in (pid, offsets[pid])]
+    )
+    w_local = W.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    rank = (F.element_at(off_map, F.col("_pid")) + F.row_number().over(w_local)).cast("long")
+    # ntile(10): first (total % 10) buckets hold one extra row
+    q, rem = divmod(total, 10)
+    big = rem * (q + 1)  # rows covered by the q+1-sized buckets
+    decile = F.when(
+        F.col("_rank") <= F.lit(big), F.ceil(F.col("_rank") / F.lit(q + 1))
+    ).otherwise(F.lit(rem) + F.ceil((F.col("_rank") - F.lit(big)) / F.lit(max(q, 1))))
+    pct = (
+        (F.col("_rank") - 1) / F.lit(total - 1) if total > 1 else F.lit(0.0)
+    )
+    return (
+        part.withColumn("_rank", rank)
+        .select(
+            "o_orderkey",
+            decile.cast("long").alias("decile"),
+            F.round(pct, 6).alias("pct_rank"),
+            F.round(F.col("_rank") / F.lit(total), 6).alias("cume"),
+        )
     )
 
 

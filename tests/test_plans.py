@@ -71,6 +71,15 @@ def test_kv_replay_single_shuffle_on_key(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_ntile_no_single_partition_window(spark, sf_dir):
+    # global rank must come from range-partitioned local ranks + prefix
+    # offsets — a W.orderBy() with no partitionBy would funnel the whole
+    # table through one task (Exchange SinglePartition) at 100 TB
+    plan = physical_plan(get_spec("window_ntile_pctrank").fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # local rank is still a (partitioned) window
+
+
 def test_broadcast_lookup_in_kv_get(spark, sf_dir):
     plan = physical_plan(get_spec("kv_get_lookup").fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
