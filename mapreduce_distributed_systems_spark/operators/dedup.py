@@ -84,6 +84,16 @@ N_PERMS = 8  # 8 md5-seeded "permutations", 4 bands x 2 rows
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
 
+# Hot-bucket cap: the 100 TB hazard of LSH is boilerplate text (license
+# headers, nav chrome) collapsing millions of docs into one (band, key)
+# bucket, turning the "bucketed" self-join quadratic on that bucket.
+# Buckets above the cap are dropped BEFORE the self-join (count +
+# filter), bounding any bucket's pair count at cap^2; the same cap is
+# applied in every DuckDB oracle so parity holds, and
+# `dedup_lsh_bucket_stats` reports per-band bucket sizes + drop counts
+# so the loss is observable, not silent.
+LSH_BUCKET_CAP = 32
+
 
 def shingle_table(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, 3-word shingle) pairs."""
@@ -116,8 +126,9 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
-    bands = sig.select(
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): each signature exploded into its 4 band keys."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -133,8 +144,21 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
-    a = bands.alias("a")
-    b = bands.alias("b")
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate pairs from band-bucket equi-join, with buckets above
+    LSH_BUCKET_CAP dropped before the self-join (hot-bucket guard)."""
+    bands = lsh_bands(sig)
+    small = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("bn"))
+        .where(F.col("bn") <= LSH_BUCKET_CAP)
+        .select("band", "bkey")
+    )
+    kept = bands.join(small, ["band", "bkey"])
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(
             b,
@@ -170,9 +194,17 @@ bands AS (
                    WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
   FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
 ),
+small_buckets AS (
+  SELECT band, bkey FROM bands GROUP BY band, bkey
+  HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+kept_bands AS (
+  SELECT b.* FROM bands b JOIN small_buckets s
+    ON s.band = b.band AND s.bkey = b.bkey
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  FROM kept_bands a JOIN kept_bands b ON a.band = b.band AND a.bkey = b.bkey
                            AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -221,6 +253,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+LSH_STATS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id,
+         {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(N_PERMS))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+                   WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
+  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+bsizes AS (SELECT band, bkey, count(*) AS bn FROM bands GROUP BY band, bkey)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(bn) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN bn > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_buckets,
+       CAST(sum(CASE WHEN bn > {LSH_BUCKET_CAP} THEN bn ELSE 0 END) AS BIGINT)
+         AS n_dropped_docs
+FROM bsizes GROUP BY band
+"""
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    oracle=LSH_STATS_ORACLE,
+    tags=("dedup", "lsh", "diagnostics"),
+    doc="Per-band LSH bucket histogram + hot-bucket drop accounting: "
+    "how many (band, key) buckets exceed LSH_BUCKET_CAP and how many "
+    "docs the cap excludes from the pair join. Makes the cap's loss "
+    "observable instead of silent.",
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(shingle_table(docs)))
+    bsz = bands.groupBy("band", "bkey").agg(F.count("*").alias("bn"))
+    over = F.col("bn") > LSH_BUCKET_CAP
+    return bsz.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bn").alias("max_bucket"),
+        F.sum(over.cast("long")).alias("n_dropped_buckets"),
+        F.sum(F.when(over, F.col("bn")).otherwise(F.lit(0))).alias("n_dropped_docs"),
+    ).select(
+        F.col("band").cast("long").alias("band"),
+        "n_buckets",
+        "max_bucket",
+        "n_dropped_buckets",
+        "n_dropped_docs",
     )
 
 
@@ -358,11 +453,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard (exact, on a deterministic sample)
 # --------------------------------------------------------------------------
 
-NGRAM_ORACLE = """
-WITH sample_docs AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+# Fixed ROW budget, not a fraction: the brute-force pair join is
+# O(budget^2) = O(const) at ANY corpus size, where a % sample of
+# 100 TB would still be terabytes. Content-addressed (smallest K by
+# md5(doc_id)) so the sample is reproducible and partition-stable.
+NGRAM_SAMPLE_BUDGET = 32
+
+NGRAM_ORACLE = f"""
+WITH sample_docs AS (
+  SELECT * FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {NGRAM_SAMPLE_BUDGET}
+),
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS t
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS t
   FROM sample_docs
 ),
 sh AS (
@@ -390,11 +495,18 @@ LEFT JOIN inter i ON i.doc_a = a.doc_id AND i.doc_b = b.doc_id
     "dedup_ngram_jaccard",
     oracle=NGRAM_ORACLE,
     tags=("dedup", "ngram"),
-    doc="Exact 3-gram Jaccard over all pairs of a 2% doc_id sample "
-    "(the brute-force ground truth the LSH path approximates).",
+    doc="Exact 3-gram Jaccard over all pairs of a FIXED-SIZE "
+    f"content-addressed sample ({NGRAM_SAMPLE_BUDGET} docs by smallest "
+    "md5(doc_id) — TakeOrderedAndProject, no full sort). The pair join "
+    "is O(budget^2) = constant at any corpus size; this is the "
+    "brute-force ground truth the LSH path approximates.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(NGRAM_SAMPLE_BUDGET)
+    )
     sh = shingle_table(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n")).cache()
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from mapreduce_distributed_systems_spark.functions.text import words
 from mapreduce_distributed_systems_spark.operators.dedup import (
     JACCARD_THRESHOLD,
+    LSH_BUCKET_CAP,
     lsh_candidates,
     minhash_signatures,
     shingle_table,
@@ -73,9 +74,17 @@ bands AS (
                    WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
   FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
 ),
+small_buckets AS (
+  SELECT band, bkey FROM bands GROUP BY band, bkey
+  HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+kept_bands AS (
+  SELECT b.* FROM bands b JOIN small_buckets s
+    ON s.band = b.band AND s.bkey = b.bkey
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  FROM kept_bands a JOIN kept_bands b ON a.band = b.band AND a.bkey = b.bkey
                            AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -32,9 +32,18 @@ from mapreduce_distributed_systems_spark.sources import load_table
 TOP_K = 10
 QUERY_FILTER = "vec_id % 100 = 0"  # deterministic query subset
 
+# Hard cap on the brute-force query block: QUERY_FILTER alone keeps a
+# FRACTION, so the driver-side collect and the task-closure query
+# matrix would grow linearly with the corpus. LIMIT after a
+# deterministic ORDER BY (TakeOrderedAndProject — no full sort) makes
+# the exactness baseline O(cap x corpus) at any scale. The cap does
+# not bind below 25.6k vectors, so test-SF results are unchanged.
+ANN_QUERY_CAP = 256
+
 BRUTE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {QUERY_FILTER}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {QUERY_FILTER}
+      ORDER BY vec_id LIMIT {ANN_QUERY_CAP}),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          round(list_dot_product(q.qv, e.v) /
@@ -70,7 +79,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrows = emb.where(F.expr(QUERY_FILTER)).collect()  # small by construction
+    # bounded collect: deterministic order + LIMIT, never input-proportional
+    qrows = (
+        emb.where(F.expr(QUERY_FILTER))
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .collect()
+    )
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
     q_nrm = np.linalg.norm(q_mat, axis=1)
@@ -194,6 +209,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
     "ann_lsh_bucketed",
     oracle=ANN_LSH_ORACLE,
     tags=("similarity", "ann", "lsh"),
+    bench=True,
     doc="ANN via 24-plane random-hyperplane LSH: signature -> 6-band "
     "bucket join -> cosine rank of candidates only. Recall vs the "
     "brute-force baseline asserted in tests/test_similarity.py.",
@@ -328,6 +344,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
     "ann_ivf_probe",
     oracle=ANN_IVF_ORACLE,
     tags=("similarity", "ann", "ivf"),
+    bench=True,
     doc="IVF-style ANN: coarse cells (label centroids here; k-means cells "
     "in production), probe the 3 nearest cells per query, exact cosine "
     "rank only inside probed cells — the inverted-file scale path where "

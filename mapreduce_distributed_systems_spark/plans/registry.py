@@ -126,6 +126,7 @@ GATE_ORDER = (
     "dedup_simhash64",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_lsh_bucket_stats",
     # north star: similarity search
     "ann_cosine_topk",
     "ann_lsh_bucketed",
@@ -157,7 +158,6 @@ GATE_ORDER = (
     "asof_purchase_view",
     "rollup_status_priority",
     "skew_salted_agg",
-    "window_running_total",
     "window_ntile_pctrank",
     "events_tumbling_hourly",
     "events_sessionize",

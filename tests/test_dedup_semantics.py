@@ -4,70 +4,84 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduce_distributed_systems_spark.plans.registry import get_spec
+from mapreduce_distributed_systems_spark.sources import load_table
 
 SF01 = "/root/testdata/sf0.1"
+N_PLANTED_GROUPS = 8  # driver planted 8 duplicated texts at sf0.1
 
 
 @pytest.fixture(scope="module")
 def planted(spark):
-    rows = get_spec("dedup_exact_hash").fn(spark, SF01).collect()
-    return rows
+    return get_spec("dedup_exact_hash").fn(spark, SF01).collect()
+
+
+@pytest.fixture(scope="module")
+def planted_pairs(spark):
+    """(min_id, second_id) per planted duplicate group, from raw data."""
+    docs = load_table(spark, SF01, "documents")
+    grouped = (
+        docs.groupBy("text")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .collect()
+    )
+    assert len(grouped) == N_PLANTED_GROUPS
+    return [(g.ids[0], g.ids[1]) for g in grouped]
 
 
 def test_exact_hash_finds_planted_duplicates(spark, planted):
-    assert len(planted) == 8  # driver planted 8 duplicated texts at sf0.1
+    assert len(planted) == N_PLANTED_GROUPS
     assert all(r.n_copies >= 2 for r in planted)
 
 
-def test_minhash_lsh_catches_exact_duplicates(spark, planted):
+def test_minhash_lsh_catches_exact_duplicates(spark, planted_pairs):
     """An exact duplicate is trivially a near-duplicate: every planted
     pair must surface from the LSH path with jaccard == 1.0."""
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in get_spec("dedup_minhash_lsh").fn(spark, SF01).collect()
     }
-    dup_groups = get_spec("dedup_exact").fn(spark, SF01)
-    # reconstruct the duplicated doc_id pairs from the exact groups
-    from pyspark.sql import functions as F
-
-    from mapreduce_distributed_systems_spark.sources import load_table
-
-    docs = load_table(spark, SF01, "documents")
-    grouped = (
-        docs.groupBy("text")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .collect()
-    )
-    assert len(grouped) == 8
-    for g in grouped:
-        a, b = g.ids[0], g.ids[1]
+    for a, b in planted_pairs:
         assert (a, b) in pairs, f"planted dup pair {(a, b)} missed by LSH"
         assert pairs[(a, b)] == 1.0
 
 
-def test_simhash64_catches_exact_duplicates(spark):
+def test_simhash64_catches_exact_duplicates(spark, planted_pairs):
     """Identical texts have identical 64-bit signatures: every planted
     pair must surface from the band join with hamming == 0."""
-    from pyspark.sql import functions as F
-
-    from mapreduce_distributed_systems_spark.sources import load_table
-
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
         for r in get_spec("dedup_simhash64").fn(spark, SF01).collect()
     }
-    docs = load_table(spark, SF01, "documents")
-    grouped = (
-        docs.groupBy("text")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .collect()
-    )
-    assert len(grouped) == 8
-    for g in grouped:
-        a, b = g.ids[0], g.ids[1]
+    for a, b in planted_pairs:
         assert (a, b) in pairs, f"planted dup pair {(a, b)} missed by simhash64"
         assert pairs[(a, b)] == 0
+
+
+def test_lsh_hot_bucket_cap_drops_giant_buckets(spark):
+    """A (band, key) bucket larger than LSH_BUCKET_CAP must be excluded
+    from the pair join (the 100 TB boilerplate-text guard), while
+    normal-sized buckets still produce candidates."""
+    from mapreduce_distributed_systems_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        lsh_candidates,
+    )
+
+    n_hot = LSH_BUCKET_CAP + 8
+    # identical signatures -> all land in the same 4 buckets
+    hot = [(i, "aaaa", "aaaa", "bbbb", "bbbb", "cccc", "cccc", "dddd", "dddd")
+           for i in range(n_hot)]
+    # a small 2-doc group with its own distinct signature
+    cool = [(10_000 + i, "1111", "1111", "2222", "2222", "3333", "3333",
+             "4444", "4444") for i in range(2)]
+    sig = spark.createDataFrame(
+        hot + cool,
+        ["doc_id"] + [f"h{i}" for i in range(8)],
+    )
+    cand = lsh_candidates(sig).collect()
+    got = {(r.doc_a, r.doc_b) for r in cand}
+    assert (10_000, 10_001) in got  # small bucket joins normally
+    assert all(a >= 10_000 for a, _ in got), "hot-bucket pairs not dropped"
