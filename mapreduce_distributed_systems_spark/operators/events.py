@@ -65,6 +65,7 @@ GROUP BY 1
     "events_sliding_1h_30m",
     oracle=SLIDING_ORACLE,
     tags=("events", "window-agg"),
+    bench=True,
     doc="Sliding 1-hour windows every 30 min (each event in 2 windows).",
 )
 def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
