@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.mr_apps",
     "mapreduce_distributed_systems_spark.operators.relational",
     "mapreduce_distributed_systems_spark.operators.tpch_more",
+    "mapreduce_distributed_systems_spark.operators.tpch_full",
     "mapreduce_distributed_systems_spark.operators.functions_ext",
     "mapreduce_distributed_systems_spark.operators.windows",
     "mapreduce_distributed_systems_spark.operators.events",
