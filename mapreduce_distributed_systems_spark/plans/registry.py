@@ -44,7 +44,9 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.pipeline",
     "mapreduce_distributed_systems_spark.operators.sampling",
     "mapreduce_distributed_systems_spark.operators.kmeans",
+    "mapreduce_distributed_systems_spark.operators.vector_ops",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
+    "mapreduce_distributed_systems_spark.streaming.event_stream",
 )
 
 
@@ -133,6 +135,7 @@ GATE_ORDER = (
     "ann_lsh_bucketed",
     "ann_ivf_probe",
     "embedding_centroids",
+    "embedding_quantize_int8",
     "kmeans_cells",
     # north star: text analysis
     "text_quality",
@@ -148,14 +151,13 @@ GATE_ORDER = (
     "dataset_split_assign",
     "stratified_sample_per_lang",
     "profile_orders",
-    # streaming twin (batch-equivalent oracle)
+    # streaming twins (batch-equivalent oracles)
     "kv_replay_streaming",
+    "events_tumbling_streaming",
     # §2.D representatives (rest of §2.D follows after the window)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "join_left_outer",
-    "join_semi_customers",
     "asof_purchase_view",
     "rollup_status_priority",
     "skew_salted_agg",

@@ -1,0 +1,73 @@
+"""Structured Streaming twin of the event-time tumbling window
+aggregation (the batch form lives in operators/events.py).
+
+`readStream` over the same events parquet -> 2h watermark -> tumbling
+1h window x event_type aggregate -> memory sink, driven to completion
+with an availableNow trigger. Output mode is COMPLETE: on a finite
+replay, append mode can never emit the trailing windows (they stay
+inside the watermark horizon when the source runs dry), so complete
+mode is the correct finite-stream dual — and the result is gated
+against the SAME DuckDB oracle as `events_tumbling_hourly`. In a real
+24/7 deployment the same plan runs in append mode, where the
+watermark closes windows continuously.
+
+Scale note (100 TB/day stream): state is O(open windows x event
+types), bounded by the watermark horizon — the watermark both bounds
+state and defines the late-data drop contract
+(tests/test_streaming.py::test_watermark_drops_late_data pins the
+semantics). The shuffle is on (window, event_type), partial-aggregated
+map-side exactly like the batch plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.operators.events import TUMBLING_ORACLE
+from mapreduce_distributed_systems_spark.plans.registry import register
+
+
+@register(
+    "events_tumbling_streaming",
+    oracle=TUMBLING_ORACLE,  # identical oracle to the batch twin
+    tags=("events", "window-agg", "streaming"),
+    doc="Streaming tumbling 1-hour window aggregation with a 2h "
+    "watermark (readStream -> window agg -> append memory sink, "
+    "availableNow), gated against the identical batch oracle.",
+)
+def events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file source requires a directory; expose the single events
+    # file through a temp dir of symlinks (zero-copy)
+    src_dir = tempfile.mkdtemp(prefix="ev_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # same TIMESTAMP(NANOS) ns->us truncation as sources/tables.py
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    stream = stream.withWatermark("ts", "2 hours")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    name = f"ev_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ev_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
