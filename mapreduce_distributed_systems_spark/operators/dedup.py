@@ -148,15 +148,20 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
     """Candidate pairs from band-bucket equi-join, with buckets above
-    LSH_BUCKET_CAP dropped before the self-join (hot-bucket guard)."""
+    LSH_BUCKET_CAP dropped before the self-join (hot-bucket guard).
+
+    The cap is a window count over (band, bkey): ONE shuffle that
+    clusters rows exactly on the self-join key, so the join that
+    follows reuses the partitioning instead of re-shuffling (a
+    groupBy-count + join-back formulation would shuffle twice)."""
+    from pyspark.sql import Window as W
+
     bands = lsh_bands(sig)
-    small = (
-        bands.groupBy("band", "bkey")
-        .agg(F.count("*").alias("bn"))
+    kept = (
+        bands.withColumn("bn", F.count("*").over(W.partitionBy("band", "bkey")))
         .where(F.col("bn") <= LSH_BUCKET_CAP)
-        .select("band", "bkey")
+        .drop("bn")
     )
-    kept = bands.join(small, ["band", "bkey"])
     a = kept.alias("a")
     b = kept.alias("b")
     return (

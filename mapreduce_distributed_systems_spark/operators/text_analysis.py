@@ -229,3 +229,53 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.concat_ws("|", F.slice(win, 1, 4)).alias("winnow_fp"),
     )
+
+
+BIGRAM_TOPK = 50
+
+BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+counted AS (
+  SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+)
+SELECT bigram, n FROM counted
+ORDER BY n DESC, bigram
+LIMIT {BIGRAM_TOPK}
+"""
+
+
+@register(
+    "corpus_bigram_topk",
+    oracle=BIGRAM_ORACLE,
+    tags=("text", "ngram-stats"),
+    doc="Corpus-level top-50 word bigrams — the LM-preprocessing "
+    "vocabulary/statistics pass. Explode + two-phase hash aggregate "
+    "(map-side combine bounds the shuffle at distinct-bigram "
+    "cardinality); top-k via TakeOrderedAndProject, never a full sort.",
+)
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(words("text").alias("t")).where(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(BIGRAM_TOPK)
+    )

@@ -85,6 +85,8 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir):
     q1.awaitTermination()
     assert len(collected) >= 2, "stream made no progress before stop"
 
+    n_run1 = len(collected)
+
     # run 2: same checkpoint — must resume at the next unprocessed file
     q2 = _staged_stream(spark, src, collected).option(
         "checkpointLocation", ckpt
@@ -96,10 +98,22 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir):
     # foreachBatch is at-least-once: a batch interrupted by stop() may
     # re-run after restart. The exactly-once contract lives in the
     # STATE (checkpointed, versioned per batch): a re-run batch
-    # recomputes from committed state, never double-applies. So assert
-    # coverage + final-state correctness, keeping the LAST emission of
-    # any re-run batch id.
-    assert {b for b, _ in collected} == {0, 1, 2, 3}
+    # recomputes from committed state, never double-applies. Exact
+    # batch-id/file scheduling is the engine's business (a restart may
+    # pack remaining files differently), so assert the contract, not
+    # the schedule: ids contiguous from 0, run 2 resumes at-or-after
+    # run 1's frontier (committed work never re-executes), and the
+    # merged final state equals the batch replay.
+    ids = {b for b, _ in collected}
+    assert ids == set(range(max(ids) + 1)), f"batch ids not contiguous: {ids}"
+    run1_ids = {b for b, _ in collected[:n_run1]}
+    run2_ids = {b for b, _ in collected[n_run1:]}
+    # run2 may be legitimately empty if run 1 drained the source
+    # before stop() landed; the final-state check below still applies
+    if run2_ids:
+        assert min(run2_ids) >= max(run1_ids), (
+            f"restart re-ran committed batches: run1={run1_ids} run2={run2_ids}"
+        )
     last_by_batch: dict = {}
     for b, p in collected:
         last_by_batch[b] = p
