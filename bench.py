@@ -9,6 +9,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is executed through a `noop` sink so the full physical
 plan runs (scan -> transforms -> exchange -> agg) without paying a
 collect or a real write.
+
+Besides wall-clock, each query reports input / shuffle-read /
+shuffle-write BYTE deltas from the app status store — the quantities
+that actually predict 100 TB behavior (a query whose shuffle bytes ~
+input bytes re-materializes the corpus through the network; one whose
+shuffle is orders of magnitude smaller is map-side-combining the way
+it should). Deltas are read after a status-store flush wait; they are
+per-query attributions, exact in this single-query-at-a-time harness.
 """
 
 from __future__ import annotations
@@ -38,12 +46,32 @@ def main() -> None:
     for name in ("region", "nation"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
 
+    def executor_totals() -> tuple[int, int, int]:
+        """(input, shuffle_read, shuffle_write) bytes across executors."""
+        inp = sr = sw = 0
+        it = spark._jsc.sc().statusStore().executorList(False).iterator()
+        while it.hasNext():
+            e = it.next()
+            inp += e.totalInputBytes()
+            sr += e.totalShuffleRead()
+            sw += e.totalShuffleWrite()
+        return inp, sr, sw
+
     timings: dict[str, float] = {}
+    io: dict[str, dict[str, int]] = {}
     for name, spec in specs.items():
         df = spec.fn(spark, sf_dir)
+        i0, r0, w0 = executor_totals()
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        time.sleep(0.1)  # let the async status store drain
+        i1, r1, w1 = executor_totals()
+        io[name] = {
+            "input_bytes": i1 - i0,
+            "shuffle_read_bytes": r1 - r0,
+            "shuffle_write_bytes": w1 - w0,
+        }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -53,6 +81,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "io": io,
                 "sf": sf,
             }
         )
