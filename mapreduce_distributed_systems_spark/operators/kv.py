@@ -286,3 +286,72 @@ def kv_get_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("key", "get_seq").agg(
         ordered_concat.alias("value_at_get")
     )
+
+
+def compacted_replay(ops: DataFrame, head_filter: F.Column) -> DataFrame:
+    """Snapshot-compaction composition (C6, kvraft snapshots): fold the
+    ops matching `head_filter` into a per-key snapshot, then apply the
+    remaining tail on top. Compaction must be semantically invisible:
+    for ANY split the result equals `replay(ops)` — which is exactly
+    what the shared oracle checks.
+
+    Scale note: this is the 100 TB op-log shape — the head fold runs
+    once (the materialized checkpoint), and incremental refreshes
+    replay only the tail; state merge is a per-key join, one shuffle.
+    """
+    writes = ops.where(F.col("op") != "get")
+    head = writes.where(head_filter)
+    tail = writes.where(~head_filter)
+    snap = replay(head).select(
+        "key",
+        F.col("final_value").alias("sv"),
+        F.col("n_effective_ops").alias("se"),
+    )
+    # replay(tail) already yields, per key: concat-from-last-put when
+    # the tail has a put, else the ordered concat of ALL tail appends
+    tail_state = replay(tail).select(
+        "key",
+        F.col("final_value").alias("tv"),
+        F.col("n_effective_ops").alias("te"),
+    )
+    tail_put = (
+        tail.where(F.col("op") == "put")
+        .select("key")
+        .distinct()
+        .withColumn("tail_has_put", F.lit(True))
+    )
+    j = snap.join(tail_state, "key", "full").join(tail_put, "key", "left")
+    final_value = F.when(F.col("tail_has_put"), F.col("tv")).otherwise(
+        F.concat(
+            F.coalesce(F.col("sv"), F.lit("")),
+            F.coalesce(F.col("tv"), F.lit("")),
+        )
+    )
+    final_eff = F.when(F.col("tail_has_put"), F.col("te")).otherwise(
+        F.coalesce(F.col("se"), F.lit(0)) + F.coalesce(F.col("te"), F.lit(0))
+    )
+    return j.select(
+        "key",
+        final_value.alias("final_value"),
+        final_eff.cast("long").alias("n_effective_ops"),
+    )
+
+
+@register(
+    "kv_snapshot_compaction",
+    oracle=KV_REPLAY_ORACLE,  # compaction must be invisible: == full replay
+    tags=("kv", "stateful", "compaction"),
+    doc="C6 snapshot/compaction as a query: fold the op log up to the "
+    "epoch-midpoint cutoff into a snapshot, replay only the tail on "
+    "top, merge. Gated against the FULL-replay oracle, proving the "
+    "compaction is semantically invisible (kvraft/server.go snapshot "
+    "contract; the cutoff is arbitrary by construction).",
+)
+def kv_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = op_log(load_table(spark, sf_dir, "events"))
+    bounds = ops.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    with_cut = ops.crossJoin(F.broadcast(bounds)).withColumn(
+        "cutoff",
+        F.expr("timestamp_micros((unix_micros(t0) + unix_micros(t1)) div 2)"),
+    )
+    return compacted_replay(with_cut, F.col("ts") <= F.col("cutoff"))

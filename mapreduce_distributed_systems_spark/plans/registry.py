@@ -116,6 +116,7 @@ GATE_ORDER = (
     "kv_replay_dedup",
     "kv_get_lookup",
     "kv_get_asof",
+    "kv_snapshot_compaction",
     # §2.C — shard routing / rebalance
     "key2shard_distribution",
     "shard_rebalance_history",
@@ -159,7 +160,6 @@ GATE_ORDER = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "asof_purchase_view",
-    "rollup_status_priority",
     "skew_salted_agg",
     "window_ntile_pctrank",
     "events_tumbling_hourly",

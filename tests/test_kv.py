@@ -108,3 +108,32 @@ def test_snapshot_plus_incremental_equals_full_replay(spark, sf_dir):
     got = {(r["key"], r["final_value"]) for r in compacted.collect()}
     want = {(r["key"], r["final_value"]) for r in full.collect()}
     assert got == want
+
+
+def test_snapshot_compaction_invisible_at_any_cutoff(spark, sf_dir):
+    """C6 contract: snapshot(prefix) + tail replay == full replay for
+    ANY prefix cutoff of the total order (0%, 25%, 75%, 100%)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.operators.kv import (
+        compacted_replay,
+        op_log,
+        replay,
+    )
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    ops = op_log(load_table(spark, sf_dir, "events"))
+    full = {
+        (r.key, r.final_value, r.n_effective_ops)
+        for r in replay(ops).collect()
+    }
+    lo, hi = ops.agg(F.min("ts"), F.max("ts")).first()
+    import datetime
+
+    for frac in (0.0, 0.25, 0.75, 1.0):
+        cutoff = lo + datetime.timedelta(seconds=(hi - lo).total_seconds() * frac)
+        got = {
+            (r.key, r.final_value, r.n_effective_ops)
+            for r in compacted_replay(ops, F.col("ts") <= F.lit(cutoff)).collect()
+        }
+        assert got == full, f"compaction visible at cutoff frac={frac}"
