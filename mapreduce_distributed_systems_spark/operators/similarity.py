@@ -403,3 +403,82 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= TOP_K
     )
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=None,  # k-means is iterative (no single-statement SQL form);
+    # recall floor vs the brute-force baseline pinned in
+    # tests/test_similarity.py
+    tags=("similarity", "ann", "ivf", "kmeans"),
+    doc="IVF with a REAL learned coarse quantizer: deterministic Lloyd "
+    "k-means cells (operators/kmeans.py) instead of labels; queries "
+    "probe the 3 nearest cells by centroid distance, exact cosine rank "
+    "runs only inside probed cells. The production IVF shape: build "
+    "once (k-means), then scan cost is n_probe/k of the corpus.",
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.operators.kmeans import (
+        _assign,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _, cents, _ = kmeans_fit(emb)
+    # re-assign with the FINAL centroids so the index and the probe
+    # routing agree (kmeans_fit's last assignment predates its last
+    # centroid update)
+    assigned = _assign(emb, cents).select("vec_id", "cell")
+    cells = spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
+        "cell int, cv array<double>",
+    )
+    q = (
+        emb.where(F.expr(QUERY_FILTER))
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    qd = q.crossJoin(F.broadcast(cells)).withColumn(
+        "dist2",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+            "0d, (a, x) -> a + x)"
+        ),
+    )
+    cw = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    probed = (
+        qd.withColumn("cell_rank", F.row_number().over(cw))
+        .where(F.col("cell_rank") <= N_PROBE)
+        .select("query_id", "cell")
+    )
+    embn = emb.withColumn("nrm", norm_expr("v")).join(assigned, "vec_id")
+    cand = (
+        F.broadcast(probed)
+        .join(embn, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.col("nrm").alias("nnrm"),
+        )
+    )
+    qn = embn.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = cand.join(qn, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot_expr("qv", "nv") / (F.col("qnrm") * F.col("nnrm")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= TOP_K
+    )

@@ -40,3 +40,19 @@ def test_fake_decode_deterministic():
     assert a == b
     assert a["n_bytes"] == 11
     assert 1 <= a["width"] <= 64 and 1 <= a["height"] <= 64
+
+
+def test_ivf_kmeans_recall_floor(spark, sf_dir):
+    """IVF over REAL k-means cells must beat the RH-LSH recall floor:
+    the learned quantizer routes queries to the cells that actually
+    hold their neighbors (~0.76 measured at sf0.01, probe 3 of 8)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in get_spec("ann_cosine_topk").fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in get_spec("ann_ivf_kmeans").fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"k-means IVF recall collapsed: {recall:.2f}"
