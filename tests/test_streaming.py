@@ -247,3 +247,27 @@ def test_streaming_sessionization_equals_batch(spark, sf_dir):
         if r.user_id != -1  # drop the watermark-flush sentinel
     }
     assert got == batch
+
+
+def test_kv_replay_tws_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas twin == batch replay (runs only where
+    the tws Python runner's protobuf dependency exists)."""
+    import pytest
+
+    from mapreduce_distributed_systems_spark.streaming.kv_tws import (
+        kv_replay_tws,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip("google.protobuf unavailable: tws runner cannot start")
+    got = {
+        (r.key, r.final_value, r.n_effective_ops)
+        for r in kv_replay_tws(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.key, r.final_value, r.n_effective_ops)
+        for r in replay(op_log(ev)).collect()
+    }
+    assert got == want
