@@ -28,7 +28,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_distributed_systems_spark.operators.events import TUMBLING_ORACLE
+from mapreduce_distributed_systems_spark.operators.events import (
+    SESSION_ORACLE,
+    TUMBLING_ORACLE,
+)
 from mapreduce_distributed_systems_spark.plans.registry import register
 
 
@@ -71,3 +74,67 @@ def events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "events_sessionize_streaming",
+    oracle=SESSION_ORACLE,  # identical oracle to the batch twin
+    tags=("events", "session", "streaming"),
+    doc="Streaming sessionization (session_window under readStream, "
+    "append mode): a far-future sentinel row closes every real "
+    "session so the finite replay flushes complete state; output is "
+    "gated against the identical batch-sessionize oracle. In a 24/7 "
+    "deployment the watermark closes sessions continuously and no "
+    "sentinel is needed.",
+)
+def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw.schema
+    src_dir = tempfile.mkdtemp(prefix="sess_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    # sentinel: one event far past max ts flushes all sessions out of
+    # append-mode state (user_id = -1, filtered from the output)
+    sentinel = (
+        raw.agg(F.max("ts").alias("ts"))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("ts") + F.lit(10**15)).alias("ts"),  # ns-domain offset
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .select(*[f.name for f in schema.fields])
+    )
+    sentinel.write.mode("overwrite").parquet(f"{src_dir}/zz-sentinel.dir")
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "last_event_ts", "n_events", "total_value"
+        )
+    )
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).where(F.col("user_id") != -1)
