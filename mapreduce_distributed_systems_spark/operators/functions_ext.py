@@ -93,3 +93,90 @@ def date_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 3).alias("plus3m"),
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
     )
+
+
+PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "agg_percentiles",
+    oracle=PERCENTILES_ORACLE,
+    tags=("relational", "aggregate", "percentiles"),
+    doc="Exact interpolated multi-percentile profile (p25/p50/p90/p99) "
+    "per order status — one `percentile(col, array(...))` aggregate "
+    "computes all four in a single pass. At 100 TB the documented "
+    "trade is approx_percentile (t-digest, mergeable, fixed memory); "
+    "tests/test_registry_gate.py pins the accuracy comparison.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pcts = F.expr(
+        "percentile(o_totalprice, array(0.25D, 0.50D, 0.90D, 0.99D))"
+    ).alias("ps")
+    agged = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"), pcts)
+    return agged.select(
+        "o_orderstatus",
+        "n",
+        *[
+            F.round(F.element_at("ps", i + 1), 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p90", "p99"])
+        ],
+    )
+
+
+# map-typed column surface: the oracle checks SEMANTICS (same scalars
+# from the same inputs); map construction/inspection is Spark-side
+MAP_OPS_ORACLE = """
+SELECT event_id,
+       3 AS n_entries,
+       'k,kb,sq' AS keys_sorted,
+       CAST(k * k AS BIGINT) AS sq_val,
+       CAST(k + (k % 10) + k * k AS BIGINT) AS val_sum,
+       CAST(CASE WHEN k >= 50 THEN 1 ELSE 0 END
+            + CASE WHEN k % 10 >= 50 THEN 1 ELSE 0 END
+            + CASE WHEN k * k >= 50 THEN 1 ELSE 0 END AS BIGINT) AS n_big
+FROM (
+  SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+"""
+
+
+@register(
+    "map_ops",
+    oracle=MAP_OPS_ORACLE,
+    tags=("functions", "map"),
+    doc="Map-typed column operations: map_from_arrays construction, "
+    "map_keys (sorted), element_at lookup, aggregate over map_values, "
+    "map_filter count — all codegen expressions over a per-row map "
+    "built from the JSON props.",
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("k"), F.lit("kb"), F.lit("sq")),
+        F.array(F.col("k"), F.col("k") % 10, F.col("k") * F.col("k")),
+    )
+    withm = ev.withColumn("m", m)
+    return withm.select(
+        "event_id",
+        F.size("m").alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.element_at("m", F.lit("sq")).alias("sq_val"),
+        F.expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").alias("val_sum"),
+        F.expr("cast(size(map_filter(m, (kk, v) -> v >= 50)) as bigint)").alias(
+            "n_big"
+        ),
+    )
