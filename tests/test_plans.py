@@ -83,3 +83,23 @@ def test_ntile_no_single_partition_window(spark, sf_dir):
 def test_broadcast_lookup_in_kv_get(spark, sf_dir):
     plan = physical_plan(get_spec("kv_get_lookup").fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q21_compiles_to_semi_plus_anti(spark, sf_dir):
+    # the EXISTS / NOT EXISTS pair must be joins, not nested loops
+    plan = physical_plan(get_spec("q21_waiting_suppliers").fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_broadcasts(spark, sf_dir):
+    # the max-revenue scalar joins back via broadcast (1-row side);
+    # the only SinglePartition exchange is the scalar aggregate itself
+    plan = physical_plan(get_spec("q15_top_supplier").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_broadcasts_both_nation_roles(spark, sf_dir):
+    plan = physical_plan(get_spec("q7_volume_shipping").fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
