@@ -1,0 +1,136 @@
+"""Training-shard packing and data-mixture sampling (north star):
+the last mile of a pretraining pipeline — cleaned documents become
+fixed-token-budget shards, and sources are re-weighted into the
+training mixture.
+
+- `pack_training_shards`: greedy sequential packing by ingest order:
+  a doc goes to shard floor(start_offset / TOKEN_BUDGET) where
+  start_offset is the cumulative token count of all earlier docs.
+  The global running sum is computed DISTRIBUTED with the same
+  range-partition + per-partition-offset machinery as the global rank
+  in operators/windows.py — no single-partition window (the naive
+  `sum() OVER (ORDER BY ...)` is the 100 TB anti-shape).
+- `mixture_weighted_sample`: per-source keep-quota sampling in
+  content-addressed (md5) order; quotas are computed in INTEGER
+  arithmetic (ceil(n*k/5) as (n*k+4) div 5) so both engines pick the
+  identical document set — float quota math rounds differently across
+  engines. Per-source windows partition by source: bounded state,
+  no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+TOKEN_BUDGET = 5000  # tokens per training shard
+
+PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+  FROM t
+)
+SELECT doc_id, n_tok,
+       CAST((csum - n_tok) // {TOKEN_BUDGET} AS BIGINT) AS shard_id
+FROM c
+"""
+
+
+@register(
+    "pack_training_shards",
+    oracle=PACK_ORACLE,
+    tags=("packing", "training-data"),
+    doc=f"Greedy sequential shard packing: doc -> shard "
+    f"floor(start_token_offset / {TOKEN_BUDGET}). The global running "
+    "token sum is distributed (range partition + per-partition offset "
+    "from an O(#partitions) driver scalar) — no single-partition "
+    "window anywhere in the plan.",
+)
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tok")
+    )
+    part = (
+        docs.repartitionByRange(n_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in part.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += sums.get(pid, 0)
+    off_map = F.create_map(
+        *[F.lit(v) for pid in range(n_parts) for v in (pid, offsets[pid])]
+    )
+    w = W.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    csum = F.element_at(off_map, F.col("_pid")) + F.sum("n_tok").over(w)
+    return (
+        part.withColumn("_csum", csum)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr(f"((_csum - n_tok) div {TOKEN_BUDGET})")
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+
+
+MIXTURE_ORACLE = """
+WITH counted AS (
+  SELECT doc_id, source,
+         CAST(substring(source, 4) AS INTEGER) AS sfx,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+)
+SELECT doc_id, source
+FROM counted
+WHERE rn <= (n_src * (1 + sfx % 4) + 4) // 5
+"""
+
+
+@register(
+    "mixture_weighted_sample",
+    oracle=MIXTURE_ORACLE,
+    tags=("sampling", "mixture", "training-data"),
+    doc="Data-mixture sampling: each source keeps a quota of "
+    "ceil(n * k / 5) docs (k = 1 + source_index mod 4, i.e. 20-80% "
+    "weights) chosen in content-addressed md5 order. Quota arithmetic "
+    "is pure-integer so both engines select the identical set; the "
+    "window partitions by source — bounded state, no global sort.",
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("int").alias("sfx"),
+    )
+    sw = W.partitionBy("source")
+    ordered = sw.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    counted = docs.withColumn("rn", F.row_number().over(ordered)).withColumn(
+        "n_src", F.count("*").over(sw)
+    )
+    quota = F.expr("(n_src * (1 + sfx % 4) + 4) div 5")
+    return counted.where(F.col("rn") <= quota).select("doc_id", "source")

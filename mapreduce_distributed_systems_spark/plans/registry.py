@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.sampling",
     "mapreduce_distributed_systems_spark.operators.kmeans",
     "mapreduce_distributed_systems_spark.operators.vector_ops",
+    "mapreduce_distributed_systems_spark.operators.packing",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
     "mapreduce_distributed_systems_spark.streaming.event_stream",
     "mapreduce_distributed_systems_spark.streaming.kv_tws",
@@ -152,6 +153,8 @@ GATE_ORDER = (
     "sample_deterministic_10pct",
     "dataset_split_assign",
     "stratified_sample_per_lang",
+    "pack_training_shards",
+    "mixture_weighted_sample",
     "profile_orders",
     # streaming twins (batch-equivalent oracles)
     "kv_replay_streaming",
@@ -160,10 +163,8 @@ GATE_ORDER = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "asof_purchase_view",
     "skew_salted_agg",
     "window_ntile_pctrank",
-    "events_tumbling_hourly",
     "events_sessionize",
 )
 
