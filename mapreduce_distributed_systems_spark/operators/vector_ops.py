@@ -77,3 +77,84 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.expr("cast(size(filter(qv, x -> x != 0)) as bigint)").alias("q_nonzero"),
     )
+
+
+ANN_INT8_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / (greatest(list_max(
+           list_transform(v, y -> abs(y))), 1e-12) / 127.0), 0) AS BIGINT))
+           AS qv
+  FROM e
+),
+qq AS (SELECT vec_id AS query_id, qv AS qu FROM q8
+       WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 256),
+scored AS (
+  SELECT qq.query_id, q8.vec_id AS neighbor_id,
+         round(
+           CAST(list_dot_product(qq.qu, q8.qv) AS DOUBLE) /
+           (sqrt(CAST(list_dot_product(qq.qu, qq.qu) AS DOUBLE)) *
+            sqrt(CAST(list_dot_product(q8.qv, q8.qv) AS DOUBLE))), 6)
+           AS cos_q8
+  FROM qq JOIN q8 ON q8.vec_id <> qq.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_q8 DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_q8, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_cosine_int8",
+    oracle=ANN_INT8_ORACLE,
+    tags=("similarity", "ann", "vector-compress"),
+    doc="Cosine top-10 over the int8-QUANTIZED corpus: the per-vector "
+    "scales cancel in cosine, so scoring is pure integer dot products "
+    "over 1/8-width data (the 4-8x scan-throughput path a quantized "
+    "ANN index runs). Exact integer arithmetic end-to-end makes the "
+    "oracle bit-reproducible; recall vs the float baseline is pinned "
+    "in tests/test_similarity.py.",
+)
+def ann_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q8 = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> cast(round(x / (greatest(array_max("
+            "transform(v, y -> abs(y))), 1e-12d) / 127.0d), 0) as bigint))"
+        ).alias("qv"),
+    )
+    qq = (
+        q8.where(F.expr("vec_id % 100 = 0"))
+        .orderBy("vec_id")
+        .limit(256)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qu"))
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qu, qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    )
+    inorm = "sqrt(cast(aggregate(transform({0}, x -> x * x), 0L, (a, x) -> a + x) as double))"
+    scored = (
+        q8.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_q8",
+            F.round(
+                idot.cast("double")
+                / (F.expr(inorm.format("qu")) * F.expr(inorm.format("qv"))),
+                6,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_q8")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_q8"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 10
+    )

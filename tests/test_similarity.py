@@ -56,3 +56,19 @@ def test_ivf_kmeans_recall_floor(spark, sf_dir):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"k-means IVF recall collapsed: {recall:.2f}"
+
+
+def test_int8_quantized_recall(spark, sf_dir):
+    """int8 cosine must agree with the float baseline almost exactly —
+    quantization noise at 64 dims costs at most a tail neighbor
+    (1.0 measured at sf0.001/sf0.01)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in get_spec("ann_cosine_topk").fn(spark, sf_dir).collect()
+    }
+    q8 = {
+        (r.query_id, r.neighbor_id)
+        for r in get_spec("ann_cosine_int8").fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & q8) / len(brute)
+    assert recall >= 0.9, f"int8 recall collapsed: {recall:.2f}"
