@@ -149,3 +149,72 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+RANGE_JOIN_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         -- floor, not cast: CAST(double AS BIGINT) ROUNDS in DuckDB,
+         -- Spark's unix_timestamp truncates sub-second parts
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM e a JOIN e b
+    ON b.sec BETWEEN a.sec - 60 AND a.sec + 60
+   AND a.user_id < b.user_id
+)
+SELECT type_a, type_b, count(*) AS n_pairs
+FROM pairs GROUP BY type_a, type_b
+"""
+
+
+@register(
+    "events_range_join_concurrent",
+    oracle=RANGE_JOIN_ORACLE,
+    tags=("events", "range-join"),
+    doc="Non-equi RANGE JOIN, banded: pairs of events from different "
+    "users within 60s of each other, counted per type pair. The naive "
+    "form is a cartesian filtered by |Δt|<=60; the scale form buckets "
+    "time into 60s bands and equi-joins each event to its own and "
+    "adjacent bands, then applies the exact range filter — join "
+    "fan-out bounded by events-per-2-minutes, never O(n^2).",
+)
+def events_range_join_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    BAND = 60
+    a = ev.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_type").alias("type_a"),
+        F.col("sec").alias("sec_a"),
+        F.floor(F.col("sec") / BAND).alias("band"),
+    )
+    # each right-side event registers in its own band and both
+    # neighbors, so every |Δt| <= BAND pair shares a band key
+    b = ev.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        F.col("sec").alias("sec_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("sec") / BAND) - 1,
+                F.floor(F.col("sec") / BAND),
+                F.floor(F.col("sec") / BAND) + 1,
+            )
+        ).alias("band"),
+    )
+    # no dedup needed: the left side carries ONE band per event, and
+    # the right side's three exploded bands are distinct — a
+    # qualifying pair joins exactly once (on the left event's band)
+    pairs = a.join(b, "band").where(
+        (F.col("sec_b") >= F.col("sec_a") - BAND)
+        & (F.col("sec_b") <= F.col("sec_a") + BAND)
+        & (F.col("ua") < F.col("ub"))
+    )
+    return pairs.groupBy("type_a", "type_b").agg(F.count("*").alias("n_pairs"))
