@@ -1,0 +1,106 @@
+"""Near-duplicate CLUSTERING: connected components over the
+SimHash64 near-dup pair graph — the step that turns pairwise matches
+into dedup groups (keep one doc per component). The canonical label
+is the component's minimum doc_id.
+
+Spark side: iterative min-label propagation (driver loop over
+DataFrame steps, like k-means): each round every node takes the min
+of its own label and its neighbors' labels; converged when no label
+changes. Rounds needed = graph diameter — near-dup components are
+tiny cliques/chains, so this converges in 2-3 rounds.
+
+Oracle: DuckDB recursive CTE computing min reachable node per doc —
+an independent formulation of the same fixpoint.
+
+Scale design (100 TB): each round is one shuffle (edge join + min
+aggregate); the edge list is the LSH/SimHash candidate output, which
+is orders of magnitude smaller than the corpus. For adversarial
+diameters the production upgrade is the large-star/small-star
+algorithm (same join primitive, O(log n) rounds); plain propagation
+is exact and sufficient for near-dup cliques.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.operators.simhash64 import (
+    SIMHASH64_ORACLE,
+    dedup_simhash64,
+)
+from mapreduce_distributed_systems_spark.plans.registry import register
+
+MAX_ROUNDS = 12
+
+CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({SIMHASH64_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id = min doc_id in component) for every doc
+    appearing in at least one pair. `pairs` has doc_a < doc_b."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(MAX_ROUNDS):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.select("doc_id", "label")
+            .union(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .where(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {MAX_ROUNDS} rounds"
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=CLUSTER_ORACLE,
+    tags=("dedup", "graph", "iterative"),
+    doc="Connected components over the SimHash64 near-dup pair graph: "
+    "(doc_id, cluster_id = min doc_id in component). Iterative "
+    "min-label propagation on Spark vs a recursive-CTE fixpoint in "
+    "the oracle — two independent formulations of the same closure.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_simhash64(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.kmeans",
     "mapreduce_distributed_systems_spark.operators.vector_ops",
     "mapreduce_distributed_systems_spark.operators.packing",
+    "mapreduce_distributed_systems_spark.operators.components",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
     "mapreduce_distributed_systems_spark.streaming.event_stream",
     "mapreduce_distributed_systems_spark.streaming.kv_tws",

@@ -85,3 +85,23 @@ def test_lsh_hot_bucket_cap_drops_giant_buckets(spark):
     got = {(r.doc_a, r.doc_b) for r in cand}
     assert (10_000, 10_001) in got  # small bucket joins normally
     assert all(a >= 10_000 for a, _ in got), "hot-bucket pairs not dropped"
+
+
+def test_connected_components_on_synthetic_graph(spark):
+    """Label propagation finds exact components: a 4-node chain (whose
+    diameter forces multiple rounds), a triangle, and an isolated
+    pair. (Spark-vs-oracle parity for the real simhash graph runs in
+    tests/test_parity.py.)"""
+    from mapreduce_distributed_systems_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
