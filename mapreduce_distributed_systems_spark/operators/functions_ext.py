@@ -180,3 +180,36 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_big"
         ),
     )
+
+
+UNPIVOT_ORACLE = """
+WITH p AS (
+  SELECT o_orderstatus,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS high,
+         CAST(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS BIGINT) AS low
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, priority, n_orders
+FROM p UNPIVOT (n_orders FOR priority IN (urgent, high, low))
+"""
+
+
+@register(
+    "unpivot_status_priority",
+    oracle=UNPIVOT_ORACLE,
+    tags=("relational", "unpivot"),
+    doc="Unpivot (melt): wide per-priority count columns back to long "
+    "(status, priority, n) rows — DataFrame unpivot() vs SQL UNPIVOT. "
+    "The inverse of pivot_status_by_priority.",
+)
+def unpivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("urgent"),
+        F.sum((F.col("o_orderpriority") == "2-HIGH").cast("long")).alias("high"),
+        F.sum((F.col("o_orderpriority") == "5-LOW").cast("long")).alias("low"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["urgent", "high", "low"], "priority", "n_orders"
+    )

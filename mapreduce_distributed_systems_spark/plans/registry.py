@@ -129,8 +129,8 @@ GATE_ORDER = (
     "dedup_exact",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_simhash64",
+    "dedup_cluster_components",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_lsh_bucket_stats",

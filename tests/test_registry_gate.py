@@ -23,9 +23,10 @@ MUST_GATE = {
     "kv_replay_final", "kv_replay_dedup", "kv_get_lookup", "kv_get_asof",
     "key2shard_distribution", "shard_rebalance_history",
     "shard_pruned_read", "shard_migration_moves",
-    # dedup
+    # dedup (dedup_simhash, the 16-bit didactic variant, intentionally
+    # yields its slot to the production paths below)
     "dedup_exact", "dedup_exact_hash", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash64", "dedup_ngram_jaccard",
+    "dedup_simhash64", "dedup_cluster_components", "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     # similarity
     "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
