@@ -743,3 +743,44 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_custkey", ord_key).alias("bottom_customer"),
         F.round(F.max("c_acctbal"), 2).alias("top_bal"),
     )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "skew_salted_join",
+    oracle=SALTED_JOIN_ORACLE,
+    tags=("relational", "join", "skew"),
+    doc="Skew-safe JOIN pattern: the big (skewed) side gets a random-"
+    "free deterministic salt, the small side is replicated once per "
+    "salt value, and the join key becomes (key, salt) — a hot key's "
+    "rows spread over N_SALT reducers instead of one straggler. "
+    "Result is identical to the plain join (the oracle). AQE skew "
+    "splitting does this adaptively; the explicit form is for when "
+    "stats arrive too late or the key is pathological.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % n_salt)
+    )
+    o = _t(spark, sf_dir, "orders").crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    )
+    joined = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -279,3 +279,54 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(BIGRAM_TOPK)
     )
+
+
+PASSAGE_W = 32  # char window
+PASSAGE_STRIDE = 16
+
+PASSAGE_ORACLE = f"""
+WITH wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(length(text) - {PASSAGE_W - 2}, 2), {PASSAGE_STRIDE}),
+           i -> md5(substring(text, i, {PASSAGE_W})))) AS wh
+  FROM documents
+)
+SELECT wh AS passage_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences
+FROM wins
+GROUP BY wh
+HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+@register(
+    "dedup_repeated_passages",
+    oracle=PASSAGE_ORACLE,
+    tags=("dedup", "substring"),
+    doc=f"Exact repeated-passage detection (the substring-level dedup "
+    f"signal from the dedup literature): hash {PASSAGE_W}-char windows "
+    f"at stride {PASSAGE_STRIDE}, keep hashes appearing in more than "
+    "one document. Shuffle carries 16-byte hashes, never text; "
+    "map-side combine bounds it at distinct-window cardinality.",
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {PASSAGE_W - 2}, 2), "
+                f"{PASSAGE_STRIDE}), i -> md5(substring(text, i, {PASSAGE_W})))"
+            )
+        ).alias("passage_hash"),
+    )
+    return (
+        wins.groupBy("passage_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
