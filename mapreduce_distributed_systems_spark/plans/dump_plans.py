@@ -1,0 +1,71 @@
+"""Regenerate PLANS.md: physical-plan feature summary for the bench
+set at sf0.01 —
+
+    python -m mapreduce_distributed_systems_spark.plans.dump_plans
+
+For each headline query: exchange count (shuffles), broadcast joins,
+whole-stage-codegen spans, single-partition exchanges (should be rare
+and O(1)-row), and pushed parquet filters. The numbers are extracted
+from `executedPlan`, so the doc is evidence, not narrative; the
+invariants worth enforcing live in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from mapreduce_distributed_systems_spark.plans.registry import bench_specs
+from mapreduce_distributed_systems_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def render() -> str:
+    spark = get_spark("dump-plans")
+    lines = [
+        "# PLANS — physical-plan features of the bench set",
+        "",
+        f"Auto-generated from `executedPlan` at {SF_DIR}. Regenerate with",
+        "`python -m mapreduce_distributed_systems_spark.plans.dump_plans`.",
+        "",
+        "- **exchanges**: shuffle count in the plan (lower = less data",
+        "  over the network at 100 TB; 0 = fuses into the scan).",
+        "- **bcast**: BroadcastHashJoin count (dims never shuffle the",
+        "  fact side).",
+        "- **codegen**: WholeStageCodegen spans (JVM-compiled pipelines).",
+        "- **1-part**: Exchange SinglePartition count — legitimate only",
+        "  for O(1)-row scalars (global aggregates, TakeOrdered merge).",
+        "- **pushed**: parquet-level pushed filters present.",
+        "",
+        "| Query | exchanges | bcast | codegen | 1-part | pushed |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, spec in bench_specs().items():
+        df = spec.fn(spark, SF_DIR)
+        # execute THIS DataFrame's own query execution (collect, not a
+        # noop write — a write is a separate execution and would leave
+        # this plan's AQE un-finalized): only the final plan carries
+        # codegen spans and runtime join choices
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # an executed AdaptiveSparkPlan prints "== Final Plan ==" then
+        # "== Initial Plan ==" — count features in the final section
+        # only (truncate at the first initial marker; nested cached
+        # plans beyond it contribute a small undercount, never double)
+        plan = plan.split("== Initial Plan ==")[0]
+        n_ex = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan))
+        n_bc = plan.count("BroadcastHashJoin")
+        n_cg = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        n_sp = plan.count("Exchange SinglePartition")
+        pushed = "yes" if "PushedFilters: [" in plan and "PushedFilters: []" not in plan else ""
+        lines.append(
+            f"| `{name}` | {n_ex} | {n_bc} | {n_cg} | {n_sp} | {pushed} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
+if __name__ == "__main__":
+    with open("PLANS.md", "w") as f:
+        f.write(render())
+    print("PLANS.md regenerated")
