@@ -69,3 +69,25 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact <= 0.02
+
+
+@pytest.mark.parametrize(
+    "name", ["window_ntile_pctrank", "pack_training_shards"]
+)
+def test_partition_parameterized_queries_are_partition_invariant(
+    spark, sf_dir, name
+):
+    """ntile and shard packing PARAMETERIZE on shuffle.partitions (they
+    range-partition and compute per-partition prefix offsets) — their
+    RESULTS must still be identical under 1, 5, and 32 partitions, or
+    the distributed-rank machinery is leaking partition boundaries."""
+    spec = get_spec(name)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("1", "5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(_rows(spec.fn(spark, sf_dir)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert results[0] == results[1] == results[2]
