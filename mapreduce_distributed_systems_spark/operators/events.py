@@ -218,3 +218,117 @@ def events_range_join_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ua") < F.col("ub"))
     )
     return pairs.groupBy("type_a", "type_b").agg(F.count("*").alias("n_pairs"))
+
+
+FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT s.user_id, min(e.ts) AS first_purchase_ts, any_value(s.signup_ts) AS signup_ts
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts
+  GROUP BY s.user_id
+)
+SELECT (SELECT count(*) FROM s) AS n_signed_up,
+       count(*) AS n_converted,
+       CAST(sum(CASE WHEN first_purchase_ts <= signup_ts + INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d
+FROM p
+"""
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=FUNNEL_ORACLE,
+    tags=("events", "funnel"),
+    doc="Funnel analysis: users who signed up, converted (purchase at "
+    "or after first signup), and converted within 7 days — min-ts "
+    "anchors + one ordered join, all single-shuffle aggregates.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        s.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .where(F.col("pts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("pts").alias("first_purchase_ts"),
+            F.first("signup_ts").alias("signup_ts"),
+        )
+    )
+    n_signed = s.count()
+    return p.agg(
+        F.lit(n_signed).cast("long").alias("n_signed_up"),
+        F.count("*").alias("n_converted"),
+        F.sum(
+            (
+                F.col("first_purchase_ts")
+                <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+            ).cast("long")
+        ).alias("n_converted_7d"),
+    )
+
+
+RETENTION_ORACLE = """
+WITH first_seen AS (
+  -- cast: DuckDB date_trunc('week') yields DATE, Spark a TIMESTAMP
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+           AS week_offset
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity
+WHERE week_offset <= 8
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register(
+    "events_weekly_retention",
+    oracle=RETENTION_ORACLE,
+    tags=("events", "retention", "cohort"),
+    doc="Cohort retention: users grouped by first-seen week, distinct "
+    "active users per (cohort, week offset) for 8 weeks — the classic "
+    "retention triangle; one join + distinct + aggregate.",
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            ((F.unix_timestamp("w") - F.unix_timestamp("cohort_week")) / (7 * 86400))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )
