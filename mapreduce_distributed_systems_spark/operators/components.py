@@ -74,14 +74,19 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = new_labels.cache()
+        # localCheckpoint, not cache: caching truncates EXECUTION but
+        # the logical plan still grows every round, and per-round
+        # analysis cost compounds ~3x/round (1s -> 150s by round 6).
+        # Checkpointing truncates the lineage itself — constant-cost
+        # rounds. (On a cluster use reliable checkpoint() so executor
+        # loss can recompute; localCheckpoint is the single-node form.)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), "doc_id")
             .where(F.col("o.label") != F.col("n.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -52,6 +52,7 @@ FROM c
     "pack_training_shards",
     oracle=PACK_ORACLE,
     tags=("packing", "training-data"),
+    bench=True,
     doc=f"Greedy sequential shard packing: doc -> shard "
     f"floor(start_token_offset / {TOKEN_BUDGET}). The global running "
     "token sum is distributed (range partition + per-partition offset "

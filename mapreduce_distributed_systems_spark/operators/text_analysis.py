@@ -305,6 +305,7 @@ HAVING count(DISTINCT doc_id) > 1
     "dedup_repeated_passages",
     oracle=PASSAGE_ORACLE,
     tags=("dedup", "substring"),
+    bench=True,
     doc=f"Exact repeated-passage detection (the substring-level dedup "
     f"signal from the dedup literature): hash {PASSAGE_W}-char windows "
     f"at stride {PASSAGE_STRIDE}, keep hashes appearing in more than "
