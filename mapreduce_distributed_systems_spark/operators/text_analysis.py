@@ -331,3 +331,52 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+scored AS (
+  SELECT t.doc_id,
+         CAST(length(printf('%b', v.cnt)) AS BIGINT) AS freq_bits
+  FROM toks t JOIN vocab v ON v.tok = t.tok
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(freq_bits), 4) AS avg_freq_bits,
+       CAST(min(freq_bits) AS BIGINT) AS rarest_bits,
+       CAST(max(freq_bits) AS BIGINT) AS commonest_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "text_token_rarity",
+    oracle=RARITY_ORACLE,
+    tags=("text", "quality", "lm-score"),
+    doc="Unigram-LM quality proxy with INTEGER-EXACT cross-engine "
+    "parity: per-token corpus frequency mapped to floor(log2)+1 via "
+    "binary-digit length (bin()/printf('%b') — no float log, whose "
+    "last-ulp behavior differs between JVM and libm), then per-doc "
+    "avg/min/max. Low avg_freq_bits = rare-token-heavy docs (OCR "
+    "noise, gibberish); the shuffle carries (token, count) pairs, "
+    "combined map-side at vocabulary cardinality.",
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    scored = toks.join(vocab, "tok").select(
+        "doc_id", F.length(F.bin("cnt")).cast("long").alias("freq_bits")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("freq_bits"), 4).alias("avg_freq_bits"),
+        F.min("freq_bits").alias("rarest_bits"),
+        F.max("freq_bits").alias("commonest_bits"),
+    )
