@@ -14,8 +14,12 @@ training mixture.
   content-addressed (md5) order; quotas are computed in INTEGER
   arithmetic (ceil(n*k/5) as (n*k+4) div 5) so both engines pick the
   identical document set — float quota math rounds differently across
-  engines. Per-source windows partition by source: bounded state,
-  no global sort.
+  engines. Selection is the bucket-histogram threshold of
+  functions/selection.py: the only corpus-sized shuffle is a map-side
+  combined (source, bucket) histogram; no per-source corpus window
+  (a `row_number OVER (PARTITION BY source)` with ~5 sources would
+  sort each source through ONE reducer — the round-2 scale defect,
+  fixed in round 3).
 """
 
 from __future__ import annotations
@@ -23,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mapreduce_distributed_systems_spark.functions.selection import (
+    hash_bucket,
+    select_first_by_hash,
+)
 from mapreduce_distributed_systems_spark.functions.text import words
 from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
@@ -119,19 +127,29 @@ WHERE rn <= (n_src * (1 + sfx % 4) + 4) // 5
     doc="Data-mixture sampling: each source keeps a quota of "
     "ceil(n * k / 5) docs (k = 1 + source_index mod 4, i.e. 20-80% "
     "weights) chosen in content-addressed md5 order. Quota arithmetic "
-    "is pure-integer so both engines select the identical set; the "
-    "window partitions by source — bounded state, no global sort.",
+    "is pure-integer so both engines select the identical set. The "
+    "selection runs through the bucket-histogram threshold "
+    "(functions/selection.py): one map-side-combined histogram "
+    "shuffle, a broadcast boundary join, and a row_number over only "
+    "the boundary bucket's sliver — never a per-source window over "
+    "the corpus.",
 )
 def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.substring("source", 4, 10).cast("int").alias("sfx"),
+    h = F.md5(F.col("doc_id").cast("string"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("_h", h)
+        .withColumn("_bkt", hash_bucket(F.col("_h")))
     )
-    sw = W.partitionBy("source")
-    ordered = sw.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-    counted = docs.withColumn("rn", F.row_number().over(ordered)).withColumn(
-        "n_src", F.count("*").over(sw)
+    # k = 1 + source_index mod 4; quota = ceil(n_src * k / 5), integer
+    quota = F.expr(
+        "(_n_grp * (1 + cast(substring(source, 4) as int) % 4) + 4) div 5"
     )
-    quota = F.expr("(n_src * (1 + sfx % 4) + 4) div 5")
-    return counted.where(F.col("rn") <= quota).select("doc_id", "source")
+    picked = select_first_by_hash(
+        docs,
+        group_cols=["source"],
+        quota=quota,
+        order_cols=[F.col("_h"), F.col("doc_id")],
+    )
+    return picked.select("doc_id", "source")

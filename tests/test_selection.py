@@ -1,0 +1,117 @@
+"""Unit + plan tests for the bucket-histogram hash-order selection
+(functions/selection.py) — the round-3 replacement for per-group
+corpus-wide windows in mixture/stratified sampling (VERDICT r2
+items 3-4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.functions.selection import (
+    hash_bucket,
+    select_first_by_hash,
+)
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+
+def _naive_first_by_hash(df, group_col, quota_map):
+    """Reference semantics: row_number over (group) ordered by
+    (md5(id), id), keep rn <= quota[group]."""
+    w = W.partitionBy(group_col).orderBy(F.col("_h"), F.col("id"))
+    quota = F.create_map(
+        *[F.lit(x) for kv in quota_map.items() for x in kv]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.element_at(quota, F.col(group_col)))
+        .select(group_col, "id")
+    )
+
+
+def _mk(spark, rows_per_group):
+    rows = [
+        (g, i + off * 100000)
+        for off, (g, n) in enumerate(rows_per_group.items())
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    return df.withColumn("_h", F.md5(F.col("id").cast("string"))).withColumn(
+        "_bkt", hash_bucket(F.col("_h"))
+    )
+
+
+def test_selection_matches_naive_window_skewed_groups(spark):
+    # skewed group sizes, quotas below / at / above group size
+    sizes = {"a": 1000, "b": 7, "c": 50}
+    quotas = {"a": 137, "b": 7, "c": 999}
+    df = _mk(spark, sizes)
+    quota_col = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )
+    got = select_first_by_hash(
+        df,
+        group_cols=["grp"],
+        quota=F.element_at(quota_col, F.col("grp")),
+        order_cols=[F.col("_h"), F.col("id")],
+    ).select("grp", "id")
+    want = _naive_first_by_hash(df, "grp", quotas)
+    assert sorted(got.collect()) == sorted(want.collect())
+    # quota above size keeps the whole group
+    assert got.where(F.col("grp") == "c").count() == 50
+
+
+def test_selection_proportional_quota(spark):
+    df = _mk(spark, {"a": 300, "b": 30})
+    got = select_first_by_hash(
+        df,
+        group_cols=["grp"],
+        quota=F.expr("(_n_grp + 2) div 3"),  # ceil(n/3)
+        order_cols=[F.col("_h"), F.col("id")],
+    )
+    counts = {r["grp"]: r["n"] for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 100, "b": 10}
+
+
+def _windows_bounded(plan: str) -> bool:
+    """Every Window node's input subtree (lines below it, up to the
+    next scan) must contain a HashAggregate (histogram window) or the
+    boundary-bucket filter (_bbkt) — i.e. no window runs over the raw
+    corpus."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window " not in line:
+            continue
+        seen = []
+        for below in lines[i + 1 :]:
+            seen.append(below)
+            if "Scan parquet" in below or "Scan ExistingRDD" in below:
+                break
+        sub = "\n".join(seen)
+        if "HashAggregate" not in sub and "_bbkt" not in sub:
+            return False
+    return True
+
+
+def test_mixture_plan_has_no_corpus_window(spark, sf_dir):
+    plan = (
+        get_spec("mixture_weighted_sample")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_bbkt" in plan  # boundary machinery present
+    assert _windows_bounded(plan)
+
+
+def test_stratified_plan_has_no_corpus_window(spark, sf_dir):
+    plan = (
+        get_spec("stratified_sample_per_lang")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_bbkt" in plan
+    assert _windows_bounded(plan)
