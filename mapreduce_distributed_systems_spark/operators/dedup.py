@@ -53,8 +53,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_HASH_ORACLE = """
-SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+WITH g AS (
+  SELECT md5(text) AS h, count(*) AS c
+  FROM documents GROUP BY md5(text)
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM g
 """
 
 
@@ -63,13 +70,84 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
     oracle=EXACT_HASH_ORACLE,
     tags=("dedup",),
     bench=True,
-    doc="Exact dedup at scale: group on md5(text) (16-byte shuffle key), "
-    "emit only duplicate groups.",
+    doc="Exact-dedup corpus summary: group on md5(text) (16-byte shuffle "
+    "key, never the full text), then collapse to ONE row "
+    "(n_docs, n_distinct_texts, n_dup_groups, n_dup_docs). Always "
+    "emits exactly one row, so the driver CORRECTNESS signal is never "
+    "0-row-vacuous on dup-free corpora (round-2 verdict item 7); the "
+    "per-group duplicate listing lives in dedup_exact_normalized.",
 )
 def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+    )
+    dup = F.col("c") > 1
+    return groups.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct_texts"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        F.sum(F.when(dup, F.col("c")).otherwise(0)).cast("long").alias("n_dup_docs"),
+    )
+
+
+# Normalization dedup: the sf0.01 corpus has no byte-identical texts,
+# so a HAVING count>1 query over it certifies nothing. To exercise the
+# duplicate branch with real rows at ANY scale, the query plants
+# deterministic variants — every doc_id % 7 == 0 contributes a second
+# copy (doc_id + 10_000_000) whose text is upper-cased and
+# whitespace-padded — then dedups on the normalized form
+# lower(single-spaced(trim(text))). The planting is identical in the
+# Spark plan and the DuckDB oracle, so the match certifies the
+# normalization + grouping logic end-to-end. Normalization-before-hash
+# is a real LLM-pipeline operator (casefold/whitespace variants are the
+# most common boilerplate near-dups in web corpora).
+EXACT_NORM_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         '  ' || upper(text) || '   '
+  FROM documents WHERE doc_id % 7 = 0
+),
+norm AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM corpus
+)
+SELECT h AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM norm GROUP BY h HAVING count(*) > 1
+"""
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=EXACT_NORM_ORACLE,
+    tags=("dedup",),
+    doc="Normalization dedup: casefold + whitespace-collapse + trim "
+    "before md5, so case/spacing variants of the same text collapse "
+    "to one group. Deterministic planted variants (docs with "
+    "doc_id % 7 == 0 re-enter upper-cased and padded) guarantee the "
+    "duplicate branch emits rows at any sf — the round-2 driver "
+    "signal for exact dedup matched on 0 rows. Same 16-byte-hash "
+    "shuffle key as dedup_exact_hash.",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    norm_hash = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
     return (
-        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        corpus.select("doc_id", norm_hash.alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") > 1)

@@ -15,7 +15,7 @@ N_PLANTED_GROUPS = 8  # driver planted 8 duplicated texts at sf0.1
 
 @pytest.fixture(scope="module")
 def planted(spark):
-    return get_spec("dedup_exact_hash").fn(spark, SF01).collect()
+    return get_spec("dedup_exact_hash").fn(spark, SF01).collect()[0]
 
 
 @pytest.fixture(scope="module")
@@ -32,9 +32,27 @@ def planted_pairs(spark):
     return [(g.ids[0], g.ids[1]) for g in grouped]
 
 
-def test_exact_hash_finds_planted_duplicates(spark, planted):
-    assert len(planted) == N_PLANTED_GROUPS
-    assert all(r.n_copies >= 2 for r in planted)
+def test_exact_hash_summary_counts_planted_duplicates(spark, planted):
+    """The 1-row summary (round-3 shape: never 0-row-vacuous) must
+    account for the 8 planted 2-copy groups exactly."""
+    assert planted.n_docs == 5000
+    assert planted.n_dup_groups == N_PLANTED_GROUPS
+    assert planted.n_dup_docs == 2 * N_PLANTED_GROUPS
+    assert planted.n_distinct_texts == planted.n_docs - N_PLANTED_GROUPS
+
+
+def test_exact_normalized_exercises_duplicate_branch(spark):
+    """Normalization dedup must emit rows at sf0.01 (where byte-exact
+    dedup finds nothing): one group per planted doc_id % 7 == 0
+    variant, keeper = the original doc_id, and the upper-cased padded
+    copy collapsed onto it."""
+    rows = get_spec("dedup_exact_normalized").fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 72  # 500 docs at sf0.01 -> 72 with doc_id % 7 == 0
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.keeper_doc_id % 7 == 0 and r.keeper_doc_id < 10_000_000
+               for r in rows)
 
 
 def test_minhash_lsh_catches_exact_duplicates(spark, planted_pairs):

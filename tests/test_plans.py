@@ -105,6 +105,17 @@ def test_q7_broadcasts_both_nation_roles(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_token_rarity_deskewed_join(spark, sf_dir):
+    # round-3 fix (VERDICT r2 item 6): the toks ⋈ vocab join must not
+    # stream raw occurrences into a shuffled join on the token (every
+    # "the" on one reducer). The plan pre-aggregates to (doc_id, tok)
+    # — visible as a partial_count before any join — and broadcasts
+    # the Zipf-head vocabulary slice.
+    plan = physical_plan(get_spec("text_token_rarity").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
 def test_funnel_is_one_plan_no_driver_action(spark, sf_dir):
     # round-3 fix (VERDICT r2 item 5): the signup denominator must be a
     # crossJoined 1-row aggregate inside the SAME plan, not a driver
