@@ -96,77 +96,81 @@ def _load() -> None:
 
 
 # Driver-gate priority order. The driver's CORRECTNESS check covers a
-# prefix of queries() (50 entries in round 1), so ordering decides which
-# queries get the hard external oracle signal. This list puts (a) the
-# reference's own apps (SURVEY.md §2.A/B), (b) the stateful-KV + shard
-# surface (§2.C), and (c) every north-star LLM-pipeline operator
-# (dedup / similarity / text analysis / multimodal / sampling /
-# pipeline) inside the gate window. The §2.D relational inventory that
-# follows was fully driver-verified in round 1 (CORRECTNESS_r01.json:
-# 43/43 green) and keeps 12 representatives inside the window; the rest
-# register after and remain covered by tests/test_parity.py, which runs
-# the same DuckDB oracles.
+# prefix of queries() (50 entries observed in rounds 1-2), so ordering
+# decides which queries get the hard external oracle signal. The window
+# ROTATES per round (VERDICT r2 item 1): the head holds every query
+# that has never had a driver CORRECTNESS row (round 3: the 24 round-2
+# additions — TPC-H completion set, funnel/retention/range-join,
+# token-rarity/bigrams/passages, int8 ANN, simhash16, ivf_kmeans,
+# salted join, sessionize streaming), followed by a re-certification
+# slice of the north-star LLM-pipeline operators and §2.A/B/C core —
+# prioritizing queries whose code changed this round (the two rewritten
+# samplers, the single-plan funnel, the exact-dup path). Everything
+# outside the window stays covered by tests/test_parity.py, which runs
+# the same DuckDB oracles. Certified-by-round map: COVERAGE.md.
 GATE_ORDER = (
-    # §2.A/B — reference engine + app parity
-    "wc",
-    "inverted_index",
-    "inverted_index_bucketed",
-    "nocrash",
-    "early_exit",
-    "wc_mr_facade",
-    # §2.C — stateful KV surface
-    "kv_replay_final",
-    "kv_replay_dedup",
-    "kv_get_lookup",
-    "kv_get_asof",
-    "kv_snapshot_compaction",
-    # §2.C — shard routing / rebalance
-    "key2shard_distribution",
-    "shard_rebalance_history",
-    "shard_pruned_read",
-    "shard_migration_moves",
-    # north star: deduplication family
-    "dedup_exact",
+    # -- never driver-checked before round 3 (24) --------------------
+    # TPC-H completion set (round 2, tpch_full.py)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_ship_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    # round-2 relational/function additions
+    "agg_percentiles",
+    "map_ops",
+    "unpivot_status_priority",
+    "skew_salted_join",
+    # round-2 events analytics
+    "events_range_join_concurrent",
+    "events_funnel_conversion",
+    "events_weekly_retention",
+    "events_sessionize_streaming",
+    # round-2 LLM-pipeline additions
+    "dedup_simhash",
+    "dedup_repeated_passages",
+    "text_token_rarity",
+    "corpus_bigram_topk",
+    "ann_cosine_int8",
+    "ann_ivf_kmeans",
+    # -- new in round 3 ----------------------------------------------
+    "dedup_exact_normalized",
+    # -- re-certification slice: round-3-modified paths first --------
+    "mixture_weighted_sample",
+    "stratified_sample_per_lang",
     "dedup_exact_hash",
+    "kv_replay_final",
+    # north-star dedup / similarity core
+    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash64",
     "dedup_cluster_components",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_lsh_bucket_stats",
-    # north star: similarity search
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_probe",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "kmeans_cells",
-    # north star: text analysis
+    # text / multimodal / pipeline / packing
     "text_quality",
-    "lang_id_confusion",
-    "token_count_methods",
-    "doc_fingerprint",
-    # north star: multimodal plumbing
     "multimodal_features",
     "multimodal_frame_sample",
-    # north star: pipeline + sampling
     "pipeline_clean_corpus",
-    "sample_deterministic_10pct",
-    "dataset_split_assign",
-    "stratified_sample_per_lang",
     "pack_training_shards",
-    "mixture_weighted_sample",
-    "profile_orders",
+    # §2.A/B reference apps
+    "wc",
+    "inverted_index",
+    "nocrash",
+    "early_exit",
+    # §2.C KV + shard
+    "kv_replay_dedup",
+    "kv_get_asof",
+    "key2shard_distribution",
     # streaming twins (batch-equivalent oracles)
     "kv_replay_streaming",
     "events_tumbling_streaming",
-    # §2.D representatives (rest of §2.D follows after the window)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "skew_salted_agg",
-    "window_ntile_pctrank",
-    "events_sessionize",
 )
 
 

@@ -13,36 +13,37 @@ from mapreduce_distributed_systems_spark.plans.registry import (
 
 DRIVER_GATE_WINDOW = 50
 
-# Every query that MUST receive a driver CORRECTNESS row: the
-# reference's own surface plus the north-star LLM-pipeline operators.
-MUST_GATE = {
-    # §2.A/B
-    "wc", "inverted_index", "inverted_index_bucketed", "nocrash",
-    "early_exit", "wc_mr_facade",
-    # §2.C
-    "kv_replay_final", "kv_replay_dedup", "kv_get_lookup", "kv_get_asof",
-    "key2shard_distribution", "shard_rebalance_history",
-    "shard_pruned_read", "shard_migration_moves",
-    # dedup (dedup_simhash, the 16-bit didactic variant, intentionally
-    # yields its slot to the production paths below)
-    "dedup_exact", "dedup_exact_hash", "dedup_minhash_lsh",
-    "dedup_simhash64", "dedup_cluster_components", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    # similarity
-    "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_probe",
-    "embedding_centroids", "kmeans_cells",
-    # text analysis
-    "text_quality", "lang_id_confusion", "token_count_methods",
-    "doc_fingerprint",
-    # multimodal
-    "multimodal_features", "multimodal_frame_sample",
-    # pipeline + sampling
-    "pipeline_clean_corpus", "sample_deterministic_10pct",
-    "dataset_split_assign", "stratified_sample_per_lang",
-    "profile_orders",
-    # streaming
-    "kv_replay_streaming",
+# Round-3 gate policy (VERDICT r2 item 1): the window head is every
+# query that has never had a driver CORRECTNESS row (the 24 round-2
+# additions), followed by a re-certification slice led by the queries
+# whose code changed in round 3. Everything here MUST sit inside the
+# driver's 50-entry window.
+NEVER_CHECKED_R2 = {
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q12_ship_priority", "q13_customer_distribution", "q15_top_supplier",
+    "q16_part_supplier_cnt", "q17_small_qty_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers",
+    "agg_percentiles", "map_ops", "unpivot_status_priority",
+    "skew_salted_join",
+    "events_range_join_concurrent", "events_funnel_conversion",
+    "events_weekly_retention", "events_sessionize_streaming",
+    "dedup_simhash", "dedup_repeated_passages", "text_token_rarity",
+    "corpus_bigram_topk", "ann_cosine_int8", "ann_ivf_kmeans",
 }
+
+CHANGED_R3 = {
+    # code changed this round — must be re-certified by the driver
+    "mixture_weighted_sample", "stratified_sample_per_lang",
+    "dedup_exact_hash", "text_token_rarity", "kv_replay_final",
+}
+
+NEW_R3 = {
+    # registered for the first time in round 3 — a gate slot or they
+    # inherit the round-2 never-checked disease
+    "dedup_exact_normalized",
+}
+
+MUST_GATE = NEVER_CHECKED_R2 | CHANGED_R3 | NEW_R3
 
 
 def test_gate_order_names_are_registered():
