@@ -94,11 +94,15 @@ def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     # sentinel: one event far past max ts flushes all sessions out of
     # append-mode state (user_id = -1, filtered from the output)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        far_future = F.col("ts") + F.lit(10**15)  # ns-domain offset
+    else:
+        far_future = F.col("ts") + F.expr("INTERVAL 30 DAYS")
     sentinel = (
         raw.agg(F.max("ts").alias("ts"))
         .select(
             F.lit(-1).cast("long").alias("event_id"),
-            (F.col("ts") + F.lit(10**15)).alias("ts"),  # ns-domain offset
+            far_future.alias("ts"),
             F.lit(-1).cast("long").alias("user_id"),
             F.lit("view").alias("event_type"),
             F.lit(0.0).alias("value"),
