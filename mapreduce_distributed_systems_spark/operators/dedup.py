@@ -43,13 +43,20 @@ FROM documents GROUP BY text
     "dedup_exact",
     oracle=EXACT_ORACLE,
     tags=("dedup",),
-    doc="Exact dedup: keep min doc_id per identical text.",
+    doc="Exact dedup: keep min doc_id per identical text. Shuffles on "
+    "md5(text) — a 16-byte key — never on the full document body; "
+    "md5 collisions are not a practical concern for dedup (and any "
+    "would equally merge groups in the DuckDB oracle's GROUP BY text "
+    "only if the texts were identical anyway).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
-    ).select("keeper_doc_id", "n_copies")
+    return (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .select("keeper_doc_id", "n_copies")
+    )
 
 
 EXACT_HASH_ORACLE = """

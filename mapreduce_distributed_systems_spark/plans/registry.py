@@ -96,81 +96,79 @@ def _load() -> None:
 
 
 # Driver-gate priority order. The driver's CORRECTNESS check covers a
-# prefix of queries() (50 entries observed in rounds 1-2), so ordering
+# prefix of queries() (50 entries observed in rounds 1-3), so ordering
 # decides which queries get the hard external oracle signal. The window
-# ROTATES per round (VERDICT r2 item 1): the head holds every query
-# that has never had a driver CORRECTNESS row (round 3: the 24 round-2
-# additions — TPC-H completion set, funnel/retention/range-join,
-# token-rarity/bigrams/passages, int8 ANN, simhash16, ivf_kmeans,
-# salted join, sessionize streaming), followed by a re-certification
-# slice of the north-star LLM-pipeline operators and §2.A/B/C core —
-# prioritizing queries whose code changed this round (the two rewritten
-# samplers, the single-plan funnel, the exact-dup path). Everything
-# outside the window stays covered by tests/test_parity.py, which runs
-# the same DuckDB oracles. Certified-by-round map: COVERAGE.md.
+# ROTATES per round. Round-4 policy (VERDICT r3 items 1-2): the head is
+# the three queries broken by the TIMESTAMP_NTZ environment change and
+# fixed this round, plus ann_ivf_kmeans (output reworked to a
+# hash-checkable summary this round), followed by the STALE-CERT slice:
+# every query whose only driver row predates the r3 environment change
+# (the r1-only §2.D relational/window/set/function set, then the
+# highest-value r2-only queries). Everything outside the window stays
+# covered by tests/test_parity.py, which runs the same DuckDB oracles.
+# Certified-by-round map: COVERAGE.md.
 GATE_ORDER = (
-    # -- never driver-checked before round 3 (24) --------------------
-    # TPC-H completion set (round 2, tpch_full.py)
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_ship_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # round-2 relational/function additions
-    "agg_percentiles",
-    "map_ops",
-    "unpivot_status_priority",
-    "skew_salted_join",
-    # round-2 events analytics
-    "events_range_join_concurrent",
-    "events_funnel_conversion",
-    "events_weekly_retention",
-    "events_sessionize_streaming",
-    # round-2 LLM-pipeline additions
-    "dedup_simhash",
-    "dedup_repeated_passages",
-    "text_token_rarity",
-    "corpus_bigram_topk",
-    "ann_cosine_int8",
-    "ann_ivf_kmeans",
-    # -- new in round 3 ----------------------------------------------
-    "dedup_exact_normalized",
-    # -- re-certification slice: round-3-modified paths first --------
-    "mixture_weighted_sample",
-    "stratified_sample_per_lang",
-    "dedup_exact_hash",
-    "kv_replay_final",
-    # north-star dedup / similarity core
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash64",
-    "dedup_cluster_components",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    # text / multimodal / pipeline / packing
-    "text_quality",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "pipeline_clean_corpus",
-    "pack_training_shards",
-    # §2.A/B reference apps
-    "wc",
-    "inverted_index",
-    "nocrash",
-    "early_exit",
-    # §2.C KV + shard
-    "kv_replay_dedup",
-    "kv_get_asof",
-    "key2shard_distribution",
-    # streaming twins (batch-equivalent oracles)
-    "kv_replay_streaming",
+    # -- broken by the r3 TIMESTAMP_NTZ environment, fixed in r4 (3) --
     "events_tumbling_streaming",
+    "events_sessionize_streaming",
+    "kv_snapshot_compaction",
+    # -- output changed in r4: rows-only -> hash-checkable summary ----
+    "ann_ivf_kmeans",
+    # -- stale-cert: only driver row is r1 (pre-NTZ environment) (37) -
+    # TPC-H set certified r1
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    # relational / aggregation
+    "agg_distinct_priority",
+    "agg_max_by",
+    "agg_stats_segment",
+    "cube_returnflag_linestatus",
+    "grouping_sets_orders",
+    "rollup_status_priority",
+    "pivot_status_by_priority",
+    "top_k_orders",
+    # joins
+    "join_anti_parts",
+    "join_semi_customers",
+    "join_left_outer",
+    "join_full_outer",
+    "asof_purchase_view",
+    # set operations
+    "set_union",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    # window functions
+    "window_lag_lead",
+    "window_rank_top3",
+    "window_running_total",
+    "window_range_30d",
+    "window_value_picks",
+    # scalar / array / json / date function library
+    "scalar_funcs",
+    "string_funcs_ext",
+    "date_funcs_ext",
+    "array_ops",
+    "events_json_props",
+    # events windows (ts-consuming — re-check under NTZ data)
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    # -- stale-cert: only driver row is r2, highest value first (9) ---
+    "events_sessionize",
+    "kv_get_lookup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "dedup_ngram_jaccard",
+    "inverted_index_bucketed",
+    "wc_mr_facade",
+    "dedup_embedding_cosine",
 )
 
 

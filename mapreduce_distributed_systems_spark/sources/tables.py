@@ -31,6 +31,32 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ), whatever
+    physical representation the parquet presented it as. The driver
+    data has shipped `ts` three ways so far:
+
+    - TIMESTAMP(NANOS): Spark surfaces it as int64 ns under
+      spark.sql.legacy.parquet.nanosAsLong → truncate to µs (the same
+      ns→µs truncation DuckDB applies) and convert.
+    - TIMESTAMP_NTZ (naive µs): value-preserving cast to TIMESTAMP —
+      the session TZ is pinned to UTC (session.py), so the LTZ value
+      equals the naive value the DuckDB oracle sees.
+    - TIMESTAMP: already the form watermarks/unix_micros need.
+
+    Streaming watermarks (`withWatermark`) and `unix_micros` both
+    reject TIMESTAMP_NTZ, so every ts consumer goes through here.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -38,13 +64,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_session_compat(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts stored as TIMESTAMP(NANOS): read as int64 ns under
-        # spark.sql.legacy.parquet.nanosAsLong, truncate to µs — the
-        # same ns→µs truncation DuckDB applies when it reads the file.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_ts(df)
     return df
 
 

@@ -33,6 +33,20 @@ from mapreduce_distributed_systems_spark.operators.events import (
     TUMBLING_ORACLE,
 )
 from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources.tables import normalize_ts
+
+# Nominal sentinel offset: far enough past max(ts) that the sentinel
+# can never merge into a real 30-minute session, in every ts
+# representation the driver data has shipped (bigint ns / TIMESTAMP /
+# TIMESTAMP_NTZ).
+_FAR_FUTURE_DAYS = 30
+
+
+def _far_future(df) -> F.Column:
+    """`ts + 30 days` in whatever domain the raw frame presents ts."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return F.col("ts") + F.lit(_FAR_FUTURE_DAYS * 86400 * 10**9)
+    return F.col("ts") + F.expr(f"INTERVAL {_FAR_FUTURE_DAYS} DAYS")
 
 
 @register(
@@ -49,12 +63,9 @@ def events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file through a temp dir of symlinks (zero-copy)
     src_dir = tempfile.mkdtemp(prefix="ev_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # same TIMESTAMP(NANOS) ns->us truncation as sources/tables.py
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # normalize_ts: watermarks require TIMESTAMP (LTZ) — covers the
+    # bigint-ns and TIMESTAMP_NTZ parquet representations alike
+    stream = normalize_ts(spark.readStream.schema(batch.schema).parquet(src_dir))
     stream = stream.withWatermark("ts", "2 hours")
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -93,11 +104,10 @@ def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="sess_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     # sentinel: one event far past max ts flushes all sessions out of
-    # append-mode state (user_id = -1, filtered from the output)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        far_future = F.col("ts") + F.lit(10**15)  # ns-domain offset
-    else:
-        far_future = F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    # append-mode state (user_id = -1, filtered from the output);
+    # written in the RAW ts representation so the sentinel parquet
+    # matches the on-disk schema the stream reads with
+    far_future = _far_future(raw)
     sentinel = (
         raw.agg(F.max("ts").alias("ts"))
         .select(
@@ -111,13 +121,11 @@ def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*[f.name for f in schema.fields])
     )
     sentinel.write.mode("overwrite").parquet(f"{src_dir}/zz-sentinel.dir")
-    stream = spark.readStream.schema(schema).option(
-        "recursiveFileLookup", "true"
-    ).parquet(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream = normalize_ts(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
     agg = (
         stream.withWatermark("ts", "0 seconds")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

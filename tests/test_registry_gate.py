@@ -13,37 +13,50 @@ from mapreduce_distributed_systems_spark.plans.registry import (
 
 DRIVER_GATE_WINDOW = 50
 
-# Round-3 gate policy (VERDICT r2 item 1): the window head is every
-# query that has never had a driver CORRECTNESS row (the 24 round-2
-# additions), followed by a re-certification slice led by the queries
-# whose code changed in round 3. Everything here MUST sit inside the
-# driver's 50-entry window.
-NEVER_CHECKED_R2 = {
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q12_ship_priority", "q13_customer_distribution", "q15_top_supplier",
-    "q16_part_supplier_cnt", "q17_small_qty_revenue",
-    "q20_excess_suppliers", "q21_waiting_suppliers",
-    "agg_percentiles", "map_ops", "unpivot_status_priority",
-    "skew_salted_join",
-    "events_range_join_concurrent", "events_funnel_conversion",
-    "events_weekly_retention", "events_sessionize_streaming",
-    "dedup_simhash", "dedup_repeated_passages", "text_token_rarity",
-    "corpus_bigram_topk", "ann_cosine_int8", "ann_ivf_kmeans",
+# Round-4 gate policy (VERDICT r3 items 1-2): head = the three queries
+# broken by the r3 TIMESTAMP_NTZ environment change and fixed in r4,
+# plus ann_ivf_kmeans (output reworked to hash-checkable); then the
+# stale-cert slice — queries whose only driver row predates the NTZ
+# environment change. Everything here MUST sit inside the driver's
+# 50-entry window.
+BROKEN_FIXED_R4 = {
+    "events_tumbling_streaming", "events_sessionize_streaming",
+    "kv_snapshot_compaction",
 }
 
-CHANGED_R3 = {
-    # code changed this round — must be re-certified by the driver
-    "mixture_weighted_sample", "stratified_sample_per_lang",
-    "dedup_exact_hash", "text_token_rarity", "kv_replay_final",
+CHANGED_R4 = {
+    # output/plan changed this round — must be re-certified
+    "ann_ivf_kmeans",
 }
 
-NEW_R3 = {
-    # registered for the first time in round 3 — a gate slot or they
-    # inherit the round-2 never-checked disease
-    "dedup_exact_normalized",
+STALE_R1_ONLY = {
+    # only driver row is r1 (pre-NTZ environment): the §2.D
+    # relational/window/set/function certification set
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q14_promo_effect", "q18_large_orders", "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "agg_distinct_priority", "agg_max_by", "agg_stats_segment",
+    "cube_returnflag_linestatus", "grouping_sets_orders",
+    "rollup_status_priority", "pivot_status_by_priority", "top_k_orders",
+    "join_anti_parts", "join_semi_customers", "join_left_outer",
+    "join_full_outer", "asof_purchase_view",
+    "set_union", "set_intersect", "set_intersect_all",
+    "set_except", "set_except_all",
+    "window_lag_lead", "window_rank_top3", "window_running_total",
+    "window_range_30d", "window_value_picks",
+    "scalar_funcs", "string_funcs_ext", "date_funcs_ext", "array_ops",
+    "events_json_props", "events_tumbling_hourly", "events_sliding_1h_30m",
 }
 
-MUST_GATE = NEVER_CHECKED_R2 | CHANGED_R3 | NEW_R3
+STALE_R2_PRIORITY = {
+    # only driver row is r2; highest-value members claim the remaining
+    # window slots (the rest rotate in round 5)
+    "events_sessionize", "kv_get_lookup", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier", "dedup_ngram_jaccard",
+    "inverted_index_bucketed", "wc_mr_facade", "dedup_embedding_cosine",
+}
+
+MUST_GATE = BROKEN_FIXED_R4 | CHANGED_R4 | STALE_R1_ONLY | STALE_R2_PRIORITY
 
 
 def test_gate_order_names_are_registered():

@@ -210,10 +210,15 @@ def test_streaming_sessionization_equals_batch(spark, sf_dir):
     # append-mode session windows only emit once the watermark passes a
     # session's END; a far-future sentinel event (user_id = -1, filtered
     # from the comparison) flushes every real session out of state
+    from mapreduce_distributed_systems_spark.sources.tables import normalize_ts
+    from mapreduce_distributed_systems_spark.streaming.event_stream import (
+        _far_future,
+    )
+
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     sentinel = raw.agg(F.max("ts").alias("ts")).select(
         F.lit(-1).cast("long").alias("event_id"),
-        (F.col("ts") + F.lit(10**15)).alias("ts"),  # max + ~11.5 days (ns)
+        _far_future(raw).alias("ts"),  # max + 30 days, any ts representation
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("view").alias("event_type"),
         F.lit(0.0).alias("value"),
@@ -221,10 +226,11 @@ def test_streaming_sessionization_equals_batch(spark, sf_dir):
     ).select(*[f.name for f in schema.fields])
     sentinel.write.mode("overwrite").parquet(f"{src}/zz-sentinel.parquet.dir")
     stream = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        normalize_ts(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
         .withWatermark("ts", "0 seconds")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
