@@ -96,6 +96,98 @@ def kmeans_fit(emb: DataFrame) -> tuple[DataFrame, np.ndarray, list[float]]:
     return assigned, cents, inertia
 
 
+# --------------------------------------------------------------------------
+# Integer-exact Lloyd's over the int8-quantized corpus (round-4,
+# VERDICT r3 item 6). Same deterministic recipe as the float fit above,
+# but EVERY quantity is an integer: vectors are the symmetric int8
+# quantization (identical expression to operators/vector_ops.py, already
+# bit-reproduced by DuckDB), distances are bigint sums of squared int
+# diffs, and centroid updates are floor divisions. That makes the whole
+# learned quantizer — init, every assignment, every update — exactly
+# replayable as (unrolled) SQL, which is what upgrades ann_ivf_kmeans
+# from a rows-only driver check to a full hash-certified one.
+# This is also a real production shape: FAISS-style IVF training over
+# SQ8-compressed vectors, 1/8 the scan bytes of the float corpus.
+# --------------------------------------------------------------------------
+
+N_ITER_INT8 = 2
+
+# symmetric per-vector int8: scale = max|x|/127, q = round(x/scale) —
+# verbatim the expression ann_cosine_int8 already hash-certifies
+Q8_EXPR = (
+    "transform(v, x -> cast(round(x / (greatest(array_max("
+    "transform(v, y -> abs(y))), 1e-12d) / 127.0d), 0) as bigint))"
+)
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double>) -> (vec_id, qv: array<bigint>)."""
+    return emb.select("vec_id", F.expr(Q8_EXPR).alias("qv"))
+
+
+def _init_centroids_int8(q8: DataFrame, k: int) -> np.ndarray:
+    seeds = (
+        q8.select("vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return np.array([r.qv for r in seeds], dtype=np.int64)
+
+
+def assign_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
+    """Narrow pass: argmin_c sum_d (q_d - c_d)^2 in int64 (exact),
+    ties -> lower cell (argmin returns the first minimum)."""
+    import pandas as pd
+
+    bc = cents
+
+    def assign_batch(batches):
+        for pdf in batches:
+            m = np.array(list(pdf["qv"]), dtype=np.int64)
+            d2 = ((m[:, None, :] - bc[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": d2.argmin(axis=1).astype("int32")}
+            )
+
+    return q8.mapInPandas(assign_batch, schema="vec_id long, cell int")
+
+
+def kmeans_fit_int8(
+    q8: DataFrame, k: int = K, n_iter: int = N_ITER_INT8
+) -> np.ndarray:
+    """n_iter integer Lloyd rounds; returns the final int64 centroids.
+
+    Per iteration: one narrow assignment pass + one groupBy(cell)
+    shuffle of O(k x dim) integer partial sums; the only driver-side
+    action is the bounded k-row stats collect (same shape as the float
+    kmeans_fit above and MLlib's iteration). Centroid update is
+    floor(sum / n) — floor division, exact in int64, mirrored exactly
+    by the SQL oracle."""
+    dim = len(q8.select("qv").head()["qv"])
+    cents = _init_centroids_int8(q8, k)
+    for _ in range(n_iter):
+        assigned = assign_int8(q8, cents)
+        stats = (
+            assigned.join(q8, "vec_id")
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep previous centroid
+        for r in stats:
+            sums = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.int64)
+            new[r.cell] = sums // r.n  # floor division, exact
+        cents = new
+    return cents
+
+
 @register(
     "kmeans_cells",
     oracle=None,  # iterative algorithm; invariants in tests/test_kmeans.py

@@ -405,47 +405,173 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_kmeans_oracle(
+    k: int, n_iter: int, dim: int, n_probe: int, top_k: int, cap: int
+) -> str:
+    """Unrolled-SQL replay of the ENTIRE int8 IVF-kmeans pipeline
+    (operators/kmeans.py kmeans_fit_int8 + the probe/rank below).
+    Every learned quantity is an integer (int8 vectors, bigint
+    distances, floor-division centroid updates), so DuckDB reproduces
+    the index bit-for-bit — that is what makes a hash-certifiable
+    oracle for an iterative algorithm possible at all."""
+    sql = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / (greatest(list_max(
+           list_transform(v, y -> abs(y))), 1e-12) / 127.0), 0) AS BIGINT))
+           AS qv
+  FROM e
+),
+dims AS (SELECT unnest(range(1, {dim + 1})) AS d),
+comps AS (SELECT vec_id, d, qv[d] AS x FROM q8, dims),
+cents0 AS (
+  SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS cv FROM (
+    SELECT qv, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q8
+  ) WHERE rn <= {k}
+)"""
+    ]
+    prev = "cents0"
+    for i in range(1, n_iter + 1):
+        sql.append(
+            f""",
+d{i} AS (
+  SELECT q8.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+           j -> (q8.qv[j] - c.cv[j]) * (q8.qv[j] - c.cv[j]))) AS BIGINT) AS dist2
+  FROM q8 CROSS JOIN {prev} c
+),
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+s{i} AS (
+  SELECT a.cell, c.d, CAST(sum(c.x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM comps c JOIN a{i} a USING (vec_id) GROUP BY a.cell, c.d
+),
+u{i} AS (
+  SELECT cell, list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY d) AS cv
+  FROM s{i} GROUP BY cell
+),
+cents{i} AS (
+  SELECT p.cell, coalesce(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN u{i} u USING (cell)
+)"""
+        )
+        prev = f"cents{i}"
+    sql.append(
+        f""",
+df AS (
+  SELECT q8.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+           j -> (q8.qv[j] - c.cv[j]) * (q8.qv[j] - c.cv[j]))) AS BIGINT) AS dist2
+  FROM q8 CROSS JOIN {prev} c
+),
+af AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM df
+  ) WHERE rn = 1
+),
+qq AS (SELECT vec_id AS query_id, qv AS qu FROM q8
+       WHERE {QUERY_FILTER} ORDER BY vec_id LIMIT {cap}),
+pd AS (
+  SELECT qq.query_id, c.cell,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+           j -> (qq.qu[j] - c.cv[j]) * (qq.qu[j] - c.cv[j]))) AS BIGINT) AS dist2
+  FROM qq CROSS JOIN {prev} c
+),
+probed AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist2, cell) AS rn
+    FROM pd
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN af a USING (cell) WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+               (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
+                sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))), 6) AS cos_q8
+  FROM cand c
+  JOIN q8 a ON a.vec_id = c.query_id JOIN q8 b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_q8 DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_q8, rank FROM ranked WHERE rank <= {top_k}"""
+    )
+    return "".join(sql)
+
+
+IVF_KMEANS_K = 8
+IVF_KMEANS_ITER = 2
+
+ANN_IVF_KMEANS_ORACLE = _ivf_kmeans_oracle(
+    k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER, dim=DIM,
+    n_probe=N_PROBE, top_k=TOP_K, cap=ANN_QUERY_CAP,
+)
+
+
 @register(
     "ann_ivf_kmeans",
-    oracle=None,  # k-means is iterative (no single-statement SQL form);
-    # recall floor vs the brute-force baseline pinned in
-    # tests/test_similarity.py
+    oracle=ANN_IVF_KMEANS_ORACLE,
     tags=("similarity", "ann", "ivf", "kmeans"),
-    doc="IVF with a REAL learned coarse quantizer: deterministic Lloyd "
-    "k-means cells (operators/kmeans.py) instead of labels; queries "
-    "probe the 3 nearest cells by centroid distance, exact cosine rank "
-    "runs only inside probed cells. The production IVF shape: build "
-    "once (k-means), then scan cost is n_probe/k of the corpus.",
+    doc="IVF with a REAL learned coarse quantizer: integer-exact Lloyd "
+    "k-means over the int8-quantized corpus (kmeans_fit_int8 — int8 "
+    "vectors, bigint distances, floor-division centroid updates); "
+    "queries probe the 3 nearest cells by centroid distance, cosine "
+    "rank (integer dot products) runs only inside probed cells. The "
+    "production IVF-SQ8 shape: build once, then scan n_probe/k of the "
+    "corpus at 1/8 the bytes. Every learned quantity is an integer, so "
+    "the DuckDB oracle replays the whole pipeline — init, 2 Lloyd "
+    "rounds, final assignment, probe, rank — bit-for-bit (round-4 "
+    "upgrade from a rows-only to a hash-certified check). Recall floor "
+    "vs the float brute force: tests/test_similarity.py.",
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_distributed_systems_spark.operators.kmeans import (
-        _assign,
-        kmeans_fit,
+        assign_int8,
+        kmeans_fit_int8,
+        quantize_int8,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    _, cents, _ = kmeans_fit(emb)
-    # re-assign with the FINAL centroids so the index and the probe
-    # routing agree (kmeans_fit's last assignment predates its last
-    # centroid update)
-    assigned = _assign(emb, cents).select("vec_id", "cell")
+    q8 = quantize_int8(emb)
+    cents = kmeans_fit_int8(q8, k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER)
+    # final assignment with the FINAL centroids so the index and the
+    # probe routing agree
+    assigned = assign_int8(q8, cents).select("vec_id", "cell")
     cells = spark.createDataFrame(
-        [(int(c), [float(x) for x in cents[c]]) for c in range(len(cents))],
-        "cell int, cv array<double>",
+        [(int(c), [int(x) for x in cents[c]]) for c in range(len(cents))],
+        "cell int, cv array<bigint>",
     )
     q = (
-        emb.where(F.expr(QUERY_FILTER))
+        q8.where(F.expr(QUERY_FILTER))
         .orderBy("vec_id")
         .limit(ANN_QUERY_CAP)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qu"))
     )
     qd = q.crossJoin(F.broadcast(cells)).withColumn(
         "dist2",
         F.expr(
-            "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
-            "0d, (a, x) -> a + x)"
+            "aggregate(zip_with(qu, cv, (x, y) -> (x - y) * (x - y)), "
+            "0L, (a, x) -> a + x)"
         ),
     )
     cw = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
@@ -454,31 +580,32 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cell_rank") <= N_PROBE)
         .select("query_id", "cell")
     )
-    embn = emb.withColumn("nrm", norm_expr("v")).join(assigned, "vec_id")
+    q8a = q8.join(assigned, "vec_id")
     cand = (
         F.broadcast(probed)
-        .join(embn, "cell")
+        .join(q8a, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("v").alias("nv"),
-            F.col("nrm").alias("nnrm"),
-        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("qv").alias("nv"))
     )
-    qn = embn.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    qn = q8.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qu"))
+    idot = F.expr(
+        "aggregate(zip_with(qu, nv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    )
+    inorm = (
+        "sqrt(cast(aggregate(transform({0}, x -> x * x), 0L, (a, x) -> a + x)"
+        " as double))"
     )
     scored = cand.join(qn, "query_id").select(
         "query_id",
         "neighbor_id",
-        F.round(dot_expr("qv", "nv") / (F.col("qnrm") * F.col("nnrm")), 6).alias(
-            "cos_sim"
-        ),
+        F.round(
+            idot.cast("double")
+            / (F.expr(inorm.format("qu")) * F.expr(inorm.format("nv"))),
+            6,
+        ).alias("cos_q8"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_q8"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= TOP_K
     )
