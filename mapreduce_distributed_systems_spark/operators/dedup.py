@@ -180,12 +180,16 @@ JACCARD_THRESHOLD = 0.5
 LSH_BUCKET_CAP = 32
 
 
-def shingle_table(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, 3-word shingle) pairs."""
+def shingles_raw(docs: DataFrame) -> DataFrame:
+    """(doc_id, 3-word shingle) pairs WITH duplicates — a narrow
+    explode, no shuffle. Sufficient for the signature path: a min
+    aggregate over a multiset equals the min over its set, so MinHash
+    signatures never need the distinct. Use shingle_table (below) only
+    where set semantics matter (sizes, exact-Jaccard intersections)."""
     toks = docs.select("doc_id", words("text").alias("t")).where(
         F.size("t") >= SHINGLE_K
     )
-    sh = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -195,7 +199,11 @@ def shingle_table(docs: DataFrame) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return sh.dropDuplicates(["doc_id", "shingle"])
+
+
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 3-word shingle) pairs (one shuffle)."""
+    return shingles_raw(docs).dropDuplicates(["doc_id", "shingle"])
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -392,7 +400,10 @@ FROM bsizes GROUP BY band
 )
 def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bands = lsh_bands(minhash_signatures(shingle_table(docs)))
+    # signatures-only path: shingles_raw skips the distinct shuffle
+    # (min over a multiset == min over the set, so the signatures —
+    # and this histogram — are identical; round-4, ROADMAP item 1)
+    bands = lsh_bands(minhash_signatures(shingles_raw(docs)))
     bsz = bands.groupBy("band", "bkey").agg(F.count("*").alias("bn"))
     over = F.col("bn") > LSH_BUCKET_CAP
     return bsz.groupBy("band").agg(

@@ -172,12 +172,40 @@ def run_controller_script() -> ShardController:
     return ctl
 
 
+# Golden snapshot of the controller history (round 4): the full
+# (num, shard, gid) table CONTROLLER_SCRIPT produces, committed as a
+# literal. tests/test_shard.py asserts literal == algorithm output, so
+# the driver's hash check becomes a real regression gate on the
+# rebalancer (any drift in _rebalance breaks BOTH the pytest pin and
+# the driver row) instead of a vacuous rows-only count.
+HISTORY_GOLDEN_VALUES = """
+(0,0,0), (0,1,0), (0,2,0), (0,3,0), (0,4,0), (0,5,0), (0,6,0), (0,7,0),
+(0,8,0), (0,9,0), (1,0,1), (1,1,1), (1,2,1), (1,3,1), (1,4,1), (1,5,2),
+(1,6,2), (1,7,2), (1,8,2), (1,9,2), (2,0,1), (2,1,1), (2,2,1), (2,3,1),
+(2,4,3), (2,5,2), (2,6,2), (2,7,2), (2,8,3), (2,9,3), (3,0,1), (3,1,1),
+(3,2,1), (3,3,1), (3,4,3), (3,5,1), (3,6,3), (3,7,3), (3,8,3), (3,9,3),
+(4,0,1), (4,1,1), (4,2,1), (4,3,1), (4,4,3), (4,5,1), (4,6,3), (4,7,1),
+(4,8,3), (4,9,3), (5,0,1), (5,1,1), (5,2,1), (5,3,4), (5,4,3), (5,5,4),
+(5,6,3), (5,7,5), (5,8,3), (5,9,5), (6,0,3), (6,1,4), (6,2,5), (6,3,4),
+(6,4,3), (6,5,4), (6,6,3), (6,7,5), (6,8,3), (6,9,5), (7,0,0), (7,1,0),
+(7,2,0), (7,3,0), (7,4,0), (7,5,0), (7,6,0), (7,7,0), (7,8,0), (7,9,0)
+"""
+
+HISTORY_GOLDEN_ORACLE = f"""
+SELECT num, shard, gid
+FROM (VALUES {HISTORY_GOLDEN_VALUES}) t(num, shard, gid)
+"""
+
+
 @register(
     "shard_rebalance_history",
-    oracle=None,  # driver-side deterministic algorithm; invariants in tests
+    oracle=HISTORY_GOLDEN_ORACLE,  # golden snapshot, algorithm-pinned
     tags=("shard", "controller"),
     doc="Config history (num, shard, gid) after a fixed Join/Leave/Move "
-    "script; balance + minimal-movement invariants in tests/test_shard.py.",
+    "script. Oracle = the committed golden snapshot of the history "
+    "(HISTORY_GOLDEN_VALUES), which tests/test_shard.py pins to the "
+    "live _rebalance algorithm — balance + minimal-movement invariants "
+    "are tested there too (200-step randomized).",
 )
 def shard_rebalance_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctl = run_controller_script()
@@ -220,13 +248,134 @@ def shard_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C14: serve during migration (round 4 — closes the last partial §2.C
+# item). In the reference, a group keeps serving a shard through a
+# reconfiguration until the handoff completes, then the receiver takes
+# over (shardkv skeleton contract; shardkv/test_test.go exercises
+# availability across config changes). The batch analogue: pick the
+# CONTROLLER_SCRIPT's config-5 -> config-6 transition (leave [1]:
+# shards 0,1,2 hand off from group 1 to groups 3,4,5; shards 3-9 never
+# move), derive each shard's handoff point from the DATA (the midpoint
+# of its op stream in (ts, event_id) order), and route every op to the
+# group that serves it at that moment — old owner before the handoff,
+# new owner after. tests/test_shard.py pins the literal configs to the
+# controller algorithm's actual output, so the constants cannot drift.
+#
+# Scale note (100 TB): the routing is one window over the shard
+# partitioning (the same single shuffle every per-shard op needs); the
+# config pair is a 10-row broadcast in a real deployment. Serve
+# routing is a narrow projection — no extra exchange.
+# --------------------------------------------------------------------------
+
+MIGRATION_OLD = (1, 1, 1, 4, 3, 4, 3, 5, 3, 5)  # Config 5 of CONTROLLER_SCRIPT
+MIGRATION_NEW = (3, 4, 5, 4, 3, 4, 3, 5, 3, 5)  # Config 6 (after leave [1])
+
+SHARD_SERVE_ORACLE = f"""
+WITH routed AS (
+  SELECT ascii(substring(CAST(user_id % 20 AS VARCHAR), 1, 1)) % 10 AS shard,
+         ts, event_id
+  FROM events
+),
+ranked AS (
+  SELECT shard,
+         row_number() OVER (PARTITION BY shard ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY shard) AS n
+  FROM routed
+),
+served AS (
+  SELECT shard,
+         {list(MIGRATION_OLD)}[shard + 1] AS old_gid,
+         {list(MIGRATION_NEW)}[shard + 1] AS new_gid,
+         CASE WHEN rn * 2 <= n
+              THEN {list(MIGRATION_OLD)}[shard + 1]
+              ELSE {list(MIGRATION_NEW)}[shard + 1] END AS served_gid,
+         {list(MIGRATION_OLD)}[shard + 1] <> {list(MIGRATION_NEW)}[shard + 1]
+           AS moved
+  FROM ranked
+)
+SELECT shard, old_gid, new_gid, served_gid, moved, count(*) AS n_ops
+FROM served
+GROUP BY shard, old_gid, new_gid, served_gid, moved
+"""
+
+
+@register(
+    "shard_serve_during_migration",
+    oracle=SHARD_SERVE_ORACLE,
+    tags=("shard", "migration", "availability"),
+    doc="C14 serve-during-migration: across the config-5 -> config-6 "
+    "transition (leave [1]), every op is served by the shard's OLD "
+    "owner until the shard's data-derived handoff point (midpoint of "
+    "its op stream in (ts, event_id) order) and by the NEW owner "
+    "after; moving shards (0,1,2) show both servers, stable shards "
+    "exactly one. Literal configs are pinned to the controller "
+    "algorithm's output by tests/test_shard.py.",
+)
+def shard_serve_during_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    routed = ev.select(
+        key2shard_col((F.col("user_id") % 20).cast("string")).alias("shard"),
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("shard").orderBy("ts", "event_id")
+    ranked = routed.select(
+        "shard",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("shard")).alias("n"),
+    )
+    old_arr = F.array(*[F.lit(g) for g in MIGRATION_OLD])
+    new_arr = F.array(*[F.lit(g) for g in MIGRATION_NEW])
+    old_gid = F.element_at(old_arr, F.col("shard") + 1)
+    new_gid = F.element_at(new_arr, F.col("shard") + 1)
+    served = ranked.select(
+        "shard",
+        old_gid.alias("old_gid"),
+        new_gid.alias("new_gid"),
+        F.when(F.col("rn") * 2 <= F.col("n"), old_gid)
+        .otherwise(new_gid)
+        .alias("served_gid"),
+        (old_gid != new_gid).alias("moved"),
+    )
+    return served.groupBy(
+        "shard", "old_gid", "new_gid", "served_gid", "moved"
+    ).agg(F.count("*").alias("n_ops"))
+
+
+MIGRATION_MOVES_ORACLE = f"""
+WITH hist AS (
+  SELECT num, shard, gid
+  FROM (VALUES {HISTORY_GOLDEN_VALUES}) t(num, shard, gid)
+),
+lagged AS (
+  SELECT num, shard, gid,
+         lag(gid) OVER (PARTITION BY shard ORDER BY num) AS prev_gid
+  FROM hist
+),
+mv AS (
+  SELECT * FROM lagged WHERE prev_gid IS NOT NULL AND gid <> prev_gid
+)
+SELECT num, count(*) AS n_moves,
+       string_agg(CAST(shard AS VARCHAR) || '>' || CAST(prev_gid AS VARCHAR)
+                  || '>' || CAST(gid AS VARCHAR), ',' ORDER BY shard) AS moves
+FROM mv GROUP BY num
+"""
+
+
 @register(
     "shard_migration_moves",
-    oracle=None,  # input is the driver-side controller history
+    oracle=MIGRATION_MOVES_ORACLE,  # lag-window recomputed over the
+    # algorithm-pinned golden history
     tags=("shard", "controller"),
     doc="C12 analogue: per config transition, which shards moved and "
     "how many — computed as a lag window over the config history "
-    "(shard movement is a data diff, not an RPC protocol).",
+    "(shard movement is a data diff, not an RPC protocol). The oracle "
+    "recomputes the SAME lag-window diff in SQL over the committed "
+    "golden history snapshot, so both the windowing and the "
+    "controller output are externally hash-checked.",
 )
 def shard_migration_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

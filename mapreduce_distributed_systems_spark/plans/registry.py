@@ -171,6 +171,16 @@ GATE_ORDER = (
     "dedup_embedding_cosine",
 )
 
+# Round-5 rotation note: the next window head should be (a) any query
+# whose code changed in round 4 and needs re-certification, (b) the
+# round-4 additions with no driver row yet (`shard_serve_during_migration`),
+# then (c) the remaining r2-only stale slice (dataset_split_assign,
+# dedup_lsh_bucket_stats, doc_fingerprint, embedding_centroids,
+# embedding_quantize_int8, kmeans_cells, lang_id_confusion,
+# profile_orders, sample_deterministic_10pct, shard_migration_moves,
+# shard_pruned_read, shard_rebalance_history, skew_salted_agg,
+# token_count_methods, window_ntile_pctrank).
+
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see

@@ -130,6 +130,24 @@ def test_dedup_exact_shuffles_on_hash_not_text(spark, sf_dir):
     assert "md5" in plan
 
 
+def test_lsh_bucket_stats_skips_distinct_shuffle(spark, sf_dir):
+    # signatures never need distinct shingles (min over multiset ==
+    # min over set), so the diagnostics query pays exactly three
+    # shuffles: signature groupBy(doc_id), bucket groupBy(band, bkey),
+    # band rollup — with NO dropDuplicates exchange before them
+    plan = physical_plan(get_spec("dedup_lsh_bucket_stats").fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_shard_serve_single_exchange(spark, sf_dir):
+    # C14 serve-during-migration must pay exactly the one shuffle the
+    # shard partitioning requires: the window runs on hashpartitioning
+    # (shard) and the final groupBy's keys include shard, so Spark
+    # must reuse that partitioning instead of exchanging again
+    plan = physical_plan(get_spec("shard_serve_during_migration").fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_funnel_is_one_plan_no_driver_action(spark, sf_dir):
     # round-3 fix (VERDICT r2 item 5): the signup denominator must be a
     # crossJoined 1-row aggregate inside the SAME plan, not a driver

@@ -96,3 +96,61 @@ def test_determinism():
     a = run_controller_script()
     b = run_controller_script()
     assert [c.shards for c in a.configs] == [c.shards for c in b.configs]
+
+
+def test_migration_config_literals_match_controller():
+    """The C14 query's literal config pair must be exactly configs 5
+    and 6 of CONTROLLER_SCRIPT — the constants cannot drift from the
+    rebalancer algorithm's actual output."""
+    from mapreduce_distributed_systems_spark.operators.shard import (
+        MIGRATION_NEW,
+        MIGRATION_OLD,
+    )
+
+    ctl = run_controller_script()
+    assert ctl.configs[5].shards == MIGRATION_OLD
+    assert ctl.configs[6].shards == MIGRATION_NEW
+    # the transition models a real migration: some shards move, most don't
+    moved = [s for s in range(NSHARDS) if MIGRATION_OLD[s] != MIGRATION_NEW[s]]
+    assert moved == [0, 1, 2]
+
+
+def test_serve_during_migration_availability(spark, sf_dir):
+    """C14 contract: every op is served by exactly one group, stable
+    shards are served only by their owner, and each moving shard is
+    served by BOTH its old and new owner across the handoff."""
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+    rows = get_spec("shard_serve_during_migration").fn(spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, grp in by_shard.items():
+        if grp[0].moved:
+            assert {r.served_gid for r in grp} == {grp[0].old_gid, grp[0].new_gid}
+        else:
+            assert {r.served_gid for r in grp} == {grp[0].old_gid}
+
+
+def test_history_golden_literal_matches_algorithm():
+    """The committed golden snapshot that serves as the driver oracle
+    for shard_rebalance_history / shard_migration_moves must be
+    exactly what the live rebalancer produces — if _rebalance drifts,
+    this pin and the driver row fail together."""
+    import re
+
+    from mapreduce_distributed_systems_spark.operators.shard import (
+        HISTORY_GOLDEN_VALUES,
+    )
+
+    golden = {
+        tuple(map(int, m))
+        for m in re.findall(r"\((\d+),(\d+),(\d+)\)", HISTORY_GOLDEN_VALUES)
+    }
+    ctl = run_controller_script()
+    live = {
+        (cfg.num, shard, gid)
+        for cfg in ctl.configs
+        for shard, gid in enumerate(cfg.shards)
+    }
+    assert golden == live
