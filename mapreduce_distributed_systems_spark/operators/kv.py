@@ -288,21 +288,12 @@ def kv_get_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def compacted_replay(ops: DataFrame, head_filter: F.Column) -> DataFrame:
-    """Snapshot-compaction composition (C6, kvraft snapshots): fold the
-    ops matching `head_filter` into a per-key snapshot, then apply the
-    remaining tail on top. Compaction must be semantically invisible:
-    for ANY split the result equals `replay(ops)` — which is exactly
-    what the shared oracle checks.
-
-    Scale note: this is the 100 TB op-log shape — the head fold runs
-    once (the materialized checkpoint), and incremental refreshes
-    replay only the tail; state merge is a per-key join, one shuffle.
-    """
-    writes = ops.where(F.col("op") != "get")
-    head = writes.where(head_filter)
-    tail = writes.where(~head_filter)
-    snap = replay(head).select(
+def merge_snapshot_and_tail(snap: DataFrame, tail: DataFrame) -> DataFrame:
+    """Apply a tail of writes on top of a materialized per-key snapshot
+    (`snap`: key, final_value, n_effective_ops). A tail put supersedes
+    the snapshot for its key; otherwise tail appends concatenate onto
+    the snapshot value. One per-key join — the 100 TB refresh shape."""
+    snap_named = snap.select(
         "key",
         F.col("final_value").alias("sv"),
         F.col("n_effective_ops").alias("se"),
@@ -320,7 +311,7 @@ def compacted_replay(ops: DataFrame, head_filter: F.Column) -> DataFrame:
         .distinct()
         .withColumn("tail_has_put", F.lit(True))
     )
-    j = snap.join(tail_state, "key", "full").join(tail_put, "key", "left")
+    j = snap_named.join(tail_state, "key", "full").join(tail_put, "key", "left")
     final_value = F.when(F.col("tail_has_put"), F.col("tv")).otherwise(
         F.concat(
             F.coalesce(F.col("sv"), F.lit("")),
@@ -334,6 +325,23 @@ def compacted_replay(ops: DataFrame, head_filter: F.Column) -> DataFrame:
         "key",
         final_value.alias("final_value"),
         final_eff.cast("long").alias("n_effective_ops"),
+    )
+
+
+def compacted_replay(ops: DataFrame, head_filter: F.Column) -> DataFrame:
+    """Snapshot-compaction composition (C6, kvraft snapshots): fold the
+    ops matching `head_filter` into a per-key snapshot, then apply the
+    remaining tail on top. Compaction must be semantically invisible:
+    for ANY split the result equals `replay(ops)` — which is exactly
+    what the shared oracle checks.
+
+    Scale note: this is the 100 TB op-log shape — the head fold runs
+    once (the materialized checkpoint), and incremental refreshes
+    replay only the tail; state merge is a per-key join, one shuffle.
+    """
+    writes = ops.where(F.col("op") != "get")
+    return merge_snapshot_and_tail(
+        replay(writes.where(head_filter)), writes.where(~head_filter)
     )
 
 

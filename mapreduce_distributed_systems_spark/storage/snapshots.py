@@ -1,0 +1,167 @@
+"""C6 snapshot/compaction at the STORAGE layer (ROADMAP item 6): the
+KV state checkpoint as a manifest-tracked parquet table, the way a
+Delta/Iceberg-style table format would commit it.
+
+The reference's snapshot (kvraft server snapshot contract) is a
+serialized state blob that replaces the log prefix; the storage-layer
+analogue is:
+
+  manifest.json   {version, cutoff, data_dir, n_keys}   <- the commit
+  snap-<ver>/     parquet of (key, final_value, n_effective_ops)
+
+Readers resolve the manifest first (atomic pointer — the parquet dir
+is immutable once committed), then load the snapshot and replay only
+the op-log tail on top. Two registered queries certify the semantics
+against the SAME full-replay DuckDB oracle family as the in-plan
+compaction (`kv_snapshot_compaction`):
+
+- `kv_snapshot_manifest_replay`: materialized snapshot + tail replay
+  == full replay (compaction through a real write/read round-trip is
+  semantically invisible);
+- `kv_get_time_travel`: reading the snapshot AS OF its cutoff equals
+  replaying the log prefix up to the cutoff (time-travel Get ≙
+  kv_get_asof against a stored version).
+
+Scale note (100 TB op logs): the snapshot write is one shuffle on key
+(the replay fold), the manifest is O(1), and every refresh reads
+{manifest + tail} instead of the whole log. This is exactly the
+incremental-refresh shape `pipeline_clean_corpus`'s incremental test
+pins for corpora, applied to operator state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.operators.kv import (
+    KV_REPLAY_ORACLE,
+    merge_snapshot_and_tail,
+    op_log,
+    replay,
+)
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+MANIFEST_VERSION = 1
+
+
+def write_snapshot(state: DataFrame, base_dir: str, cutoff_repr: str) -> str:
+    """Commit `state` (key, final_value, n_effective_ops) as an
+    immutable parquet snapshot + manifest pointer. Returns the
+    manifest path. The parquet write happens BEFORE the manifest is
+    written, so a reader never sees a manifest pointing at missing
+    data — the manifest write is the atomic commit point (the same
+    ordering a table-format commit protocol uses)."""
+    data_dir = os.path.join(base_dir, f"snap-{MANIFEST_VERSION:03d}")
+    state.write.mode("overwrite").parquet(data_dir)
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "cutoff": cutoff_repr,
+        "data_dir": data_dir,
+        "n_keys": None,  # optional stats; kept null to avoid an extra job
+    }
+    path = os.path.join(base_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)  # atomic pointer swap
+    return path
+
+
+def read_snapshot(spark: SparkSession, base_dir: str) -> tuple[DataFrame, dict]:
+    """Resolve the manifest, then load the snapshot it points at."""
+    with open(os.path.join(base_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(manifest["data_dir"]), manifest
+
+
+def _writes_with_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-log writes with the epoch-midpoint cutoff attached (the same
+    arbitrary-by-construction cutoff kv_snapshot_compaction uses)."""
+    ops = op_log(load_table(spark, sf_dir, "events"))
+    writes = ops.where(F.col("op") != "get")
+    bounds = writes.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    return writes.crossJoin(F.broadcast(bounds)).withColumn(
+        "cutoff",
+        F.expr("timestamp_micros((unix_micros(t0) + unix_micros(t1)) div 2)"),
+    )
+
+
+@register(
+    "kv_snapshot_manifest_replay",
+    oracle=KV_REPLAY_ORACLE,  # compaction through storage == full replay
+    tags=("kv", "stateful", "compaction", "storage"),
+    doc="C6 at the storage layer: fold the op-log head into a REAL "
+    "manifest-committed parquet snapshot (write, then atomic manifest "
+    "pointer), read it back through the manifest, replay only the "
+    "tail on top. Gated on the FULL-replay oracle, proving the "
+    "materialized checkpoint round-trip is semantically invisible — "
+    "the storage twin of kv_snapshot_compaction's in-plan split.",
+)
+def kv_snapshot_manifest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _writes_with_cutoff(spark, sf_dir)
+    head = wc.where(F.col("ts") <= F.col("cutoff"))
+    tail = wc.where(F.col("ts") > F.col("cutoff"))
+    base = tempfile.mkdtemp(prefix="kv_snap_")
+    write_snapshot(replay(head), base, cutoff_repr="epoch-midpoint")
+    snap, _manifest = read_snapshot(spark, base)
+    return merge_snapshot_and_tail(snap, tail)
+
+
+# Time-travel oracle: the state AS OF the epoch-midpoint cutoff — the
+# replay restricted to ts <= cutoff, with the cutoff computed the same
+# way in both engines (integer microsecond midpoint).
+KV_TIME_TRAVEL_ORACLE = """
+WITH writes0 AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+         CASE WHEN event_type IN ('signup', 'purchase') THEN 'put'
+              WHEN event_type IN ('click', 'view') THEN 'append'
+              ELSE 'get' END AS op,
+         CAST(value AS VARCHAR) AS payload,
+         ts, event_id
+  FROM events
+  WHERE event_type IN ('signup', 'purchase', 'click', 'view')
+),
+b AS (
+  SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2)
+    AS cutoff
+  FROM writes0
+),
+ops AS (SELECT w.* FROM writes0 w, b WHERE w.ts <= b.cutoff),
+writes AS (
+  SELECT key, op, payload,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS seq
+  FROM ops
+),
+lp AS (SELECT key, max(seq) AS last_put_seq FROM writes WHERE op = 'put' GROUP BY key)
+SELECT w.key,
+       string_agg(w.payload, '' ORDER BY w.seq) AS final_value,
+       count(*) AS n_effective_ops
+FROM writes w LEFT JOIN lp ON w.key = lp.key
+WHERE w.seq >= coalesce(lp.last_put_seq, 0)
+GROUP BY w.key
+"""
+
+
+@register(
+    "kv_get_time_travel",
+    oracle=KV_TIME_TRAVEL_ORACLE,
+    tags=("kv", "lookup", "storage", "time-travel"),
+    doc="Time-travel read: the manifest-committed snapshot AS OF its "
+    "cutoff must equal replaying the log prefix up to that cutoff — "
+    "the table-format time-travel contract (read version N, not "
+    "current state). The oracle recomputes the prefix replay with the "
+    "identical integer-microsecond midpoint cutoff.",
+)
+def kv_get_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _writes_with_cutoff(spark, sf_dir)
+    head = wc.where(F.col("ts") <= F.col("cutoff"))
+    base = tempfile.mkdtemp(prefix="kv_tt_")
+    write_snapshot(replay(head), base, cutoff_repr="epoch-midpoint")
+    snap, _manifest = read_snapshot(spark, base)
+    return snap.select("key", "final_value", "n_effective_ops")
