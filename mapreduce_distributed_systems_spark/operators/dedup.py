@@ -354,6 +354,153 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# MinHash estimator calibration (round 4): the point of MinHash at
+# 100 TB is replacing the exact-Jaccard verification join (which must
+# re-shuffle shingles for every candidate pair) with the signature
+# estimate est = (#matching perms)/8, which is FREE once signatures
+# exist. This query certifies that trade quantitatively: per candidate
+# pair, the estimate next to the exact value and the absolute error —
+# multi-row, deterministic (est is an exact multiple of 0.125; the
+# exact side reuses the integer intersection counts), fully
+# SQL-mirrored.
+# --------------------------------------------------------------------------
+
+MINHASH_EST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+mh AS (
+  SELECT doc_id,
+         {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(N_PERMS))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+                   WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
+  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+small_buckets AS (
+  SELECT band, bkey FROM bands GROUP BY band, bkey
+  HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+kept_bands AS (
+  SELECT b.* FROM bands b JOIN small_buckets s
+    ON s.band = b.band AND s.bkey = b.bkey
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept_bands a JOIN kept_bands b ON a.band = b.band AND a.bkey = b.bkey
+                           AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({' + '.join(f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END" for i in range(N_PERMS))})
+           / CAST({N_PERMS} AS DOUBLE) AS est_jaccard
+  FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a JOIN mh mb ON mb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(coalesce(i.i, 0) AS DOUBLE)
+               / (na.n + nb.n - coalesce(i.i, 0)), 4) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+       round(abs(e.est_jaccard - x.jaccard), 4) AS abs_err
+FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=MINHASH_EST_ORACLE,
+    tags=("dedup", "lsh", "estimator"),
+    doc="MinHash estimator calibration: for every LSH candidate pair, "
+    "the signature-based Jaccard estimate (#matching perms / 8 — the "
+    "verification-free scale path) next to the exact shingle-set "
+    "Jaccard and the absolute error. Certifies the estimator the "
+    "100 TB pipeline would rely on instead of the exact join.",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs).cache()
+    sig = minhash_signatures(sh)
+    cand = lsh_candidates(sig)
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_PERMS)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_PERMS)
+    )
+    est = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(N_PERMS))).alias("est_jaccard"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias("abs_err"),
+    )
+
+
 LSH_STATS_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
