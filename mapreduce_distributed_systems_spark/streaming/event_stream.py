@@ -88,6 +88,63 @@ def events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_tumbling_streaming_append",
+    oracle=TUMBLING_ORACLE,  # identical oracle to the batch twin
+    tags=("events", "window-agg", "streaming", "append"),
+    doc="APPEND-mode streaming tumbling window — the 24/7 production "
+    "path where the watermark closes and emits each window exactly "
+    "once. A far-future sentinel row (event_type sentinel, filtered "
+    "from the output) advances the watermark past every real window "
+    "so the finite replay emits them all; gated on the identical "
+    "batch oracle, certifying the append/watermark close path that "
+    "the complete-mode twin (events_tumbling_streaming) does not "
+    "exercise.",
+)
+def events_tumbling_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw.schema
+    src_dir = tempfile.mkdtemp(prefix="evap_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    sentinel = (
+        raw.agg(F.max("ts").alias("ts"))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            _far_future(raw).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("zz-sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .select(*[f.name for f in schema.fields])
+    )
+    sentinel.write.mode("overwrite").parquet(f"{src_dir}/zz-sentinel.dir")
+    stream = normalize_ts(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    name = f"evap_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="evap_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).where(F.col("event_type") != "zz-sentinel")
+
+
+@register(
     "events_sessionize_streaming",
     oracle=SESSION_ORACLE,  # identical oracle to the batch twin
     tags=("events", "session", "streaming"),
