@@ -19,7 +19,7 @@ def _rows(df):
     return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_roundtrip_orders(spark, sf_dir, fmt):
     orders = load_table(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix=f"fmt_{fmt}_") + "/orders"
