@@ -49,6 +49,29 @@ def _far_future(df) -> F.Column:
     return F.col("ts") + F.expr(f"INTERVAL {_FAR_FUTURE_DAYS} DAYS")
 
 
+def _write_sentinel(raw: DataFrame, src_dir: str, event_type: str) -> None:
+    """Write the one far-future watermark-flush row (user_id = -1) as
+    a sibling parquet in the RAW ts representation, so the stream's
+    schema matches every file it reads. Append-mode finite replays
+    need it: the watermark only passes a window/session's end once a
+    later event arrives, so without the sentinel the trailing state
+    would never be emitted."""
+    schema = raw.schema
+    sentinel = (
+        raw.agg(F.max("ts").alias("ts"))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            _far_future(raw).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(event_type).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .select(*[f.name for f in schema.fields])
+    )
+    sentinel.write.mode("overwrite").parquet(f"{src_dir}/zz-sentinel.dir")
+
+
 @register(
     "events_tumbling_streaming",
     oracle=TUMBLING_ORACLE,  # identical oracle to the batch twin
@@ -102,24 +125,11 @@ def events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_tumbling_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    schema = raw.schema
     src_dir = tempfile.mkdtemp(prefix="evap_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    sentinel = (
-        raw.agg(F.max("ts").alias("ts"))
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            _far_future(raw).alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("zz-sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("{}").alias("props"),
-        )
-        .select(*[f.name for f in schema.fields])
-    )
-    sentinel.write.mode("overwrite").parquet(f"{src_dir}/zz-sentinel.dir")
+    _write_sentinel(raw, src_dir, event_type="zz-sentinel")
     stream = normalize_ts(
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw.schema)
         .option("recursiveFileLookup", "true")
         .parquet(src_dir)
     )
@@ -157,29 +167,13 @@ def events_tumbling_streaming_append(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    schema = raw.schema
     src_dir = tempfile.mkdtemp(prefix="sess_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    # sentinel: one event far past max ts flushes all sessions out of
-    # append-mode state (user_id = -1, filtered from the output);
-    # written in the RAW ts representation so the sentinel parquet
-    # matches the on-disk schema the stream reads with
-    far_future = _far_future(raw)
-    sentinel = (
-        raw.agg(F.max("ts").alias("ts"))
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            far_future.alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("view").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("{}").alias("props"),
-        )
-        .select(*[f.name for f in schema.fields])
-    )
-    sentinel.write.mode("overwrite").parquet(f"{src_dir}/zz-sentinel.dir")
+    # sentinel flushes all sessions out of append-mode state
+    # (user_id = -1, filtered from the output)
+    _write_sentinel(raw, src_dir, event_type="view")
     stream = normalize_ts(
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw.schema)
         .option("recursiveFileLookup", "true")
         .parquet(src_dir)
     )
