@@ -165,3 +165,86 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("o_orderkey").unionByName(prof("o_custkey")).unionByName(
         prof("o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# Train/eval decontamination (round 4): the LLM-pipeline check that no
+# evaluation document leaks into the training split. Detection is on
+# the NORMALIZED content hash (casefold + whitespace-collapse — the
+# same normalization dedup_exact_normalized certifies), joined across
+# the split boundary. The corpus re-uses dedup_exact_normalized's
+# deterministic planted variants so the contamination branch provably
+# emits rows at any sf (the raw corpus has no byte-identical texts).
+#
+# Scale note (100 TB): the join key is a 16-byte hash; the eval side
+# is ~10% of the corpus by construction, so the join shuffles hashes
+# only — and in a real deployment the eval set is small enough to
+# broadcast, making decontamination a narrow map over training data.
+# --------------------------------------------------------------------------
+
+_NORM_HASH_SPARK = "md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"
+_NORM_HASH_DUCK = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+DECONTAMINATION_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, '  ' || upper(text) || '   '
+  FROM documents WHERE doc_id % 7 = 0
+),
+labeled AS (
+  SELECT doc_id,
+         {_NORM_HASH_DUCK} AS content_hash,
+         CASE WHEN {_BUCKET_DUCK} < 58982 THEN 'train'
+              WHEN {_BUCKET_DUCK} < 62259 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM corpus
+)
+SELECT t.doc_id AS train_doc_id,
+       e.doc_id AS eval_doc_id,
+       e.split AS eval_split,
+       t.content_hash
+FROM labeled t
+JOIN labeled e ON e.content_hash = t.content_hash AND e.split <> 'train'
+WHERE t.split = 'train'
+"""
+
+
+@register(
+    "corpus_decontamination",
+    oracle=DECONTAMINATION_ORACLE,
+    tags=("sampling", "pipeline", "dedup", "decontamination"),
+    doc="Train/eval decontamination: every (train doc, eval doc) pair "
+    "sharing a normalized content hash across the deterministic "
+    "90/5/5 split boundary — the leakage check a training pipeline "
+    "runs before shipping a dataset. Planted casefold/whitespace "
+    "variants guarantee the contamination branch is non-vacuous at "
+    "any sf; the join key is the 16-byte normalized hash.",
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    b = F.expr(_BUCKET_SPARK)
+    labeled = corpus.select(
+        "doc_id",
+        F.expr(_NORM_HASH_SPARK).alias("content_hash"),
+        F.when(b < 58982, "train")
+        .when(b < 62259, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train = labeled.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "content_hash"
+    )
+    ev = labeled.where(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.col("split").alias("eval_split"),
+        "content_hash",
+    )
+    return train.join(ev, "content_hash").select(
+        "train_doc_id", "eval_doc_id", "eval_split", "content_hash"
+    )
