@@ -248,3 +248,91 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(ev, "content_hash").select(
         "train_doc_id", "eval_doc_id", "eval_split", "content_hash"
     )
+
+
+# N-gram (passage-level) decontamination — the industry-standard
+# variant: an eval document is contaminated if any of its exact
+# character windows appears in a training document (catches eval text
+# EMBEDDED inside a larger training doc, which whole-document hashing
+# misses). Window hashing is identical to dedup_repeated_passages
+# (32-char windows, stride 16, md5); the shuffle carries 16-byte
+# hashes only.
+
+_PASSAGE_W = 32
+_PASSAGE_STRIDE = 16
+
+DECON_NGRAM_ORACLE = f"""
+WITH labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN {_BUCKET_DUCK} < 58982 THEN 'train'
+              WHEN {_BUCKET_DUCK} < 62259 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+),
+wins AS (
+  SELECT DISTINCT doc_id, split,
+         unnest(list_transform(
+           range(1, greatest(length(text) - {_PASSAGE_W - 2}, 2), {_PASSAGE_STRIDE}),
+           i -> md5(substring(text, i, {_PASSAGE_W})))) AS wh
+  FROM labeled
+),
+tr AS (SELECT DISTINCT wh, doc_id FROM wins WHERE split = 'train'),
+ev AS (SELECT doc_id, split, wh FROM wins WHERE split <> 'train')
+SELECT ev.doc_id AS eval_doc_id,
+       ev.split AS eval_split,
+       CAST(count(DISTINCT ev.wh) AS BIGINT) AS n_contaminated_passages,
+       CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs
+FROM ev JOIN tr ON tr.wh = ev.wh
+GROUP BY ev.doc_id, ev.split
+"""
+
+
+@register(
+    "corpus_decontamination_ngram",
+    oracle=DECON_NGRAM_ORACLE,
+    tags=("sampling", "pipeline", "dedup", "decontamination", "substring"),
+    doc="Passage-level train/eval decontamination: an eval document is "
+    "flagged when any of its exact 32-char windows (stride 16, md5 — "
+    "the dedup_repeated_passages machinery) appears in ANY training "
+    "document. Catches eval text embedded inside larger training "
+    "docs, which whole-document hashing misses; per eval doc, the "
+    "count of contaminated passages and of distinct offending "
+    "training docs.",
+)
+def corpus_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = F.expr(_BUCKET_SPARK)
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.when(b < 58982, "train")
+        .when(b < 62259, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    wins = labeled.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {_PASSAGE_W - 2}, 2), "
+                f"{_PASSAGE_STRIDE}), i -> md5(substring(text, i, {_PASSAGE_W})))"
+            )
+        ).alias("wh"),
+    ).distinct()
+    tr = (
+        wins.where(F.col("split") == "train")
+        .select(F.col("wh"), F.col("doc_id").alias("train_doc_id"))
+        .distinct()
+    )
+    ev = wins.where(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("split").alias("eval_split"), "wh"
+    )
+    return (
+        ev.join(tr, "wh")
+        .groupBy("eval_doc_id", "eval_split")
+        .agg(
+            F.count_distinct("wh").alias("n_contaminated_passages"),
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+        )
+    )
