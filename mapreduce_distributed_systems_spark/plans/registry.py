@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.vector_ops",
     "mapreduce_distributed_systems_spark.operators.packing",
     "mapreduce_distributed_systems_spark.operators.components",
+    "mapreduce_distributed_systems_spark.operators.sketches",
     "mapreduce_distributed_systems_spark.storage.snapshots",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
     "mapreduce_distributed_systems_spark.streaming.event_stream",
@@ -177,7 +178,8 @@ GATE_ORDER = (
 # round-4 additions with no driver row yet (`shard_serve_during_migration`,
 # `kv_snapshot_manifest_replay`, `kv_get_time_travel`,
 # `dedup_minhash_estimate`, `events_tumbling_streaming_append`,
-# `corpus_decontamination`, `corpus_decontamination_ngram`),
+# `corpus_decontamination`, `corpus_decontamination_ngram`,
+# `sketch_kmv_distinct`),
 # then (c) the remaining r2-only stale slice (dataset_split_assign,
 # dedup_lsh_bucket_stats, doc_fingerprint, embedding_centroids,
 # embedding_quantize_int8, kmeans_cells, lang_id_confusion,
