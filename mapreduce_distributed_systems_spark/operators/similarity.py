@@ -405,15 +405,15 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle(
-    k: int, n_iter: int, dim: int, n_probe: int, top_k: int, cap: int
-) -> str:
-    """Unrolled-SQL replay of the ENTIRE int8 IVF-kmeans pipeline
-    (operators/kmeans.py kmeans_fit_int8 + the probe/rank below).
-    Every learned quantity is an integer (int8 vectors, bigint
-    distances, floor-division centroid updates), so DuckDB reproduces
-    the index bit-for-bit — that is what makes a hash-certifiable
-    oracle for an iterative algorithm possible at all."""
+def _kmeans_cells_sql(k: int, n_iter: int, dim: int) -> str:
+    """Unrolled-SQL replay of the int8 Lloyd fit (operators/kmeans.py
+    kmeans_fit_int8): CTEs ending in `q8` (vec_id, qv) and `af`
+    (vec_id, cell — the final assignment). Every learned quantity is
+    an integer (int8 vectors, bigint distances, floor-division
+    centroid updates), so DuckDB reproduces the index bit-for-bit —
+    that is what makes hash-certifiable oracles for the iterative
+    quantizer's consumers (ann_ivf_kmeans, dedup_embedding_cosine_ivf)
+    possible at all."""
     sql = [
         f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -479,7 +479,17 @@ af AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
     FROM df
   ) WHERE rn = 1
-),
+)"""
+    )
+    return "".join(sql)
+
+
+def _ivf_kmeans_oracle(
+    k: int, n_iter: int, dim: int, n_probe: int, top_k: int, cap: int
+) -> str:
+    """The kmeans-cells prefix + the ANN probe/rank tail."""
+    prev = f"cents{n_iter}"
+    return _kmeans_cells_sql(k, n_iter, dim) + f""",
 qq AS (SELECT vec_id AS query_id, qv AS qu FROM q8
        WHERE {QUERY_FILTER} ORDER BY vec_id LIMIT {cap}),
 pd AS (
@@ -513,8 +523,6 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_q8, rank FROM ranked WHERE rank <= {top_k}"""
-    )
-    return "".join(sql)
 
 
 IVF_KMEANS_K = 8
@@ -608,4 +616,89 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("cos_q8"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= TOP_K
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup blocked by the LEARNED quantizer (round 4):
+# dedup_embedding_cosine's docstring promises "at scale the block key
+# is an LSH/IVF cell" — this query IS that plan. Pairs form only
+# inside a k-means cell (pair work corpus²/k instead of corpus² per
+# label), scored with integer dot products over the int8 vectors, and
+# because the quantizer is integer-exact the DuckDB oracle replays
+# cells + pairs + scores bit-for-bit.
+# --------------------------------------------------------------------------
+
+EMB_IVF_COSINE_THRESHOLD = 0.3  # same bar as the label-blocked twin
+
+EMB_IVF_ORACLE = _kmeans_cells_sql(
+    k=8, n_iter=2, dim=DIM
+) + f""",
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_dot_product(qa.qv, qb.qv) AS DOUBLE) /
+           (sqrt(CAST(list_dot_product(qa.qv, qa.qv) AS DOUBLE)) *
+            sqrt(CAST(list_dot_product(qb.qv, qb.qv) AS DOUBLE))) AS cos_q8
+  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN q8 qa ON qa.vec_id = a.vec_id
+  JOIN q8 qb ON qb.vec_id = b.vec_id
+)
+SELECT vec_a, vec_b, round(cos_q8, 4) AS cos_q8
+FROM pairs WHERE round(cos_q8, 6) >= {EMB_IVF_COSINE_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine_ivf",
+    oracle=EMB_IVF_ORACLE,
+    tags=("dedup", "embedding", "ivf", "kmeans"),
+    doc="Embedding near-dup with the LEARNED block key: candidate "
+    "pairs form only inside an int8-kmeans cell (the scale path "
+    "dedup_embedding_cosine's label blocking stands in for), scored "
+    "by integer-dot cosine over the quantized vectors. The "
+    "integer-exact quantizer makes the full pipeline — fit, "
+    "assignment, cell-blocked pairs, scores — hash-certified by the "
+    "DuckDB oracle. Pair work is corpus^2/k per cell vs corpus^2 "
+    "for an unblocked join.",
+)
+def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.operators.kmeans import (
+        assign_int8,
+        kmeans_fit_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q8 = quantize_int8(emb)
+    cents = kmeans_fit_int8(q8, k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER)
+    q8a = q8.join(assign_int8(q8, cents).select("vec_id", "cell"), "vec_id")
+    a = q8a.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa")
+    )
+    b = q8a.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb")
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    inorm = (
+        "sqrt(cast(aggregate(transform({0}, x -> x * x), 0L, (acc, x) -> acc + x)"
+        " as double))"
+    )
+    pairs = (
+        a.join(b, ["cell"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                idot.cast("double")
+                / (F.expr(inorm.format("qa")) * F.expr(inorm.format("qb")))
+            ).alias("cos_q8"),
+        )
+    )
+    return pairs.where(F.round("cos_q8", 6) >= EMB_IVF_COSINE_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("cos_q8", 4).alias("cos_q8")
     )

@@ -179,7 +179,7 @@ GATE_ORDER = (
 # `kv_snapshot_manifest_replay`, `kv_get_time_travel`,
 # `dedup_minhash_estimate`, `events_tumbling_streaming_append`,
 # `corpus_decontamination`, `corpus_decontamination_ngram`,
-# `sketch_kmv_distinct`),
+# `sketch_kmv_distinct`, `dedup_embedding_cosine_ivf`),
 # then (c) the remaining r2-only stale slice (dataset_split_assign,
 # dedup_lsh_bucket_stats, doc_fingerprint, embedding_centroids,
 # embedding_quantize_int8, kmeans_cells, lang_id_confusion,
