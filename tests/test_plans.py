@@ -148,6 +148,27 @@ def test_shard_serve_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_decontamination_joins_on_hash_not_text(spark, sf_dir):
+    # both decontamination variants must join across the split boundary
+    # on 16-byte hashes — the document text must never be a join or
+    # shuffle key
+    import re
+
+    for q in ("corpus_decontamination", "corpus_decontamination_ngram"):
+        plan = physical_plan(get_spec(q).fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "text" not in keys, f"{q}: text used as shuffle key: {keys}"
+
+
+def test_embedding_ivf_dedup_blocks_on_cell(spark, sf_dir):
+    # the pair join must be an equi-join on the learned cell id — no
+    # cartesian/unblocked pair explosion
+    plan = physical_plan(get_spec("dedup_embedding_cosine_ivf").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_funnel_is_one_plan_no_driver_action(spark, sf_dir):
     # round-3 fix (VERDICT r2 item 5): the signup denominator must be a
     # crossJoined 1-row aggregate inside the SAME plan, not a driver
