@@ -35,6 +35,9 @@ QUERIES = [
     "kv_snapshot_compaction",
     "events_tumbling_streaming",
     "events_sessionize_streaming",
+    # sorts raw ts inside its applyInPandasWithState fold — ordering
+    # must agree across int64-ns / naive / tz-aware pandas dtypes
+    "kv_replay_streaming",
 ]
 
 REPRESENTATIONS = ("ntz_us", "ltz_us", "nanos")
