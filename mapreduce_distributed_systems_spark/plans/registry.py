@@ -161,22 +161,27 @@ GATE_ORDER = (
     # events windows (ts-consuming — re-check under NTZ data)
     "events_tumbling_hourly",
     "events_sliding_1h_30m",
-    # -- stale-cert: only driver row is r2, highest value first (9) ---
+    # -- stale-cert: only driver row is r2, highest value first (5) ---
     "events_sessionize",
     "kv_get_lookup",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
     "dedup_ngram_jaccard",
     "inverted_index_bucketed",
-    "wc_mr_facade",
     "dedup_embedding_cosine",
+    # -- round-4 §2-completion queries: first driver row now ----------
+    # C14 closed this round; the controller queries' golden oracles
+    # upgrade their r2 rows-only rows to hash checks; C6 gains the
+    # storage-layer twin. (q1/q3/q5 and wc_mr_facade ceded these slots:
+    # benched every round, plan-pinned, r2 hash rows, and wc_mr_facade
+    # shares the thrice-certified wc oracle.)
+    "shard_serve_during_migration",
+    "shard_rebalance_history",
+    "shard_migration_moves",
+    "kv_snapshot_manifest_replay",
 )
 
 # Round-5 rotation note: the next window head should be (a) any query
 # whose code changed in round 4 and needs re-certification, (b) the
-# round-4 additions with no driver row yet (`shard_serve_during_migration`,
-# `kv_snapshot_manifest_replay`, `kv_get_time_travel`,
+# round-4 additions with no driver row yet (`kv_get_time_travel`,
 # `dedup_minhash_estimate`, `events_tumbling_streaming_append`,
 # `corpus_decontamination`, `corpus_decontamination_ngram`,
 # `sketch_kmv_distinct`, `dedup_embedding_cosine_ivf`),

@@ -51,12 +51,21 @@ STALE_R1_ONLY = {
 STALE_R2_PRIORITY = {
     # only driver row is r2; highest-value members claim the remaining
     # window slots (the rest rotate in round 5)
-    "events_sessionize", "kv_get_lookup", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier", "dedup_ngram_jaccard",
-    "inverted_index_bucketed", "wc_mr_facade", "dedup_embedding_cosine",
+    "events_sessionize", "kv_get_lookup", "dedup_ngram_jaccard",
+    "inverted_index_bucketed", "dedup_embedding_cosine",
 }
 
-MUST_GATE = BROKEN_FIXED_R4 | CHANGED_R4 | STALE_R1_ONLY | STALE_R2_PRIORITY
+NEW_R4_GATED = {
+    # round-4 §2-completion queries whose first driver row lands now:
+    # C14, the golden-oracle controller upgrades, C6 at storage
+    "shard_serve_during_migration", "shard_rebalance_history",
+    "shard_migration_moves", "kv_snapshot_manifest_replay",
+}
+
+MUST_GATE = (
+    BROKEN_FIXED_R4 | CHANGED_R4 | STALE_R1_ONLY | STALE_R2_PRIORITY
+    | NEW_R4_GATED
+)
 
 
 def test_gate_order_names_are_registered():
