@@ -596,22 +596,13 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 F.col("qv").alias("nv"))
     )
+    from mapreduce_distributed_systems_spark.functions.vector import int_cosine
+
     qn = q8.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qu"))
-    idot = F.expr(
-        "aggregate(zip_with(qu, nv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
-    )
-    inorm = (
-        "sqrt(cast(aggregate(transform({0}, x -> x * x), 0L, (a, x) -> a + x)"
-        " as double))"
-    )
     scored = cand.join(qn, "query_id").select(
         "query_id",
         "neighbor_id",
-        F.round(
-            idot.cast("double")
-            / (F.expr(inorm.format("qu")) * F.expr(inorm.format("nv"))),
-            6,
-        ).alias("cos_q8"),
+        F.round(int_cosine("qu", "nv"), 6).alias("cos_q8"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_q8"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
@@ -680,24 +671,12 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = q8a.select(
         F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb")
     )
-    idot = F.expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
-    )
-    inorm = (
-        "sqrt(cast(aggregate(transform({0}, x -> x * x), 0L, (acc, x) -> acc + x)"
-        " as double))"
-    )
+    from mapreduce_distributed_systems_spark.functions.vector import int_cosine
+
     pairs = (
         a.join(b, ["cell"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                idot.cast("double")
-                / (F.expr(inorm.format("qa")) * F.expr(inorm.format("qb")))
-            ).alias("cos_q8"),
-        )
+        .select("vec_a", "vec_b", int_cosine("qa", "qb").alias("cos_q8"))
     )
     return pairs.where(F.round("cos_q8", 6) >= EMB_IVF_COSINE_THRESHOLD).select(
         "vec_a", "vec_b", F.round("cos_q8", 4).alias("cos_q8")

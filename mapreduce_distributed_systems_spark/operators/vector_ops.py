@@ -138,20 +138,11 @@ def ann_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(256)
         .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qu"))
     )
-    idot = F.expr(
-        "aggregate(zip_with(qu, qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
-    )
-    inorm = "sqrt(cast(aggregate(transform({0}, x -> x * x), 0L, (a, x) -> a + x) as double))"
+    from mapreduce_distributed_systems_spark.functions.vector import int_cosine
+
     scored = (
         q8.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos_q8",
-            F.round(
-                idot.cast("double")
-                / (F.expr(inorm.format("qu")) * F.expr(inorm.format("qv"))),
-                6,
-            ),
-        )
+        .withColumn("cos_q8", F.round(int_cosine("qu", "qv"), 6))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_q8")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_q8"), F.asc("neighbor_id"))
