@@ -130,7 +130,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= MIN_TTR
         )
     )
-    exact_kept = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # exact-dedup stage shuffles on md5(text) — a 16-byte key, never
+    # the document body (round 4, same fix as dedup_exact)
+    exact_kept = (
+        gated.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
     kept = gated.join(exact_kept.select("doc_id"), "doc_id").cache()
 
     sh = shingle_table(kept.select("doc_id", "text"))

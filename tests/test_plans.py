@@ -119,15 +119,17 @@ def test_token_rarity_deskewed_join(spark, sf_dir):
 def test_dedup_exact_shuffles_on_hash_not_text(spark, sf_dir):
     # round-4 fix (VERDICT r3 item 7): the exact-dedup shuffle key must
     # be the 16-byte md5, never the full document body — at 100 TB the
-    # difference is shuffling ~32 bytes/doc vs the whole corpus
-    plan = physical_plan(get_spec("dedup_exact").fn(spark, sf_dir))
+    # difference is shuffling ~32 bytes/doc vs the whole corpus. The
+    # same stage inside pipeline_clean_corpus is held to the same bar.
     import re
 
-    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    assert exchanges, "expected a hash exchange in the dedup_exact plan"
-    for keys in exchanges:
-        assert "text" not in keys, f"full text used as shuffle key: {keys}"
-    assert "md5" in plan
+    for q in ("dedup_exact", "pipeline_clean_corpus"):
+        plan = physical_plan(get_spec(q).fn(spark, sf_dir))
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert exchanges, f"expected a hash exchange in the {q} plan"
+        for keys in exchanges:
+            assert "text" not in keys, f"{q}: full text as shuffle key: {keys}"
+        assert "md5" in plan
 
 
 def test_lsh_bucket_stats_skips_distinct_shuffle(spark, sf_dir):
