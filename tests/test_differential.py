@@ -42,8 +42,11 @@ def test_broadcast_vs_sortmerge_join(spark, sf_dir):
 
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):
-    """The documented scale trade for count(distinct): HLL must land
-    within 5% of exact on this data."""
+    """The documented scale trade for count(distinct): HLL with an
+    explicit rsd=0.02 must land within 3x rsd of exact. (The previous
+    form asserted 5% against the DEFAULT rsd=5% sketch — an ~1-sigma
+    bound that holds or fails by luck per cardinality; it failed at
+    sf0.01 with a 6.7% error, exactly in-spec for that sketch.)"""
     from pyspark.sql import functions as F
 
     from mapreduce_distributed_systems_spark.sources import load_table
@@ -51,9 +54,9 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     row = o.agg(
         F.countDistinct("o_custkey").alias("exact"),
-        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
     ).collect()[0]
-    assert abs(row.approx - row.exact) / row.exact <= 0.05
+    assert abs(row.approx - row.exact) / row.exact <= 0.06
 
 
 def test_approx_percentile_accuracy(spark, sf_dir):
