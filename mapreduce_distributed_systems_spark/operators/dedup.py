@@ -443,7 +443,12 @@ FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs).cache()
+    # No .cache(): in the long-lived driver/bench session that runs every
+    # registered query back-to-back, persisted blocks would outlive this
+    # query and pressure executor memory (ADVICE r4). The shingle scan
+    # recomputes per consumer, which Catalyst reuses via shuffle reuse
+    # where plans align.
+    sh = shingle_table(docs)
     sig = minhash_signatures(sh)
     cand = lsh_candidates(sig)
     siga = sig.select(

@@ -188,17 +188,39 @@ def kmeans_fit_int8(
     return cents
 
 
+def _kmeans_cells_oracle() -> str:
+    """Unrolled-SQL replay of the int8 Lloyd fit — shares the CTE
+    generator with ann_ivf_kmeans / dedup_embedding_cosine_ivf so all
+    three quantizer consumers certify the SAME learned index."""
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        DIM,
+        _kmeans_cells_sql,
+    )
+
+    return (
+        _kmeans_cells_sql(k=K, n_iter=N_ITER_INT8, dim=DIM)
+        + "\nSELECT vec_id, cell FROM af"
+    )
+
+
 @register(
     "kmeans_cells",
-    oracle=None,  # iterative algorithm; invariants in tests/test_kmeans.py
+    oracle=_kmeans_cells_oracle(),
     tags=("similarity", "iterative", "kmeans"),
-    doc="Deterministic Lloyd k-means (k=8, 3 iterations, md5-seeded "
-    "init): per-vector cell assignment — the coarse quantizer a real "
-    "IVF index would use.",
+    doc="Deterministic Lloyd k-means cell assignment — the coarse "
+    "quantizer a real IVF index uses. Round 5: switched from the "
+    "float fit to the integer-exact int8 fit (kmeans_fit_int8 — int8 "
+    "vectors, bigint distances, floor-division updates, md5-seeded "
+    "init) so the full iterative algorithm is hash-certified by an "
+    "unrolled-SQL DuckDB oracle instead of a rows-only check. The "
+    "float Lloyd variant remains as kmeans_fit for "
+    "embedding-centroid analytics, invariant-tested in "
+    "tests/test_kmeans.py.",
 )
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    assigned, _, _ = kmeans_fit(emb)
-    return assigned.select("vec_id", "cell")
+    q8 = quantize_int8(emb)
+    cents = kmeans_fit_int8(q8, k=K, n_iter=N_ITER_INT8)
+    return assign_int8(q8, cents).select("vec_id", "cell")

@@ -272,7 +272,7 @@ WITH labeled AS (
 wins AS (
   SELECT DISTINCT doc_id, split,
          unnest(list_transform(
-           range(1, greatest(length(text) - {_PASSAGE_W - 2}, 2), {_PASSAGE_STRIDE}),
+           range(1, greatest(length(text) - {_PASSAGE_W - 2}, 2) + 1, {_PASSAGE_STRIDE}),
            i -> md5(substring(text, i, {_PASSAGE_W})))) AS wh
   FROM labeled
 ),

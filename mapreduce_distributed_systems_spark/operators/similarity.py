@@ -623,7 +623,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_IVF_COSINE_THRESHOLD = 0.3  # same bar as the label-blocked twin
 
 EMB_IVF_ORACLE = _kmeans_cells_sql(
-    k=8, n_iter=2, dim=DIM
+    k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER, dim=DIM
 ) + f""",
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

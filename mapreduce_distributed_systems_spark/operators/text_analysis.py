@@ -288,7 +288,7 @@ PASSAGE_ORACLE = f"""
 WITH wins AS (
   SELECT doc_id,
          unnest(list_transform(
-           range(1, greatest(length(text) - {PASSAGE_W - 2}, 2), {PASSAGE_STRIDE}),
+           range(1, greatest(length(text) - {PASSAGE_W - 2}, 2) + 1, {PASSAGE_STRIDE}),
            i -> md5(substring(text, i, {PASSAGE_W})))) AS wh
   FROM documents
 )

@@ -18,13 +18,24 @@ import re
 
 from mapreduce_distributed_systems_spark.plans.registry import all_specs
 
+# Repo root: two levels up from this file (plans/ -> package -> repo).
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 
 def _certification() -> tuple[dict[str, list[str]], list[str]]:
     """query -> per-round driver verdicts, e.g. {'wc': ['r1:hash',
     'r3:hash'], 'kmeans_cells': ['r2:rows']}; plus the round labels."""
     certs: dict[str, list[str]] = {}
     rounds: list[str] = []
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    if not paths:
+        raise FileNotFoundError(
+            f"no CORRECTNESS_r*.json under {_REPO_ROOT}; refusing to render "
+            "a Certified column full of blanks"
+        )
+    for path in paths:
         rnd = "r" + os.path.basename(path)[len("CORRECTNESS_r"):].split(".")[0].lstrip("0")
         rounds.append(rnd)
         with open(path) as f:
@@ -77,6 +88,7 @@ def render() -> str:
 
 
 if __name__ == "__main__":
-    with open("QUERIES.md", "w") as f:
+    out = os.path.join(_REPO_ROOT, "QUERIES.md")
+    with open(out, "w") as f:
         f.write(render())
-    print("QUERIES.md regenerated")
+    print(f"{out} regenerated")

@@ -98,99 +98,94 @@ def _load() -> None:
 
 
 # Driver-gate priority order. The driver's CORRECTNESS check covers a
-# prefix of queries() (50 entries observed in rounds 1-3), so ordering
+# prefix of queries() (50 entries observed in rounds 1-4), so ordering
 # decides which queries get the hard external oracle signal. The window
-# ROTATES per round. Round-4 policy (VERDICT r3 items 1-2): the head is
-# the three queries broken by the TIMESTAMP_NTZ environment change and
-# fixed this round, plus ann_ivf_kmeans (output reworked to a
-# hash-checkable summary this round), followed by the STALE-CERT slice:
-# every query whose only driver row predates the r3 environment change
-# (the r1-only §2.D relational/window/set/function set, then the
-# highest-value r2-only queries). Everything outside the window stays
-# covered by tests/test_parity.py, which runs the same DuckDB oracles.
-# Certified-by-round map: COVERAGE.md.
+# ROTATES per round. Round-5 policy (VERDICT r4 item 1 + the r4
+# rotation note): head = queries whose CODE or ORACLE changed after
+# their newest driver row (the two md5-re-keyed in r4, the two whose
+# window-generation oracles got the off-by-one fix in r5, and
+# kmeans_cells, upgraded rows-only -> hash this round), then the seven
+# round-4 additions with no driver row at all, then the sixteen
+# r2-only stale certs, then the highest-value r3-certified queries up
+# to the window size. Everything outside the window stays covered by
+# tests/test_parity.py, which runs the same DuckDB oracles.
+# Certified-by-round map: COVERAGE.md / QUERIES.md.
 GATE_ORDER = (
-    # -- broken by the r3 TIMESTAMP_NTZ environment, fixed in r4 (3) --
-    "events_tumbling_streaming",
-    "events_sessionize_streaming",
-    "kv_snapshot_compaction",
-    # -- output changed in r4: rows-only -> hash-checkable summary ----
-    "ann_ivf_kmeans",
-    # -- stale-cert: only driver row is r1 (pre-NTZ environment) (37) -
-    # TPC-H set certified r1
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    # relational / aggregation
-    "agg_distinct_priority",
-    "agg_max_by",
-    "agg_stats_segment",
-    "cube_returnflag_linestatus",
-    "grouping_sets_orders",
-    "rollup_status_priority",
-    "pivot_status_by_priority",
-    "top_k_orders",
-    # joins
-    "join_anti_parts",
-    "join_semi_customers",
-    "join_left_outer",
-    "join_full_outer",
-    "asof_purchase_view",
-    # set operations
-    "set_union",
-    "set_intersect",
-    "set_intersect_all",
-    "set_except",
-    "set_except_all",
-    # window functions
-    "window_lag_lead",
-    "window_rank_top3",
-    "window_running_total",
-    "window_range_30d",
-    "window_value_picks",
-    # scalar / array / json / date function library
-    "scalar_funcs",
-    "string_funcs_ext",
-    "date_funcs_ext",
-    "array_ops",
-    "events_json_props",
-    # events windows (ts-consuming — re-check under NTZ data)
-    "events_tumbling_hourly",
-    "events_sliding_1h_30m",
-    # -- stale-cert: only driver row is r2, highest value first (5) ---
-    "events_sessionize",
-    "kv_get_lookup",
-    "dedup_ngram_jaccard",
-    "inverted_index_bucketed",
-    "dedup_embedding_cosine",
-    # -- round-4 §2-completion queries: first driver row now ----------
-    # C14 closed this round; the controller queries' golden oracles
-    # upgrade their r2 rows-only rows to hash checks; C6 gains the
-    # storage-layer twin. (q1/q3/q5 and wc_mr_facade ceded these slots:
-    # benched every round, plan-pinned, r2 hash rows, and wc_mr_facade
-    # shares the thrice-certified wc oracle.)
-    "shard_serve_during_migration",
-    "shard_rebalance_history",
-    "shard_migration_moves",
-    "kv_snapshot_manifest_replay",
+    # -- code changed after newest driver row ------------------------
+    "dedup_exact",            # r4: shuffle re-keyed to md5(text)
+    "pipeline_clean_corpus",  # r4: same re-key inside the pipeline
+    "dedup_repeated_passages",      # r5: oracle window-stop off-by-one fix
+    "corpus_decontamination_ngram",  # r5: same fix; also first driver row
+    "kmeans_cells",           # r5: rows-only -> integer-exact hash oracle
+    # -- round-4 additions with no driver row yet (6 more) -----------
+    "kv_get_time_travel",
+    "dedup_minhash_estimate",
+    "events_tumbling_streaming_append",
+    "corpus_decontamination",
+    "sketch_kmv_distinct",
+    "dedup_embedding_cosine_ivf",
+    # -- stale-cert: newest driver row is r2 (16) ---------------------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "wc_mr_facade",
+    "dataset_split_assign",
+    "dedup_lsh_bucket_stats",
+    "doc_fingerprint",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "lang_id_confusion",
+    "profile_orders",
+    "sample_deterministic_10pct",
+    "shard_pruned_read",
+    "skew_salted_agg",
+    "token_count_methods",
+    "window_ntile_pctrank",
+    # -- refresh: newest row is r3; highest-value first (23) ----------
+    # reference-parity core
+    "wc",
+    "inverted_index",
+    "nocrash",
+    "early_exit",
+    "key2shard_distribution",
+    # KV op-log semantics (C1-C6)
+    "kv_replay_final",
+    "kv_replay_dedup",
+    "kv_get_asof",
+    "kv_replay_streaming",
+    # dedup / similarity production paths (code touched in r5:
+    # ann_lsh_bucketed gains the corpus-scaled banding formula)
+    "ann_lsh_bucketed",
+    "dedup_minhash_lsh",
+    "dedup_simhash64",
+    "dedup_cluster_components",
+    "ann_cosine_topk",
+    "ann_ivf_probe",
+    "ann_cosine_int8",
+    # text-analysis / sampling / packing pipeline
+    "text_quality",
+    "text_token_rarity",
+    "mixture_weighted_sample",
+    "stratified_sample_per_lang",
+    "pack_training_shards",
+    # events analytics over ts (post-NTZ re-check)
+    "events_funnel_conversion",
+    "events_range_join_concurrent",
 )
 
-# Round-5 rotation note: the next window head should be (a) any query
-# whose code changed in round 4 and needs re-certification, (b) the
-# round-4 additions with no driver row yet (`kv_get_time_travel`,
-# `dedup_minhash_estimate`, `events_tumbling_streaming_append`,
-# `corpus_decontamination`, `corpus_decontamination_ngram`,
-# `sketch_kmv_distinct`, `dedup_embedding_cosine_ivf`),
-# then (c) the remaining r2-only stale slice (dataset_split_assign,
-# dedup_lsh_bucket_stats, doc_fingerprint, embedding_centroids,
-# embedding_quantize_int8, kmeans_cells, lang_id_confusion,
-# profile_orders, sample_deterministic_10pct, shard_migration_moves,
-# shard_pruned_read, shard_rebalance_history, skew_salted_agg,
-# token_count_methods, window_ntile_pctrank).
+# Round-6 rotation note: after the r5 window lands, every query's
+# newest driver row should postdate both the NTZ environment change
+# and its own last code change. The r6 window head should be (a) any
+# query whose code changes in round 5 after the gate ran (check git
+# log vs CORRECTNESS_r05.json), (b) any new round-5 queries without a
+# driver row, then (c) the r3-certified remainder not in the r5
+# window: agg_percentiles, corpus_bigram_topk, dedup_exact_hash,
+# dedup_exact_normalized, dedup_simhash, events_weekly_retention,
+# map_ops, multimodal_features, multimodal_frame_sample,
+# q7_volume_shipping, q8_market_share, q9_product_profit,
+# q12_ship_priority, q13_customer_distribution, q15_top_supplier,
+# q16_part_supplier_cnt, q17_small_qty_revenue, q20_excess_suppliers,
+# q21_waiting_suppliers, skew_salted_join, unpivot_status_priority.
 
 
 def all_specs() -> dict[str, QuerySpec]:
