@@ -214,6 +214,7 @@ WHERE t.split = 'train'
     "corpus_decontamination",
     oracle=DECONTAMINATION_ORACLE,
     tags=("sampling", "pipeline", "dedup", "decontamination"),
+    bench=True,  # round-5: first wall-clock/io record for decontamination
     doc="Train/eval decontamination: every (train doc, eval doc) pair "
     "sharing a normalized content hash across the deterministic "
     "90/5/5 split boundary — the leakage check a training pipeline "

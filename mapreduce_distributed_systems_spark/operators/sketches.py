@@ -46,11 +46,24 @@ from mapreduce_distributed_systems_spark.sources import load_table
 KMV_K = 256
 
 # portable hex->int for the first 8 hash chars (DuckDB has no conv())
-_HEXVAL_DUCK = " + ".join(
-    f"(strpos('0123456789abcdef', substring(kth, {i + 1}, 1)) - 1) "
-    f"* {16 ** (7 - i)}"
-    for i in range(8)
-)
+def _hexval_duck(col: str = "kth") -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({col}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+_HEXVAL_DUCK = _hexval_duck("kth")
+
+
+def _est_duck(kth: str, n_sketch: str) -> str:
+    """DuckDB KMV estimate expression over qualified kth / n_sketch."""
+    return (
+        f"CASE WHEN {n_sketch} < {KMV_K} THEN {n_sketch} "
+        f"ELSE CAST(floor(({KMV_K} - 1) "
+        f"/ ((({_hexval_duck(kth)}) + 1) / 4294967296.0)) AS BIGINT) END"
+    )
 
 KMV_ORACLE = f"""
 WITH toks AS (
@@ -92,6 +105,7 @@ FROM ex e JOIN sk s ON s.lang = e.lang
     "sketch_kmv_distinct",
     oracle=KMV_ORACLE,
     tags=("sketch", "approximate", "text"),
+    bench=True,  # round-5: first wall-clock/io record for the sketch family
     doc=f"KMV (bottom-{KMV_K}) distinct-shingle sketch per language "
     "(3-word shingles — thousands of distinct elements per group, so "
     "the estimator branch is exercised, unlike the 31-word synthetic "
@@ -127,12 +141,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("kth"), F.count("*").alias("n_sketch")
     )
     ex = el.groupBy("lang").agg(F.count("*").alias("n_exact"))
-    u = (F.conv(F.substring("kth", 1, 8), 16, 10).cast("long") + 1) / F.lit(
-        4294967296.0
-    )
-    est = F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch")).otherwise(
-        F.floor(F.lit(KMV_K - 1) / u).cast("long")
-    )
+    est = _kmv_estimate()
     return ex.join(sk, "lang").select(
         "lang",
         "n_exact",
@@ -140,4 +149,137 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
             "rel_err"
         ),
+    )
+
+
+def _kmv_estimate() -> F.Column:
+    """Spark KMV estimate from (kth, n_sketch) columns."""
+    u = (F.conv(F.substring("kth", 1, 8), 16, 10).cast("long") + 1) / F.lit(
+        4294967296.0
+    )
+    return F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch")).otherwise(
+        F.floor(F.lit(KMV_K - 1) / u).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV mergeability as a certified query (round 5). The property that
+# makes any sketch usable at 100 TB is DISTRIBUTIVE MERGE: partial
+# sketches built independently per partition/group must combine into
+# exactly the sketch of the union (bottom-k of a union of bottom-k
+# sets == bottom-k of the union — every globally-k-smallest hash is
+# k-smallest within its own group). This query builds per-language
+# partial sketches, merges them, and emits the merged estimate NEXT TO
+# the direct whole-corpus estimate; the oracle replays both pipelines,
+# so the driver certifies that merged == direct bit-for-bit.
+# --------------------------------------------------------------------------
+
+KMV_MERGE_ORACLE = f"""
+WITH toks AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS el
+  FROM toks WHERE len(t) >= 3
+),
+el AS (SELECT DISTINCT lang, md5(el) AS h FROM sh),
+gl AS (SELECT DISTINCT h FROM el),
+plr AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM el
+),
+pool AS (SELECT DISTINCT h FROM plr WHERE rn <= {KMV_K}),
+mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM pool),
+msk AS (SELECT max(h) AS kth, CAST(count(*) AS BIGINT) AS n_sketch
+        FROM mr WHERE rn <= {KMV_K}),
+dr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gl),
+dsk AS (SELECT max(h) AS kth, CAST(count(*) AS BIGINT) AS n_sketch
+        FROM dr WHERE rn <= {KMV_K}),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM gl)
+SELECT ex.n_exact,
+       {_est_duck("dsk.kth", "dsk.n_sketch")} AS n_est_direct,
+       {_est_duck("msk.kth", "msk.n_sketch")} AS n_est_merged,
+       round(abs({_est_duck("msk.kth", "msk.n_sketch")} - ex.n_exact)
+             / ex.n_exact, 4) AS rel_err
+FROM ex, dsk, msk
+"""
+
+
+@register(
+    "sketch_kmv_merge",
+    oracle=KMV_MERGE_ORACLE,
+    tags=("sketch", "approximate", "merge", "text"),
+    doc=f"KMV sketch mergeability, certified: per-language bottom-"
+    f"{KMV_K} partial sketches merged into a corpus-level sketch must "
+    "equal the sketch built directly on the whole corpus (bottom-k of "
+    "a union of bottom-k sets is bottom-k of the union). This is the "
+    "distributive-merge property that makes the sketch a valid "
+    "partial aggregate at 100 TB — partials per partition, merge at "
+    "the reducer, no second pass. Emits the direct and merged "
+    "estimates side by side; the oracle replays both pipelines.",
+)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select("lang", words("text").alias("t")).where(F.size("t") >= 3)
+    el = (
+        toks.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), i -> "
+                    "concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+                    "element_at(t, i + 2)))"
+                )
+            ).alias("el"),
+        )
+        .select("lang", F.md5("el").alias("h"))
+        .distinct()
+    )
+    # stage 1: independent per-language partial sketches (the map-side
+    # partial aggregate), via the bucket-histogram selection
+    bucketed = el.withColumn("_bkt", hash_bucket(F.col("h")))
+    partials = select_first_by_hash(
+        bucketed, ["lang"], F.lit(KMV_K), [F.col("h")]
+    )
+    # stage 2: merge = bottom-k of the distinct union of the partials
+    pool = (
+        partials.select("h")
+        .distinct()
+        .withColumn("g", F.lit(0))
+        .withColumn("_bkt", hash_bucket(F.col("h")))
+    )
+    merged_sel = select_first_by_hash(pool, ["g"], F.lit(KMV_K), [F.col("h")])
+    msk = merged_sel.agg(
+        F.max("h").alias("kth"), F.count("*").alias("n_sketch")
+    ).select(_kmv_estimate().alias("n_est_merged"))
+    # direct whole-corpus sketch for the equality certificate
+    gl = (
+        el.select("h")
+        .distinct()
+        .withColumn("g", F.lit(0))
+        .withColumn("_bkt", hash_bucket(F.col("h")))
+    )
+    direct_sel = select_first_by_hash(gl, ["g"], F.lit(KMV_K), [F.col("h")])
+    dsk = direct_sel.agg(
+        F.max("h").alias("kth"), F.count("*").alias("n_sketch")
+    ).select(_kmv_estimate().alias("n_est_direct"))
+    ex = gl.agg(F.count("*").alias("n_exact"))
+    return (
+        ex.crossJoin(F.broadcast(dsk))
+        .crossJoin(F.broadcast(msk))
+        .select(
+            "n_exact",
+            "n_est_direct",
+            "n_est_merged",
+            F.round(
+                F.abs(F.col("n_est_merged") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        )
     )

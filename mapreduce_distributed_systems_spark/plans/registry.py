@@ -177,8 +177,9 @@ GATE_ORDER = (
 # newest driver row should postdate both the NTZ environment change
 # and its own last code change. The r6 window head should be (a) any
 # query whose code changes in round 5 after the gate ran (check git
-# log vs CORRECTNESS_r05.json), (b) any new round-5 queries without a
-# driver row, then (c) the r3-certified remainder not in the r5
+# log vs CORRECTNESS_r05.json), (b) the round-5 additions with no
+# driver row yet (`ann_recall_at_k`, `sketch_kmv_merge`), then
+# (c) the r3-certified remainder not in the r5
 # window: agg_percentiles, corpus_bigram_topk, dedup_exact_hash,
 # dedup_exact_normalized, dedup_simhash, events_weekly_retention,
 # map_ops, multimodal_features, multimodal_frame_sample,

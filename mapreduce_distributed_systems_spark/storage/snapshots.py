@@ -96,6 +96,7 @@ def _writes_with_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kv_snapshot_manifest_replay",
     oracle=KV_REPLAY_ORACLE,  # compaction through storage == full replay
     tags=("kv", "stateful", "compaction", "storage"),
+    bench=True,  # round-5: first wall-clock/io record for storage snapshots
     doc="C6 at the storage layer: fold the op-log head into a REAL "
     "manifest-committed parquet snapshot (write, then atomic manifest "
     "pointer), read it back through the manifest, replay only the "

@@ -34,6 +34,33 @@ def test_scaled_copy_shifts_keys_and_varies_text(spark, sf_dir):
     assert copy1.where(F.col("text").endswith("copyvariant1")).count() == docs.count()
 
 
+def test_zipf_skew_is_deterministic_and_heavy_headed(spark, sf_dir):
+    tool = _load_tool()
+    ev = load_table(spark, sf_dir, "events")
+    skewed = tool.zipf_user_skew(ev)
+    total = ev.count()
+    # value-preserving: only user_id is remapped
+    assert skewed.count() == total
+    assert (
+        skewed.agg(F.round(F.sum("value"), 2)).first()[0]
+        == ev.agg(F.round(F.sum("value"), 2)).first()[0]
+    )
+    top = (
+        skewed.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .first()
+    )
+    # the hot user holds ~50% of all rows — a real straggler key
+    assert top["user_id"] == 1
+    assert top["count"] >= 0.45 * total
+    # deterministic: same mapping on a second evaluation
+    again = tool.zipf_user_skew(ev).groupBy("user_id").count()
+    first = skewed.groupBy("user_id").count()
+    assert first.exceptAll(again).count() == 0
+
+
 def test_probe_output_scales_facts_not_dims(spark, sf_dir):
     tool = _load_tool()
     dest = tempfile.mkdtemp(prefix="probe_test_")

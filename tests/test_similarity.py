@@ -27,6 +27,75 @@ def test_lsh_recall_floor(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_lsh_banding_formula_bounds_occupancy():
+    """The corpus-scaled banding lever (lsh_bits_for): expected
+    band-bucket occupancy corpus/2^bits must stay <= the target at
+    every corpus size above the 4-bit floor's boundary, through
+    100 TB-scale cardinalities."""
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        LSH_MIN_BITS,
+        LSH_TARGET_OCCUPANCY,
+        lsh_bits_for,
+    )
+
+    assert lsh_bits_for(500) == LSH_MIN_BITS  # driver SFs keep the default
+    assert lsh_bits_for(2000) == LSH_MIN_BITS  # bench SF keeps the default
+    for n in (2_048, 20_000, 200_000, 2_000_000, 10**9, 10**11):
+        bits = lsh_bits_for(n)
+        assert n / 2**bits <= LSH_TARGET_OCCUPANCY, (n, bits)
+    # monotone: a bigger corpus never gets fewer bits
+    sizes = [10**k for k in range(2, 12)]
+    bit_seq = [lsh_bits_for(n) for n in sizes]
+    assert bit_seq == sorted(bit_seq)
+
+
+def test_lsh_occupancy_bounded_under_10x(spark, sf_dir):
+    """Empirical twin of the formula test: on a 10x synthetic corpus
+    (per-copy perturbed so vectors are distinct, as real growth would
+    be), the engaged lever must hold MEAN bucket occupancy at or under
+    the target, strictly below what the fixed 4-bit config yields."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        LSH_TARGET_OCCUPANCY,
+        N_BANDS,
+        lsh_bits_for,
+        rh_band_keys,
+    )
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    copies = emb
+    for i in range(1, 10):
+        copies = copies.unionByName(
+            emb.select(
+                (F.col("vec_id") + 100_000_000 * i).alias("vec_id"),
+                # perturb one component per copy so the 10x corpus has
+                # distinct vectors (pure key-shifted clones would share
+                # signatures and trivially saturate any banding)
+                F.expr(
+                    f"transform(v, (x, j) -> CASE WHEN j = {i % 64} "
+                    f"THEN x + {i} * 0.37d ELSE x END)"
+                ).alias("v"),
+            )
+        )
+    n = copies.count()
+    bits = lsh_bits_for(n)
+    assert bits > lsh_bits_for(n // 10), "10x growth should engage the lever"
+    occ = (
+        rh_band_keys(copies, N_BANDS, bits)
+        .groupBy("k", "bkey")
+        .agg(F.count("*").alias("n"))
+        .agg(F.avg("n").alias("mean_occ"))
+        .collect()[0]["mean_occ"]
+    )
+    assert occ <= LSH_TARGET_OCCUPANCY, f"mean occupancy {occ:.1f}"
+    fixed_occ = n / 2**4  # what the un-scaled 4-bit config would average
+    assert occ < fixed_occ
+
+
 def test_decode_stubs_raise_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")

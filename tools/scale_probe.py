@@ -3,6 +3,8 @@
 pathological 100% duplicates), then run the bench headline set on it.
 
     python tools/scale_probe.py [--mult 10] [--src /root/testdata/sf0.1]
+    python tools/scale_probe.py --mult 10 --skew zipf        # skewed events
+    python tools/scale_probe.py --measure-skew /tmp/scale_probe_x10_zipf
 
 Fact tables (events, lineitem, orders, documents, embeddings) are
 replicated with per-copy key shifts; dimension tables (region, nation,
@@ -11,6 +13,18 @@ how a real star schema scales. Document text gets a per-copy suffix so
 exact/near-dup structure grows linearly instead of multiplying every
 text by N (which would turn the dedup queries into a different,
 dup-saturated workload).
+
+--skew zipf (VERDICT r4 item 7) remaps events.user_id onto a
+Zipf-flavored head deterministically (event_id buckets: 50% of rows
+to one hot user, 20% to a second, 10% to a third, rest unchanged) so
+the salted-agg machinery can be measured against an actually skewed
+distribution instead of the uniform replication the probe otherwise
+produces.
+
+--measure-skew DIR times the salted two-phase aggregation
+(skew_salted_agg) against the plain single-phase groupBy on DIR's
+events table, both through the noop sink in one warmed session —
+the relative number is the evidence the salting claim rests on.
 
 Purpose: measured evidence for the 100 TB design claims — if a plan's
 wall-clock grows superlinearly between 1x and Nx, its scale story is
@@ -56,13 +70,80 @@ def scaled_copy(df, name: str, copy_idx: int):
     return out
 
 
+def zipf_user_skew(ev):
+    """Deterministic Zipf-flavored head on events.user_id: 50% of rows
+    collapse onto user 1, 20% onto user 2, 10% onto user 3; the tail
+    keeps its original (shifted) user_id. pmod(event_id, 10) decides,
+    so the mapping is reproducible and engine-independent."""
+    b = F.pmod(F.col("event_id"), F.lit(10))
+    return ev.withColumn(
+        "user_id",
+        F.when(b < 5, F.lit(1))
+        .when(b < 7, F.lit(2))
+        .when(b < 8, F.lit(3))
+        .otherwise(F.col("user_id")),
+    )
+
+
+def measure_skew(sf_dir: str) -> None:
+    """Time salted two-phase agg vs plain groupBy on sf_dir's events."""
+    import time
+
+    spark = get_spark("skew_measure")
+    ev = load_table(spark, sf_dir, "events")
+    ev.count()  # warm scan
+
+    def salted():
+        n_salt = 8
+        partial = (
+            ev.withColumn("salt", F.col("event_id") % n_salt)
+            .groupBy("user_id", "salt")
+            .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+        )
+        return partial.groupBy("user_id").agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+
+    def plain():
+        return ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    results = {}
+    for label, fn in [("plain", plain), ("salted", salted)] * 2:
+        df = fn()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        # keep the faster of two alternating repeats per plan
+        dt = time.perf_counter() - t0
+        results[label] = min(results.get(label, float("inf")), dt)
+    print(
+        f"events={ev.count()} plain={results['plain']:.3f}s "
+        f"salted={results['salted']:.3f}s "
+        f"ratio={results['plain'] / results['salted']:.2f}x"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dest", default=None)
+    ap.add_argument("--skew", choices=["none", "zipf"], default="none")
+    ap.add_argument(
+        "--measure-skew",
+        metavar="DIR",
+        default=None,
+        help="skip synthesis; time salted vs plain user_id agg on DIR",
+    )
     args = ap.parse_args()
-    dest = args.dest or f"/tmp/scale_probe_x{args.mult}"
+    if args.measure_skew:
+        measure_skew(args.measure_skew)
+        return
+    suffix = "" if args.skew == "none" else f"_{args.skew}"
+    dest = args.dest or f"/tmp/scale_probe_x{args.mult}{suffix}"
     os.makedirs(dest, exist_ok=True)
 
     spark = get_spark("scale_probe")
@@ -74,6 +155,8 @@ def main() -> None:
             out = df
             for i in range(1, args.mult):
                 out = out.unionByName(scaled_copy(df, name, i))
+            if name == "events" and args.skew == "zipf":
+                out = zipf_user_skew(out)
         out.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
         print(f"{name}: {'dim (1x)' if name in DIMS else f'{args.mult}x'}")
     print(dest)
