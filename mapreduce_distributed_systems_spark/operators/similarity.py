@@ -665,6 +665,22 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_IVF_COSINE_THRESHOLD = 0.3  # same bar as the label-blocked twin
 
+# The IVF scale lever, same shape as lsh_bits_for (round 5, measured:
+# with k FIXED at 8 the 10x probe corpus put 2500 vectors in every
+# cell and the in-cell pair join did 25M scored pairs — 251 s vs the
+# sub-second 1x number, i.e. corpus^2/k). Cells must grow with the
+# corpus so the expected cell SIZE stays constant: pair work becomes
+# corpus x IVF_TARGET_CELL / 2 — linear. At every driver/bench SF
+# (<= 2000 vectors) the formula returns the historical k=8 the static
+# oracle pins; the scale probe engages the lever.
+IVF_TARGET_CELL = 250
+
+
+def ivf_k_for(corpus_size: int) -> int:
+    """Cell count keeping expected cell size ~IVF_TARGET_CELL, floored
+    at the historical default k=8."""
+    return max(IVF_KMEANS_K, -(-corpus_size // IVF_TARGET_CELL))
+
 EMB_IVF_ORACLE = _kmeans_cells_sql(
     k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER, dim=DIM
 ) + f""",
@@ -693,8 +709,10 @@ FROM pairs WHERE round(cos_q8, 6) >= {EMB_IVF_COSINE_THRESHOLD}
     "by integer-dot cosine over the quantized vectors. The "
     "integer-exact quantizer makes the full pipeline — fit, "
     "assignment, cell-blocked pairs, scores — hash-certified by the "
-    "DuckDB oracle. Pair work is corpus^2/k per cell vs corpus^2 "
-    "for an unblocked join.",
+    "DuckDB oracle. Cell count scales with the corpus (ivf_k_for) so "
+    "expected cell size — and therefore pair work per vector — stays "
+    "constant; at driver/bench SFs the formula returns the k=8 "
+    "operating point the static oracle pins.",
 )
 def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_distributed_systems_spark.operators.kmeans import (
@@ -707,20 +725,37 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q8 = quantize_int8(emb)
-    cents = kmeans_fit_int8(q8, k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER)
-    q8a = q8.join(assign_int8(q8, cents).select("vec_id", "cell"), "vec_id")
-    a = q8a.select(
-        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa")
+    # metadata-cheap parquet row count drives the cell-count formula
+    k = ivf_k_for(emb.count())
+    cents = kmeans_fit_int8(q8, k=k, n_iter=IVF_KMEANS_ITER)
+    from mapreduce_distributed_systems_spark.functions.vector import (
+        int_dot,
+        int_norm,
     )
-    b = q8a.select(
-        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb")
-    )
-    from mapreduce_distributed_systems_spark.functions.vector import int_cosine
 
+    # per-vector norms computed ONCE before the pair fan-out (the pair
+    # join multiplies row count by cell size, so per-pair work must be
+    # one dot product, not dot + two recomputed norms)
+    q8a = q8.join(assign_int8(q8, cents).select("vec_id", "cell"), "vec_id")
+    q8n = q8a.withColumn("nrm", int_norm("qv"))
+    a = q8n.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"), F.col("nrm").alias("na"),
+    )
+    b = q8n.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
+    )
     pairs = (
         a.join(b, ["cell"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", int_cosine("qa", "qb").alias("cos_q8"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (int_dot("qa", "qb").cast("double") / (F.col("na") * F.col("nb"))).alias(
+                "cos_q8"
+            ),
+        )
     )
     return pairs.where(F.round("cos_q8", 6) >= EMB_IVF_COSINE_THRESHOLD).select(
         "vec_a", "vec_b", F.round("cos_q8", 4).alias("cos_q8")

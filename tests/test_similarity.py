@@ -96,6 +96,26 @@ def test_lsh_occupancy_bounded_under_10x(spark, sf_dir):
     assert occ < fixed_occ
 
 
+def test_ivf_cell_formula_bounds_cell_size():
+    """The IVF cell-count lever (ivf_k_for): expected cell size
+    corpus/k must stay <= the target at every corpus size above the
+    k=8 floor's boundary — pair work per vector is then constant."""
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        IVF_KMEANS_K,
+        IVF_TARGET_CELL,
+        ivf_k_for,
+    )
+
+    assert ivf_k_for(500) == IVF_KMEANS_K  # driver SFs keep the default
+    assert ivf_k_for(2000) == IVF_KMEANS_K  # bench SF keeps the default
+    for n in (20_000, 60_000, 1_000_000, 10**9):
+        k = ivf_k_for(n)
+        assert n / k <= IVF_TARGET_CELL, (n, k)
+    sizes = [10**e for e in range(2, 10)]
+    ks = [ivf_k_for(n) for n in sizes]
+    assert ks == sorted(ks)
+
+
 def test_decode_stubs_raise_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
