@@ -86,14 +86,38 @@ def zipf_user_skew(ev):
 
 
 def measure_skew(sf_dir: str) -> None:
-    """Time salted two-phase agg vs plain groupBy on sf_dir's events."""
+    """Skew microbenchmarks on sf_dir's events.
+
+    Aggregation: salted two-phase vs plain groupBy. Expected (and
+    measured) outcome: for ALGEBRAIC aggregates the plain plan wins
+    even on a 50%-hot-key distribution, because Catalyst's map-side
+    partial aggregation reduces each task's contribution to one row
+    per key BEFORE the shuffle — the hot key never funnels. Salting
+    algebraic aggs is pure overhead; record it so the claim has a
+    number.
+
+    Join: the real skew hazard. A shuffle join keys the EXCHANGE on
+    the join key, so a hot key's rows genuinely land on one reducer.
+    Three plans over the same fact-to-dim join, broadcast disabled to
+    model the fact-to-fact case where neither side fits: plain
+    sort-merge (the funnel), AQE skew-split (the first-line
+    mitigation — OptimizeSkewedJoin splits oversized partitions at
+    runtime), and the manual (key, salt) rewrite (the fallback when
+    stats arrive too late). All three produce identical results.
+    """
     import time
 
     spark = get_spark("skew_measure")
     ev = load_table(spark, sf_dir, "events")
     ev.count()  # warm scan
 
-    def salted():
+    def timed(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # -- aggregation: plain vs salted ---------------------------------
+    def agg_salted():
         n_salt = 8
         partial = (
             ev.withColumn("salt", F.col("event_id") % n_salt)
@@ -105,24 +129,99 @@ def measure_skew(sf_dir: str) -> None:
             F.round(F.sum("pv"), 2).alias("total_value"),
         )
 
-    def plain():
+    def agg_plain():
         return ev.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
 
-    results = {}
-    for label, fn in [("plain", plain), ("salted", salted)] * 2:
-        df = fn()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        # keep the faster of two alternating repeats per plan
-        dt = time.perf_counter() - t0
-        results[label] = min(results.get(label, float("inf")), dt)
+    agg = {}
+    for label, fn in [("plain", agg_plain), ("salted", agg_salted)] * 2:
+        agg[label] = min(agg.get(label, float("inf")), timed(fn()))
     print(
-        f"events={ev.count()} plain={results['plain']:.3f}s "
-        f"salted={results['salted']:.3f}s "
-        f"ratio={results['plain'] / results['salted']:.2f}x"
+        f"agg: events={ev.count()} plain={agg['plain']:.3f}s "
+        f"salted={agg['salted']:.3f}s "
+        f"(map-side partial agg absorbs the hot key; salting an "
+        f"algebraic agg is overhead)"
+    )
+
+    # -- join: plain SMJ vs AQE skew-split vs manual salt -------------
+    dim = ev.groupBy("user_id").agg(F.avg("value").alias("u_avg"))
+
+    def join_plain():
+        return (
+            ev.join(dim, "user_id")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("value") - F.col("u_avg")), 2).alias("dev"),
+            )
+        )
+
+    def join_salted():
+        n_salt = 8
+        big = ev.withColumn("salt", (F.col("event_id") % n_salt).cast("int"))
+        small = dim.crossJoin(
+            spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+        )
+        return (
+            big.join(small, ["user_id", "salt"])
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("value") - F.col("u_avg")), 2).alias("dev"),
+            )
+        )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        # model fact-to-fact: neither side broadcastable
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # thresholds sized so the probe's ~15 MB hot partition counts
+        # as skewed (production defaults: 256 MB / factor 5)
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        join = {}
+        for _ in range(2):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+            join["plain_smj"] = min(
+                join.get("plain_smj", float("inf")), timed(join_plain())
+            )
+            conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            # the join feeds an aggregation, so OptimizeSkewedJoin is
+            # skipped (it would break the reusable output partitioning)
+            # unless forced — exactly the production knob to document
+            conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+            join["aqe_skew"] = min(
+                join.get("aqe_skew", float("inf")), timed(join_plain())
+            )
+            join["salted"] = min(
+                join.get("salted", float("inf")), timed(join_salted())
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    print(
+        f"join: plain_smj={join['plain_smj']:.3f}s "
+        f"aqe_skew={join['aqe_skew']:.3f}s salted={join['salted']:.3f}s"
     )
 
 
