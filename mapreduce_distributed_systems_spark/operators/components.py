@@ -33,7 +33,10 @@ from mapreduce_distributed_systems_spark.plans.registry import register
 
 MAX_ROUNDS = 12
 
-CLUSTER_ORACLE = f"""
+# CTE chain shared by the components query and its consumers
+# (dedup_canonical_pick): pairs -> symmetric edges -> recursive
+# closure -> comp(doc_id, cluster_id).
+_CLUSTER_CTES = f"""
 WITH RECURSIVE pairs AS ({SIMHASH64_ORACLE}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -45,9 +48,14 @@ reach(src, dst) AS (
   SELECT doc_id, doc_id FROM nodes
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
-)
-SELECT src AS doc_id, min(dst) AS cluster_id
-FROM reach GROUP BY src
+),
+comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id
+  FROM reach GROUP BY src
+)"""
+
+CLUSTER_ORACLE = _CLUSTER_CTES + """
+SELECT doc_id, cluster_id FROM comp
 """
 
 
@@ -109,3 +117,78 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_simhash64(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# Canonical selection (round 5): the END PRODUCT of near-dup dedup. A
+# cluster of near-duplicates keeps exactly one survivor; the pick must
+# be deterministic and content-driven or reruns/backfills keep
+# different docs. Policy: keep the doc with the most tokens (near-dups
+# differ by truncation/boilerplate — longest retains the most
+# content), tiebreak lowest doc_id.
+# --------------------------------------------------------------------------
+
+CANONICAL_ORACLE = _CLUSTER_CTES + """,
+tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+j AS (
+  SELECT c.cluster_id, c.doc_id, t.n_tokens
+  FROM comp c JOIN tok t USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM j
+),
+g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY cluster_id)
+SELECT r.cluster_id, r.doc_id AS canonical_doc_id,
+       r.n_tokens AS canonical_tokens, g.n_docs,
+       g.n_docs - 1 AS n_dropped
+FROM r JOIN g USING (cluster_id) WHERE r.rn = 1
+"""
+
+
+@register(
+    "dedup_canonical_pick",
+    oracle=CANONICAL_ORACLE,
+    tags=("dedup", "graph", "canonical", "pipeline"),
+    doc="Canonical-survivor selection per near-dup cluster — the end "
+    "product of the dedup stack (pairs -> components -> ONE kept doc "
+    "per cluster). Deterministic content-driven policy: most tokens, "
+    "tiebreak lowest doc_id; emits the survivor plus the cluster's "
+    "doc/drop counts. The per-cluster window sees only cluster "
+    "members (near-dup cliques, a handful of rows each), so the pick "
+    "costs one bounded window over the components output — the "
+    "corpus-sized work already happened in the banded pair join.",
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from mapreduce_distributed_systems_spark.functions.text import words
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    pairs = dedup_simhash64(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    j = comp.join(tok, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    g = j.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    return (
+        ranked.where(F.col("rn") == 1)
+        .join(g, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_tokens").alias("canonical_tokens"),
+            "n_docs",
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+    )

@@ -281,6 +281,87 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Document chunking (round 5): the step between cleaning and packing
+# in a training pipeline — long documents become overlapping
+# fixed-token-budget chunks (the unit that gets embedded / packed /
+# indexed). Token-based windows with overlap; each chunk is emitted as
+# (doc_id, chunk_idx, start, token count, content hash) so the result
+# is compact and certifiable while the Spark-side explode produces
+# exactly the rows a downstream embed/pack stage would consume.
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+# NB the stop bound: DuckDB range() EXCLUDES its stop, Spark
+# sequence() INCLUDES it — the DuckDB stop carries "+ 1" (the same
+# off-by-one ADVICE r4 caught in the passage/decontamination oracles).
+CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {CHUNK_OVERLAP}, 1) + 1,
+                      {CHUNK_STRIDE})) AS start
+  FROM t WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+         toks[start:start + {CHUNK_TOKENS - 1}] AS chunk
+  FROM s
+)
+SELECT doc_id,
+       CAST((chunk_start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       chunk_start,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c
+"""
+
+
+@register(
+    "chunk_documents",
+    oracle=CHUNK_ORACLE,
+    tags=("text", "chunking", "pipeline"),
+    doc=f"Overlapping fixed-token-budget chunking ({CHUNK_TOKENS} "
+    f"tokens, {CHUNK_OVERLAP} overlap, stride {CHUNK_STRIDE}) — the "
+    "document -> training-unit step between cleaning and "
+    "packing/embedding. Pure codegen expressions (tokenize once, "
+    "explode the window starts, slice); chunks are emitted as "
+    "(doc_id, chunk_idx, start, token count, md5 of the chunk text) "
+    "so the certified output is compact while the explode produces "
+    "the row-per-chunk shape a downstream embed/pack stage consumes. "
+    "Narrow plan: no shuffle at all — chunking fuses into the scan.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", words("text")
+    )
+    starts = F.expr(
+        f"sequence(1, greatest(size(toks) - {CHUNK_OVERLAP}, 1), "
+        f"{CHUNK_STRIDE})"
+    )
+    s = docs.where(F.size("toks") > 0).select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    )
+    chunk = F.expr(f"slice(toks, start, {CHUNK_TOKENS})")
+    return s.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias(
+            "chunk_idx"
+        ),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 PASSAGE_W = 32  # char window
 PASSAGE_STRIDE = 16
 

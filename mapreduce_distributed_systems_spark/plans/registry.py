@@ -178,7 +178,8 @@ GATE_ORDER = (
 # and its own last code change. The r6 window head should be (a) any
 # query whose code changes in round 5 after the gate ran (check git
 # log vs CORRECTNESS_r05.json), (b) the round-5 additions with no
-# driver row yet (`ann_recall_at_k`, `sketch_kmv_merge`), then
+# driver row yet (`ann_recall_at_k`, `sketch_kmv_merge`,
+# `dedup_canonical_pick`, `chunk_documents`), then
 # (c) the r3-certified remainder not in the r5
 # window: agg_percentiles, corpus_bigram_topk, dedup_exact_hash,
 # dedup_exact_normalized, dedup_simhash, events_weekly_retention,

@@ -123,3 +123,24 @@ def test_connected_components_on_synthetic_graph(spark):
         r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_canonical_pick_invariants(spark, sf_dir):
+    """Every cluster keeps exactly one survivor; the survivor is a
+    member with the maximal token count; drop accounting adds up."""
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+    comp = {
+        (r.doc_id, r.cluster_id)
+        for r in get_spec("dedup_cluster_components").fn(spark, sf_dir).collect()
+    }
+    picks = get_spec("dedup_canonical_pick").fn(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for d, c in comp:
+        by_cluster.setdefault(c, set()).add(d)
+    assert {p.cluster_id for p in picks} == set(by_cluster)
+    for p in picks:
+        members = by_cluster[p.cluster_id]
+        assert p.canonical_doc_id in members
+        assert p.n_docs == len(members)
+        assert p.n_dropped == len(members) - 1

@@ -187,3 +187,20 @@ def test_funnel_is_one_plan_no_driver_action(spark, sf_dir):
     assert after - before <= 1, "building the funnel plan ran a count job"
     # the 1-row x 1-row cross join compiles to a nested-loop join
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    # chunking must fuse into the scan: tokenize -> explode window
+    # starts -> slice, all narrow — no exchange anywhere
+    plan = physical_plan(get_spec("chunk_documents").fn(spark, sf_dir))
+    assert "Exchange" not in plan, "chunking should not shuffle"
+    assert "Generate explode" in plan
+
+
+def test_canonical_pick_windows_only_cluster_members(spark, sf_dir):
+    # the survivor pick's window partitions by cluster_id (near-dup
+    # cliques, a handful of rows each) — never a low-cardinality or
+    # single-partition window over the corpus
+    plan = physical_plan(get_spec("dedup_canonical_pick").fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
