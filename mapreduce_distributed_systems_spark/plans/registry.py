@@ -141,27 +141,33 @@ GATE_ORDER = (
     "skew_salted_agg",
     "token_count_methods",
     "window_ntile_pctrank",
-    # -- refresh: newest row is r3; highest-value first (23) ----------
+    # -- round-5 additions: first driver row (4) ----------------------
+    # (these displaced four stable r3-certified §2.B/util queries —
+    # nocrash, early_exit, key2shard_distribution, ann_cosine_int8 —
+    # whose code is unchanged since their r3 hash rows; a first
+    # external row beats a refresh)
+    "ann_recall_at_k",
+    "sketch_kmv_merge",
+    "dedup_canonical_pick",
+    "chunk_documents",
+    # -- refresh: newest row is r3; highest-value first (19) ----------
     # reference-parity core
     "wc",
     "inverted_index",
-    "nocrash",
-    "early_exit",
-    "key2shard_distribution",
     # KV op-log semantics (C1-C6)
     "kv_replay_final",
     "kv_replay_dedup",
     "kv_get_asof",
     "kv_replay_streaming",
-    # dedup / similarity production paths (code touched in r5:
-    # ann_lsh_bucketed gains the corpus-scaled banding formula)
+    # dedup / similarity production paths (code/oracle touched in r5:
+    # ann_lsh_bucketed gains the corpus-scaled banding formula and
+    # dedup_cluster_components' oracle was refactored into shared CTEs)
     "ann_lsh_bucketed",
     "dedup_minhash_lsh",
     "dedup_simhash64",
     "dedup_cluster_components",
     "ann_cosine_topk",
     "ann_ivf_probe",
-    "ann_cosine_int8",
     # text-analysis / sampling / packing pipeline
     "text_quality",
     "text_token_rarity",
@@ -173,21 +179,21 @@ GATE_ORDER = (
     "events_range_join_concurrent",
 )
 
-# Round-6 rotation note: after the r5 window lands, every query's
-# newest driver row should postdate both the NTZ environment change
-# and its own last code change. The r6 window head should be (a) any
-# query whose code changes in round 5 after the gate ran (check git
-# log vs CORRECTNESS_r05.json), (b) the round-5 additions with no
-# driver row yet (`ann_recall_at_k`, `sketch_kmv_merge`,
-# `dedup_canonical_pick`, `chunk_documents`), then
-# (c) the r3-certified remainder not in the r5
-# window: agg_percentiles, corpus_bigram_topk, dedup_exact_hash,
-# dedup_exact_normalized, dedup_simhash, events_weekly_retention,
-# map_ops, multimodal_features, multimodal_frame_sample,
-# q7_volume_shipping, q8_market_share, q9_product_profit,
-# q12_ship_priority, q13_customer_distribution, q15_top_supplier,
-# q16_part_supplier_cnt, q17_small_qty_revenue, q20_excess_suppliers,
-# q21_waiting_suppliers, skew_salted_join, unpivot_status_priority.
+# Round-6 rotation note: after the r5 window lands, every query
+# except the r3-certified remainder below has a driver row postdating
+# both the NTZ environment change and its own last code change. The
+# r6 window head should be (a) any query whose code changes in round
+# 5 after the gate ran (check git log vs CORRECTNESS_r05.json), then
+# (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,
+# corpus_bigram_topk, dedup_exact_hash, dedup_exact_normalized,
+# dedup_simhash, early_exit, events_weekly_retention,
+# key2shard_distribution, map_ops, multimodal_features,
+# multimodal_frame_sample, nocrash, q7_volume_shipping,
+# q8_market_share, q9_product_profit, q12_ship_priority,
+# q13_customer_distribution, q15_top_supplier, q16_part_supplier_cnt,
+# q17_small_qty_revenue, q20_excess_suppliers, q21_waiting_suppliers,
+# skew_salted_join, unpivot_status_priority (25 — fits one window
+# with room for (a)).
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -31,6 +31,9 @@ NO_DRIVER_ROW_YET = {
     "kv_get_time_travel", "dedup_minhash_estimate",
     "events_tumbling_streaming_append", "corpus_decontamination",
     "sketch_kmv_distinct", "dedup_embedding_cosine_ivf",
+    # round-5 additions — first external row this round
+    "ann_recall_at_k", "sketch_kmv_merge",
+    "dedup_canonical_pick", "chunk_documents",
 }
 
 STALE_R2_ONLY = {
