@@ -144,3 +144,83 @@ def test_canonical_pick_invariants(spark, sf_dir):
         assert p.canonical_doc_id in members
         assert p.n_docs == len(members)
         assert p.n_dropped == len(members) - 1
+
+
+def test_chunking_formula_covers_every_token():
+    """Pure mirror of the chunk-window formula: for every token count,
+    the windows cover tokens 1..n exactly, consecutive chunks overlap
+    by CHUNK_OVERLAP (when a successor exists), and no chunk exceeds
+    the budget."""
+    from mapreduce_distributed_systems_spark.operators.text_analysis import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    for n in range(1, 400):
+        stop = max(n - CHUNK_OVERLAP, 1)
+        starts = list(range(1, stop + 1, CHUNK_STRIDE))
+        chunks = [(s, min(s + CHUNK_TOKENS - 1, n)) for s in starts]
+        covered = set()
+        for s, e in chunks:
+            assert e - s + 1 <= CHUNK_TOKENS
+            covered.update(range(s, e + 1))
+        assert covered == set(range(1, n + 1)), f"n={n} gaps"
+        for (s1, e1), (s2, _) in zip(chunks, chunks[1:]):
+            assert s2 == s1 + CHUNK_STRIDE
+            assert e1 - s2 + 1 >= min(CHUNK_OVERLAP, n - s2 + 1)
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """End-to-end token conservation on real data: chunk 0 plus each
+    later chunk minus its CHUNK_OVERLAP-token prefix concatenates back
+    to exactly the original token stream for EVERY document."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.functions.text import words
+    from mapreduce_distributed_systems_spark.operators.text_analysis import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+    )
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", words("text")
+    )
+    starts = F.expr(
+        "sequence(1, greatest(size(toks) - "
+        f"{CHUNK_OVERLAP}, 1), {CHUNK_TOKENS - CHUNK_OVERLAP})"
+    )
+    s = docs.where(F.size("toks") > 0).select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    )
+    chunked = s.select(
+        "doc_id",
+        "start",
+        F.expr(f"slice(toks, start, {CHUNK_TOKENS})").alias("chunk"),
+    )
+    w = W.partitionBy("doc_id").orderBy("start")
+    tail = F.when(
+        F.row_number().over(w) == 1, F.col("chunk")
+    ).otherwise(F.expr(f"slice(chunk, {CHUNK_OVERLAP + 1}, {CHUNK_TOKENS})"))
+    rebuilt = (
+        chunked.withColumn("part", tail)
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ", F.flatten(F.array_sort(F.collect_list(F.struct("start", "part"))).part)
+                )
+            ).alias("rebuilt_hash")
+        )
+    )
+    orig = docs.where(F.size("toks") > 0).select(
+        "doc_id", F.md5(F.concat_ws(" ", "toks")).alias("orig_hash")
+    )
+    bad = (
+        rebuilt.join(orig, "doc_id")
+        .where(F.col("rebuilt_hash") != F.col("orig_hash"))
+        .count()
+    )
+    assert bad == 0, f"{bad} documents lost or duplicated tokens in chunking"
