@@ -202,16 +202,59 @@ def shingles_raw(docs: DataFrame) -> DataFrame:
 
 
 def shingle_table(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, 3-word shingle) pairs (one shuffle)."""
+    """Distinct (doc_id, 3-word shingle) pairs (one shuffle). Only for
+    consumers that need the shingle STRING (e.g. the fixed-budget
+    brute-force dedup_ngram_jaccard); the production LSH path uses
+    shingle_hashes / shingle_id_table below, which never shuffle the
+    string."""
     return shingles_raw(docs).dropDuplicates(["doc_id", "shingle"])
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h = md5(shingle)) WITH duplicates — still a narrow
+    explode. The hash is taken in the map stage, so nothing downstream
+    ever shuffles, groups, or joins on the shingle string itself."""
+    return shingles_raw(docs).select("doc_id", F.md5("shingle").alias("h"))
+
+
+# 60-bit shingle id: integer value of the first 15 hex chars of
+# md5(shingle). Re-keys the exact-Jaccard verification stages from the
+# shingle string (~17 bytes avg + string hashing per join probe) to a
+# fixed 8-byte long (round 5, ROADMAP item 1). md5 is identical in
+# Spark and DuckDB, so both engines derive the same ids — a collision
+# would merge the same shingle pair in both, keeping parity exact
+# rather than approximate (at 2^-60 per pair it is also never
+# expected to occur).
+_SID_SPARK = "cast(conv(substring(h, 1, 15), 16, 10) as bigint)"
+SID_DUCK = "('0x' || substring(md5(shingle), 1, 15))::BIGINT"
+
+
+def shingle_ids_from_hashes(hashed: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sid) from a shingle_hashes stream — also the
+    incremental entry point: a persisted signature store holds exactly
+    this hashed stream, so (store ∪ new-batch hashes) re-derives the
+    same table the full run builds."""
+    return (
+        hashed.select("doc_id", F.expr(_SID_SPARK).alias("sid"))
+        .dropDuplicates(["doc_id", "sid"])
+    )
+
+
+def shingle_id_table(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sid) pairs — the 8-byte re-key of
+    shingle_table. One shuffle of 16 bytes/row; set cardinalities and
+    intersections over sid equal those over the shingle strings."""
+    return shingle_ids_from_hashes(shingle_hashes(docs))
+
+
+def minhash_signatures(hashed: DataFrame) -> DataFrame:
     """8 'permutations' = the 8 disjoint 4-hex-char (16-bit) slices of
     ONE md5 per shingle — one hash computation per row instead of
-    eight, with independent bits per slice (map-side-combinable min
-    aggregates either way)."""
-    hashed = sh.select("doc_id", F.md5("shingle").alias("h"))
+    eight, with independent bits per slice. Input is shingle_hashes
+    output (doc_id, h) WITH duplicates: min over a multiset == min
+    over its set, so the signature path never pays a distinct shuffle
+    — the groupBy's map-side partial mins collapse each partition to
+    one row per doc before any data moves."""
     aggs = [
         F.min(F.substring("h", 4 * i + 1, 4)).alias(f"h{i}")
         for i in range(N_PERMS)
@@ -275,16 +318,19 @@ WITH toks AS (
          list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS t
   FROM documents
 ),
-sh AS (
-  SELECT DISTINCT doc_id,
+shraw AS (
+  SELECT doc_id,
          unnest(list_transform(range(1, len(t) - 1),
                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
   FROM toks WHERE len(t) >= 3
 ),
+sh AS (
+  SELECT DISTINCT doc_id, {SID_DUCK} AS sid FROM shraw
+),
 mh AS (
   SELECT doc_id,
          {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(N_PERMS))}
-  FROM sh GROUP BY doc_id
+  FROM shraw GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, band,
@@ -310,7 +356,7 @@ inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -332,14 +378,17 @@ WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {JACCARD_THRESHOLD}
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs).cache()
-    cand = lsh_candidates(minhash_signatures(sh))
+    # signature path straight off the raw shingle stream (no distinct);
+    # verification joins re-keyed to the 8-byte sid — the cached table
+    # is two longs per row instead of (doc_id, shingle string)
+    cand = lsh_candidates(minhash_signatures(shingle_hashes(docs)))
+    sh = shingle_id_table(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sid")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sid")
     inter = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "sid"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
@@ -372,16 +421,19 @@ WITH toks AS (
          list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS t
   FROM documents
 ),
-sh AS (
-  SELECT DISTINCT doc_id,
+shraw AS (
+  SELECT doc_id,
          unnest(list_transform(range(1, len(t) - 1),
                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
   FROM toks WHERE len(t) >= 3
 ),
+sh AS (
+  SELECT DISTINCT doc_id, {SID_DUCK} AS sid FROM shraw
+),
 mh AS (
   SELECT doc_id,
          {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(N_PERMS))}
-  FROM sh GROUP BY doc_id
+  FROM shraw GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, band,
@@ -413,7 +465,7 @@ inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sid = sa.sid
   GROUP BY c.doc_a, c.doc_b
 ),
 exact AS (
@@ -448,8 +500,8 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query and pressure executor memory (ADVICE r4). The shingle scan
     # recomputes per consumer, which Catalyst reuses via shuffle reuse
     # where plans align.
-    sh = shingle_table(docs)
-    sig = minhash_signatures(sh)
+    sh = shingle_id_table(docs)
+    sig = minhash_signatures(shingle_hashes(docs))
     cand = lsh_candidates(sig)
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -473,11 +525,11 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sid")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sid")
     inter = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "sid"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
@@ -552,10 +604,10 @@ FROM bsizes GROUP BY band
 )
 def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # signatures-only path: shingles_raw skips the distinct shuffle
-    # (min over a multiset == min over the set, so the signatures —
-    # and this histogram — are identical; round-4, ROADMAP item 1)
-    bands = lsh_bands(minhash_signatures(shingles_raw(docs)))
+    # signatures-only path: no distinct shuffle (min over a multiset ==
+    # min over the set, so the signatures — and this histogram — are
+    # identical; round-4, ROADMAP item 1)
+    bands = lsh_bands(minhash_signatures(shingle_hashes(docs)))
     bsz = bands.groupBy("band", "bkey").agg(F.count("*").alias("bn"))
     over = F.col("bn") > LSH_BUCKET_CAP
     return bsz.groupBy("band").agg(

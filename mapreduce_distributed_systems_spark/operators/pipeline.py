@@ -28,9 +28,11 @@ from mapreduce_distributed_systems_spark.functions.text import words
 from mapreduce_distributed_systems_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     LSH_BUCKET_CAP,
+    SID_DUCK,
     lsh_candidates,
     minhash_signatures,
-    shingle_table,
+    shingle_hashes,
+    shingle_id_table,
 )
 from mapreduce_distributed_systems_spark.operators.wordcount import WC_ORACLE
 from mapreduce_distributed_systems_spark.plans.registry import register
@@ -57,16 +59,19 @@ exact_kept AS (
 kept AS (
   SELECT g.* FROM gated g JOIN exact_kept k ON g.doc_id = k.doc_id
 ),
-sh AS (
-  SELECT DISTINCT doc_id,
+shraw AS (
+  SELECT doc_id,
          unnest(list_transform(range(1, len(toks) - 1),
                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
   FROM kept WHERE len(toks) >= 3
 ),
+sh AS (
+  SELECT DISTINCT doc_id, {SID_DUCK} AS sid FROM shraw
+),
 mh AS (
   SELECT doc_id,
          {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(8))}
-  FROM sh GROUP BY doc_id
+  FROM shraw GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, band,
@@ -95,7 +100,7 @@ near_dups AS (
   JOIN sizes nb ON nb.doc_id = c.doc_b
   JOIN (
     SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
-    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    FROM sh sa JOIN sh sb ON sa.sid = sb.sid AND sa.doc_id < sb.doc_id
     GROUP BY 1, 2
   ) x ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b
   WHERE CAST(x.i AS DOUBLE) / (na.n + nb.n - x.i) >= {JACCARD_THRESHOLD}
@@ -139,14 +144,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = gated.join(exact_kept.select("doc_id"), "doc_id").cache()
 
-    sh = shingle_table(kept.select("doc_id", "text"))
-    cand = lsh_candidates(minhash_signatures(sh))
+    # near-dup stage: signatures off the raw shingle stream, exact-
+    # Jaccard verification re-keyed to the 8-byte sid (round 5 — the
+    # shingle string never appears as a shuffle or join key)
+    body = kept.select("doc_id", "text")
+    cand = lsh_candidates(minhash_signatures(shingle_hashes(body)))
+    sh = shingle_id_table(body)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sid")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sid")
     inter = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "sid"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )

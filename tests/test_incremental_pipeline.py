@@ -18,7 +18,8 @@ from mapreduce_distributed_systems_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     lsh_candidates,
     minhash_signatures,
-    shingle_table,
+    shingle_hashes,
+    shingle_ids_from_hashes,
 )
 from mapreduce_distributed_systems_spark.operators.pipeline import (
     MIN_TOKENS,
@@ -37,13 +38,17 @@ def _gate(docs):
     )
 
 
-def _near_dup_victims(sh):
-    cand = lsh_candidates(minhash_signatures(sh))
+def _near_dup_victims(hashed):
+    """Near-dup victims from a (doc_id, h) hashed-shingle stream — the
+    representation a persisted signature store would hold (round 5:
+    shingle strings never leave the map stage)."""
+    cand = lsh_candidates(minhash_signatures(hashed))
+    sh = shingle_ids_from_hashes(hashed)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sid")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sid")
     inter = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "sid"])
         .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
@@ -67,7 +72,7 @@ def test_incremental_equals_full(spark, sf_dir):
         _gate(old_docs).groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
         "doc_id",
     )
-    old_sh = shingle_table(old_kept.select("doc_id", "text"))
+    old_sh = shingle_hashes(old_kept.select("doc_id", "text"))
     old_victims = _near_dup_victims(old_sh)
     old_clean = old_kept.join(old_victims, "doc_id", "left_anti")
     # stores are built from old_KEPT (pre-victim-removal): the full run
@@ -90,7 +95,7 @@ def test_incremental_equals_full(spark, sf_dir):
     # near-dup: candidates over (store + new) signatures; only new docs
     # can be victims (every old id < every new id)
     combined_sh = sig_store_sh.unionByName(
-        shingle_table(new_kept.select("doc_id", "text"))
+        shingle_hashes(new_kept.select("doc_id", "text"))
     )
     victims = _near_dup_victims(combined_sh).where(F.col("doc_id") >= cutoff)
     new_clean = new_kept.join(victims, "doc_id", "left_anti")

@@ -132,6 +132,20 @@ def test_dedup_exact_shuffles_on_hash_not_text(spark, sf_dir):
         assert "md5" in plan
 
 
+def test_minhash_never_shuffles_shingle_strings(spark, sf_dir):
+    # round-5 re-key (ROADMAP item 1): the shingle string exists only
+    # inside the map stage — every downstream exchange carries doc_id,
+    # the 8-byte sid, signature slices, or band keys. At 100 TB the
+    # difference is shuffling ~16 bytes/shingle instead of the shingle
+    # text for the distinct + both sides of the verification join.
+    import re
+
+    for q in ("dedup_minhash_lsh", "dedup_minhash_estimate"):
+        plan = physical_plan(get_spec(q).fn(spark, sf_dir))
+        for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "shingle" not in keys, f"{q}: shingle string shuffled: {keys}"
+
+
 def test_lsh_bucket_stats_skips_distinct_shuffle(spark, sf_dir):
     # signatures never need distinct shingles (min over multiset ==
     # min over set), so the diagnostics query pays exactly three
