@@ -32,7 +32,7 @@ from mapreduce_distributed_systems_spark.operators.dedup import (
     lsh_candidates,
     minhash_signatures,
     shingle_hashes,
-    shingle_id_table,
+    shingle_ids_from_hashes,
 )
 from mapreduce_distributed_systems_spark.operators.wordcount import WC_ORACLE
 from mapreduce_distributed_systems_spark.plans.registry import register
@@ -117,39 +117,39 @@ FROM clean GROUP BY source
 """
 
 
-@register(
-    "pipeline_clean_corpus",
-    oracle=PIPELINE_ORACLE,
-    tags=("pipeline", "dedup", "quality"),
-    bench=True,
-    doc="Full corpus-cleaning pipeline: quality gate -> exact dedup -> "
-    "MinHash-LSH near-dup removal -> per-source stats, one plan.",
-)
-def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Quality gate: token count + type-token-ratio thresholds, fused
+    into the scan by Catalyst. Adds a `toks` column."""
     toked = docs.select("doc_id", "source", "text", words("text").alias("toks"))
-    gated = toked.where(
+    return toked.where(
         (F.size("toks") >= MIN_TOKENS)
         & (
             F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
             >= MIN_TTR
         )
     )
-    # exact-dedup stage shuffles on md5(text) — a 16-byte key, never
-    # the document body (round 4, same fix as dedup_exact)
-    exact_kept = (
+
+
+def exact_keep(gated: DataFrame) -> DataFrame:
+    """Exact dedup: keep min doc_id per identical text. Shuffles on
+    md5(text) — a 16-byte key, never the document body (round 4, same
+    fix as dedup_exact)."""
+    winners = (
         gated.select(F.md5("text").alias("h"), "doc_id")
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    kept = gated.join(exact_kept.select("doc_id"), "doc_id").cache()
+    return gated.join(winners.select("doc_id"), "doc_id")
 
-    # near-dup stage: signatures off the raw shingle stream, exact-
-    # Jaccard verification re-keyed to the 8-byte sid (round 5 — the
-    # shingle string never appears as a shuffle or join key)
-    body = kept.select("doc_id", "text")
-    cand = lsh_candidates(minhash_signatures(shingle_hashes(body)))
-    sh = shingle_id_table(body)
+
+def near_dup_victims(hashed: DataFrame) -> DataFrame:
+    """doc_ids to DROP: the higher id of every LSH-candidate pair whose
+    exact shingle-set Jaccard clears JACCARD_THRESHOLD. Input is a
+    shingle_hashes stream (doc_id, h) — signatures aggregate straight
+    off it, and the verification joins carry the 8-byte sid (round 5:
+    the shingle string never appears as a shuffle or join key)."""
+    cand = lsh_candidates(minhash_signatures(hashed))
+    sh = shingle_ids_from_hashes(hashed)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sid")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sid")
@@ -160,18 +160,95 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("i"))
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    near_dups = (
+    return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    clean = kept.join(near_dups, "doc_id", "left_anti")
+
+
+def _source_stats(clean: DataFrame) -> DataFrame:
     return clean.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("toks")).alias("total_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=PIPELINE_ORACLE,
+    tags=("pipeline", "dedup", "quality"),
+    bench=True,
+    doc="Full corpus-cleaning pipeline: quality gate -> exact dedup -> "
+    "MinHash-LSH near-dup removal -> per-source stats, one plan.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_keep(quality_gate(docs)).cache()
+    victims = near_dup_victims(shingle_hashes(kept.select("doc_id", "text")))
+    return _source_stats(kept.join(victims, "doc_id", "left_anti"))
+
+
+@register(
+    "pipeline_incremental_update",
+    oracle=PIPELINE_ORACLE,
+    tags=("pipeline", "dedup", "incremental"),
+    doc="Incremental corpus refresh — the realistic 100 TB shape: the "
+    "corpus below the id midpoint plays the already-cleaned store "
+    "(content-hash set + hashed-shingle signature store), the rest "
+    "arrives as a new batch that is gated, exact-deduped against the "
+    "store, and near-dup-checked against (store ∪ batch) signatures. "
+    "The ORACLE is the full-recompute SQL (same as "
+    "pipeline_clean_corpus), so the driver's hash row externally "
+    "certifies incremental == full recompute. Equivalence holds "
+    "because every artifact is deterministic per document and 'keep "
+    "the lower doc_id' orients every old-vs-new pair toward keeping "
+    "the stored doc; at scale only the new batch is scanned — the "
+    "stores are reads of persisted parquet, not recomputation.",
+)
+def pipeline_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.max("doc_id") / F.lit(2.0)).cast("long").alias("_cutoff")
+    )
+    base = docs.crossJoin(F.broadcast(cutoff))
+    old_docs = base.where(F.col("doc_id") < F.col("_cutoff")).drop("_cutoff")
+    new_docs = base.where(F.col("doc_id") >= F.col("_cutoff")).drop("_cutoff")
+
+    # ---- batch 1 (in production: already on disk) — clean the old
+    # corpus and persist the stores. Stores are built from old_KEPT
+    # (pre-victim-removal): the full run pairs new docs against old
+    # near-dup victims too, so the store retains their signatures.
+    old_kept = exact_keep(quality_gate(old_docs))
+    old_hashes = shingle_hashes(old_kept.select("doc_id", "text"))
+    old_clean = old_kept.join(near_dup_victims(old_hashes), "doc_id", "left_anti")
+    hash_store = old_kept.select(F.md5("text").alias("content_hash")).distinct()
+
+    # ---- batch 2: gate the new docs, exact-dedup against the store
+    # then within the batch, near-dup against (store ∪ batch)
+    new_gated = quality_gate(new_docs)
+    new_fresh = new_gated.join(
+        hash_store, F.md5(new_gated.text) == hash_store.content_hash, "left_anti"
+    )
+    new_kept = exact_keep(new_fresh)
+    combined = old_hashes.unionByName(
+        shingle_hashes(new_kept.select("doc_id", "text"))
+    )
+    # only new docs can be victims: every store id < every batch id
+    new_victims = (
+        near_dup_victims(combined)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("doc_id") >= F.col("_cutoff"))
+        .select("doc_id")
+    )
+    new_clean = new_kept.join(new_victims, "doc_id", "left_anti")
+
+    cols = ("source", "toks", "text")
+    return _source_stats(
+        old_clean.select(*cols).unionByName(new_clean.select(*cols))
     )
 
 

@@ -141,8 +141,8 @@ GATE_ORDER = (
     "skew_salted_agg",
     "token_count_methods",
     "window_ntile_pctrank",
-    # -- round-5 additions: first driver row (4) ----------------------
-    # (these displaced four stable r3-certified §2.B/util queries —
+    # -- round-5 additions: first driver row (5) ----------------------
+    # (these displaced stable r3-certified §2.B/util queries —
     # nocrash, early_exit, key2shard_distribution, ann_cosine_int8 —
     # whose code is unchanged since their r3 hash rows; a first
     # external row beats a refresh)
@@ -150,7 +150,11 @@ GATE_ORDER = (
     "sketch_kmv_merge",
     "dedup_canonical_pick",
     "chunk_documents",
-    # -- refresh: newest row is r3; highest-value first (19) ----------
+    # incremental == full-recompute certification: its oracle IS the
+    # full pipeline SQL, so a green hash row proves the incremental
+    # formulation externally
+    "pipeline_incremental_update",
+    # -- refresh: newest row is r3; highest-value first (18) ----------
     # reference-parity core
     "wc",
     "inverted_index",
@@ -176,7 +180,6 @@ GATE_ORDER = (
     "pack_training_shards",
     # events analytics over ts (post-NTZ re-check)
     "events_funnel_conversion",
-    "events_range_join_concurrent",
 )
 
 # Round-6 rotation note: after the r5 window lands, every query
@@ -186,14 +189,14 @@ GATE_ORDER = (
 # 5 after the gate ran (check git log vs CORRECTNESS_r05.json), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,
 # corpus_bigram_topk, dedup_exact_hash, dedup_exact_normalized,
-# dedup_simhash, early_exit, events_weekly_retention,
-# key2shard_distribution, map_ops, multimodal_features,
-# multimodal_frame_sample, nocrash, q7_volume_shipping,
-# q8_market_share, q9_product_profit, q12_ship_priority,
-# q13_customer_distribution, q15_top_supplier, q16_part_supplier_cnt,
-# q17_small_qty_revenue, q20_excess_suppliers, q21_waiting_suppliers,
-# skew_salted_join, unpivot_status_priority (25 — fits one window
-# with room for (a)).
+# dedup_simhash, early_exit, events_range_join_concurrent,
+# events_weekly_retention, key2shard_distribution, map_ops,
+# multimodal_features, multimodal_frame_sample, nocrash,
+# q7_volume_shipping, q8_market_share, q9_product_profit,
+# q12_ship_priority, q13_customer_distribution, q15_top_supplier,
+# q16_part_supplier_cnt, q17_small_qty_revenue, q20_excess_suppliers,
+# q21_waiting_suppliers, skew_salted_join, unpivot_status_priority
+# (26 — fits one window with room for (a)).
 
 
 def all_specs() -> dict[str, QuerySpec]:
