@@ -10,9 +10,10 @@ hash functions anywhere.
 Scale design (100 TB):
 - exact dedup groups on md5(text) (16-byte shuffle key), never on the
   full text;
-- MinHash/LSH shuffles only (doc_id, 8 minhash strings) + band keys —
-  the classic shingle→signature→band→bucket-join pipeline; candidate
-  verification joins the shingle table only for candidate pairs;
+- MinHash/LSH shuffles only (doc_id, 8 integer minhash slices) + band
+  keys — the classic shingle→signature→band→bucket-join pipeline; the
+  shingle string never leaves the map stage (signatures aggregate off
+  the raw hashed stream; verification joins carry an 8-byte sid);
 - SimHash shuffles a single 16-bit signature (production: 64-bit, same
   plan) and bucket-joins on signature nibbles;
 - embedding near-dup blocks on a coarse key (label here; at scale an
@@ -254,16 +255,30 @@ def minhash_signatures(hashed: DataFrame) -> DataFrame:
     output (doc_id, h) WITH duplicates: min over a multiset == min
     over its set, so the signature path never pays a distinct shuffle
     — the groupBy's map-side partial mins collapse each partition to
-    one row per doc before any data moves."""
+    one row per doc before any data moves.
+
+    Slices are INTEGER-valued (round 5): min over a string column
+    cannot live in a mutable hash-agg buffer, so string slices forced
+    this groupBy into SortAggregate — a full per-partition sort of the
+    exploded shingle stream, the dominant cost of the signature stage
+    at scale. Fixed-width hex compares lexicographically exactly as it
+    does numerically, so the integer mins are the same permutation
+    minima and candidates are unchanged; DuckDB mirrors with
+    ('0x' || slice)::BIGINT."""
     aggs = [
-        F.min(F.substring("h", 4 * i + 1, 4)).alias(f"h{i}")
+        F.min(
+            F.expr(f"cast(conv(substring(h, {4 * i + 1}, 4), 16, 10) as bigint)")
+        ).alias(f"h{i}")
         for i in range(N_PERMS)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey): each signature exploded into its 4 band keys."""
+    """(doc_id, band, bkey): each signature exploded into its 4 band
+    keys. bkey packs the band's two 16-bit slices into one long
+    (h_even * 2^16 + h_odd) — the integer twin of concatenating the
+    fixed-width hex slices, so band-bucket membership is unchanged."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -271,9 +286,10 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
-                            "bkey"
-                        ),
+                        (
+                            F.col(f"h{2 * b}") * F.lit(65536)
+                            + F.col(f"h{2 * b + 1}")
+                        ).alias("bkey"),
                     )
                     for b in range(N_PERMS // 2)
                 ]
@@ -329,13 +345,13 @@ sh AS (
 ),
 mh AS (
   SELECT doc_id,
-         {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(N_PERMS))}
+         {', '.join(f"min(('0x' || substring(md5(shingle), {4 * i + 1}, 4))::BIGINT) AS h{i}" for i in range(N_PERMS))}
   FROM shraw GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, band,
-         CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-                   WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
+         CASE band WHEN 0 THEN h0 * 65536 + h1 WHEN 1 THEN h2 * 65536 + h3
+                   WHEN 2 THEN h4 * 65536 + h5 ELSE h6 * 65536 + h7 END AS bkey
   FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
 ),
 small_buckets AS (
@@ -432,13 +448,13 @@ sh AS (
 ),
 mh AS (
   SELECT doc_id,
-         {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(N_PERMS))}
+         {', '.join(f"min(('0x' || substring(md5(shingle), {4 * i + 1}, 4))::BIGINT) AS h{i}" for i in range(N_PERMS))}
   FROM shraw GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, band,
-         CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-                   WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
+         CASE band WHEN 0 THEN h0 * 65536 + h1 WHEN 1 THEN h2 * 65536 + h3
+                   WHEN 2 THEN h4 * 65536 + h5 ELSE h6 * 65536 + h7 END AS bkey
   FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
 ),
 small_buckets AS (
@@ -572,13 +588,13 @@ sh AS (
 ),
 mh AS (
   SELECT doc_id,
-         {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(N_PERMS))}
+         {', '.join(f"min(('0x' || substring(md5(shingle), {4 * i + 1}, 4))::BIGINT) AS h{i}" for i in range(N_PERMS))}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, band,
-         CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-                   WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
+         CASE band WHEN 0 THEN h0 * 65536 + h1 WHEN 1 THEN h2 * 65536 + h3
+                   WHEN 2 THEN h4 * 65536 + h5 ELSE h6 * 65536 + h7 END AS bkey
   FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
 ),
 bsizes AS (SELECT band, bkey, count(*) AS bn FROM bands GROUP BY band, bkey)

@@ -70,13 +70,13 @@ sh AS (
 ),
 mh AS (
   SELECT doc_id,
-         {', '.join(f"min(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}" for i in range(8))}
+         {', '.join(f"min(('0x' || substring(md5(shingle), {4 * i + 1}, 4))::BIGINT) AS h{i}" for i in range(8))}
   FROM shraw GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, band,
-         CASE band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-                   WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bkey
+         CASE band WHEN 0 THEN h0 * 65536 + h1 WHEN 1 THEN h2 * 65536 + h3
+                   WHEN 2 THEN h4 * 65536 + h5 ELSE h6 * 65536 + h7 END AS bkey
   FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
 ),
 small_buckets AS (

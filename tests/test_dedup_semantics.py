@@ -90,11 +90,10 @@ def test_lsh_hot_bucket_cap_drops_giant_buckets(spark):
 
     n_hot = LSH_BUCKET_CAP + 8
     # identical signatures -> all land in the same 4 buckets
-    hot = [(i, "aaaa", "aaaa", "bbbb", "bbbb", "cccc", "cccc", "dddd", "dddd")
-           for i in range(n_hot)]
+    # (slices are integer-valued since the round-5 hash-agg re-key)
+    hot = [(i, 10, 10, 11, 11, 12, 12, 13, 13) for i in range(n_hot)]
     # a small 2-doc group with its own distinct signature
-    cool = [(10_000 + i, "1111", "1111", "2222", "2222", "3333", "3333",
-             "4444", "4444") for i in range(2)]
+    cool = [(10_000 + i, 1, 1, 2, 2, 3, 3, 4, 4) for i in range(2)]
     sig = spark.createDataFrame(
         hot + cool,
         ["doc_id"] + [f"h{i}" for i in range(8)],

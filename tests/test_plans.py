@@ -146,6 +146,18 @@ def test_minhash_never_shuffles_shingle_strings(spark, sf_dir):
             assert "shingle" not in keys, f"{q}: shingle string shuffled: {keys}"
 
 
+def test_minhash_signature_agg_is_hash_not_sort(spark, sf_dir):
+    # round 5: string-typed min() slices cannot live in a mutable
+    # hash-agg buffer, which silently forced the signature groupBy into
+    # SortAggregate — a full per-partition sort of the exploded shingle
+    # stream (billions of rows at corpus scale). Integer slices keep it
+    # in HashAggregate; pin that no SortAggregate appears anywhere in
+    # the LSH plans.
+    for q in ("dedup_minhash_lsh", "dedup_lsh_bucket_stats"):
+        plan = physical_plan(get_spec(q).fn(spark, sf_dir))
+        assert "SortAggregate" not in plan, f"{q}: signature agg fell to sort"
+
+
 def test_lsh_bucket_stats_skips_distinct_shuffle(spark, sf_dir):
     # signatures never need distinct shingles (min over multiset ==
     # min over set), so the diagnostics query pays exactly three
