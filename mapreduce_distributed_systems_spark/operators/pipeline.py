@@ -192,6 +192,44 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _source_stats(kept.join(victims, "doc_id", "left_anti"))
 
 
+def incremental_stores(
+    old_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Batch-1 of the incremental shape: clean `old_docs` and derive
+    the two stores a production refresh persists as parquet —
+    (clean corpus, content-hash store, hashed-shingle signature
+    store). Stores are built from old_KEPT (pre-victim-removal): the
+    full run pairs new docs against old near-dup victims too, so the
+    store retains their signatures."""
+    old_kept = exact_keep(quality_gate(old_docs))
+    old_hashes = shingle_hashes(old_kept.select("doc_id", "text"))
+    old_clean = old_kept.join(near_dup_victims(old_hashes), "doc_id", "left_anti")
+    hash_store = old_kept.select(F.md5("text").alias("content_hash")).distinct()
+    return old_clean, hash_store, old_hashes
+
+
+def incremental_apply(
+    new_docs: DataFrame, hash_store: DataFrame, sig_store: DataFrame
+) -> DataFrame:
+    """Batch-2: gate the new docs, exact-dedup against the hash store
+    then within the batch, near-dup against (store ∪ batch)
+    signatures. Only batch docs can be victims (every store id is
+    below every batch id), expressed store-shaped as a semijoin with
+    the batch's own ids — no cutoff value needed at apply time."""
+    new_gated = quality_gate(new_docs)
+    new_fresh = new_gated.join(
+        hash_store, F.md5(new_gated.text) == hash_store.content_hash, "left_anti"
+    )
+    new_kept = exact_keep(new_fresh)
+    combined = sig_store.unionByName(
+        shingle_hashes(new_kept.select("doc_id", "text"))
+    )
+    new_victims = near_dup_victims(combined).join(
+        new_kept.select("doc_id"), "doc_id"
+    )
+    return new_kept.join(new_victims, "doc_id", "left_anti")
+
+
 @register(
     "pipeline_incremental_update",
     oracle=PIPELINE_ORACLE,
@@ -218,33 +256,8 @@ def pipeline_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_docs = base.where(F.col("doc_id") < F.col("_cutoff")).drop("_cutoff")
     new_docs = base.where(F.col("doc_id") >= F.col("_cutoff")).drop("_cutoff")
 
-    # ---- batch 1 (in production: already on disk) — clean the old
-    # corpus and persist the stores. Stores are built from old_KEPT
-    # (pre-victim-removal): the full run pairs new docs against old
-    # near-dup victims too, so the store retains their signatures.
-    old_kept = exact_keep(quality_gate(old_docs))
-    old_hashes = shingle_hashes(old_kept.select("doc_id", "text"))
-    old_clean = old_kept.join(near_dup_victims(old_hashes), "doc_id", "left_anti")
-    hash_store = old_kept.select(F.md5("text").alias("content_hash")).distinct()
-
-    # ---- batch 2: gate the new docs, exact-dedup against the store
-    # then within the batch, near-dup against (store ∪ batch)
-    new_gated = quality_gate(new_docs)
-    new_fresh = new_gated.join(
-        hash_store, F.md5(new_gated.text) == hash_store.content_hash, "left_anti"
-    )
-    new_kept = exact_keep(new_fresh)
-    combined = old_hashes.unionByName(
-        shingle_hashes(new_kept.select("doc_id", "text"))
-    )
-    # only new docs can be victims: every store id < every batch id
-    new_victims = (
-        near_dup_victims(combined)
-        .crossJoin(F.broadcast(cutoff))
-        .where(F.col("doc_id") >= F.col("_cutoff"))
-        .select("doc_id")
-    )
-    new_clean = new_kept.join(new_victims, "doc_id", "left_anti")
+    old_clean, hash_store, sig_store = incremental_stores(old_docs)
+    new_clean = incremental_apply(new_docs, hash_store, sig_store)
 
     cols = ("source", "toks", "text")
     return _source_stats(

@@ -23,7 +23,10 @@ from mapreduce_distributed_systems_spark.operators.dedup import (
     shingle_hashes,
 )
 from mapreduce_distributed_systems_spark.operators.pipeline import (
+    _source_stats,
     exact_keep,
+    incremental_apply,
+    incremental_stores,
     near_dup_victims,
     pipeline_clean_corpus,
     pipeline_incremental_update,
@@ -39,6 +42,42 @@ def test_incremental_equals_full(spark, sf_dir):
     b = sorted(map(tuple, full.collect()))
     assert a == b
     assert incremental.columns == full.columns
+
+
+def test_incremental_from_persisted_store(spark, sf_dir):
+    """The production claim made literal: batch-1's stores round-trip
+    through PARQUET, batch-2 runs against the files it read back, and
+    the refreshed corpus still equals the full recompute. This is the
+    path a real 100 TB refresh takes — nothing in the apply stage may
+    depend on lineage or in-session state of the store build."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.max("doc_id") / F.lit(2.0)).cast("long")
+    ).collect()[0][0]
+    old_docs = docs.where(F.col("doc_id") < cutoff)
+    new_docs = docs.where(F.col("doc_id") >= cutoff)
+
+    old_clean, hash_store, sig_store = incremental_stores(old_docs)
+    d = tempfile.mkdtemp(prefix="inc_store_")
+    old_clean.select("doc_id", "source", "toks", "text").write.parquet(f"{d}/clean")
+    hash_store.write.parquet(f"{d}/hash_store")
+    sig_store.write.parquet(f"{d}/sig_store")
+
+    clean_r = spark.read.parquet(f"{d}/clean")
+    hash_r = spark.read.parquet(f"{d}/hash_store")
+    sig_r = spark.read.parquet(f"{d}/sig_store")
+
+    new_clean = incremental_apply(new_docs, hash_r, sig_r)
+    cols = ("source", "toks", "text")
+    refreshed = _source_stats(
+        clean_r.select(*cols).unionByName(new_clean.select(*cols))
+    )
+    full = pipeline_clean_corpus(spark, sf_dir)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
 
 
 def test_store_retains_victim_signatures(spark, sf_dir):
