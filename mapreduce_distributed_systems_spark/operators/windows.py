@@ -267,3 +267,59 @@ def window_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(wo).alias("latest_price"),
         F.nth_value("o_totalprice", 2).over(wo).alias("second_price"),
     )
+
+
+DEDUP_LATEST_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_events
+  FROM events
+)
+SELECT user_id, event_type,
+       event_id AS last_event_id,
+       round(value, 2) AS last_value,
+       CAST(n_events AS BIGINT) AS n_events
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "window_dedup_latest",
+    oracle=DEDUP_LATEST_ORACLE,
+    tags=("window", "dedup", "events"),
+    doc="Window deduplication — keep the LATEST row per key: "
+    "row_number over (user_id, event_type) ordered by ts desc with an "
+    "event_id tiebreak, filtered to rn=1, keeping the group size "
+    "alongside. The upsert-compaction pattern every CDC/event log "
+    "needs (the batch twin of kv_replay_final's last-write-wins): one "
+    "shuffle on the dedup key, streaming rank within partitions, no "
+    "self-join against a max-ts aggregate (which would shuffle twice "
+    "and break ties nondeterministically).",
+)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = W.partitionBy("user_id", "event_type")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_events"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 2).alias("last_value"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
