@@ -299,13 +299,20 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Candidate pairs from band-bucket equi-join, with buckets above
-    LSH_BUCKET_CAP dropped before the self-join (hot-bucket guard).
+    """Candidate pairs per band bucket, with buckets above
+    LSH_BUCKET_CAP dropped (hot-bucket guard).
 
-    The cap is a window count over (band, bkey): ONE shuffle that
-    clusters rows exactly on the self-join key, so the join that
-    follows reuses the partitioning instead of re-shuffling (a
-    groupBy-count + join-back formulation would shuffle twice)."""
+    Formulated WITHOUT a self-join (round 5): a bucket self-join
+    recomputes the whole signature pipeline for its second input —
+    the executed 10x profile showed the explode+md5+min-agg running
+    twice, and neither broadcast nor sort-merge planning reuses the
+    subplan. Instead, ONE shuffle on (band, bkey) serves both the cap
+    (window count) and a collect_list of each bucket's doc_ids — the
+    cap bounds every list at LSH_BUCKET_CAP, so the array is
+    executor-safe by construction — and a narrow nested-transform
+    explode emits each bucket's ordered pairs. Same candidate set,
+    half the upstream work, and the only remaining exchanges are the
+    band shuffle and the final pair distinct."""
     from pyspark.sql import Window as W
 
     bands = lsh_bands(sig)
@@ -314,16 +321,19 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
         .where(F.col("bn") <= LSH_BUCKET_CAP)
         .drop("bn")
     )
-    a = kept.alias("a")
-    b = kept.alias("b")
+    buckets = kept.groupBy("band", "bkey").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    pairs = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), i -> "
+        "transform(slice(ids, i + 1, size(ids) - i), y -> "
+        "struct(least(element_at(ids, i), y) as doc_a, "
+        "greatest(element_at(ids, i), y) as doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

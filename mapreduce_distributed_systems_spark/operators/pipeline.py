@@ -149,7 +149,11 @@ def near_dup_victims(hashed: DataFrame) -> DataFrame:
     off it, and the verification joins carry the 8-byte sid (round 5:
     the shingle string never appears as a shuffle or join key)."""
     cand = lsh_candidates(minhash_signatures(hashed))
-    sh = shingle_ids_from_hashes(hashed)
+    # cached: three consumers (sizes + both intersection sides) and
+    # 16 bytes/row — the same pattern as dedup_minhash_lsh; without it
+    # the executed 10x profile shows the distinct recomputed per
+    # consumer (AQE does not fully reuse the exchange across subtrees)
+    sh = shingle_ids_from_hashes(hashed).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sid")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sid")
