@@ -521,13 +521,13 @@ FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # No .cache(): in the long-lived driver/bench session that runs every
-    # registered query back-to-back, persisted blocks would outlive this
-    # query and pressure executor memory (ADVICE r4). The shingle scan
-    # recomputes per consumer, which Catalyst reuses via shuffle reuse
-    # where plans align.
+    # The shingle-scale tables are NOT cached (ADVICE r4: persisted
+    # blocks outlive the query in the long-lived driver/bench session);
+    # the SIGNATURE table is — 9 longs per doc, three consumers
+    # (candidates + both estimate sides), so caching it cuts the
+    # full-corpus explode from 3x to 1x at negligible memory.
     sh = shingle_id_table(docs)
-    sig = minhash_signatures(shingle_hashes(docs))
+    sig = minhash_signatures(shingle_hashes(docs)).cache()
     cand = lsh_candidates(sig)
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
