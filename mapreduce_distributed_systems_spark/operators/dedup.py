@@ -751,7 +751,9 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
     "join, hamming-distance filter.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    # cached for the same reason as dedup_simhash64: the nibble
+    # self-join's second input would recompute the token pipeline
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents")).cache()
     nib = sig.select(
         "doc_id",
         "simhash",

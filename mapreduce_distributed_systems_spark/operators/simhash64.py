@@ -169,7 +169,12 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {HAMMING_MAX64}
     "filter (Manku et al. WWW'07 shape).",
 )
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = simhash64_signatures(load_table(spark, sf_dir, "documents"))
+    # cached: the band self-join would otherwise recompute the whole
+    # token pipeline (explode + 64 conditional sums) for its second
+    # input — the signature table is 3 longs per doc (round 5; no
+    # bucket cap exists here, so the capped collect_list pair
+    # formulation used by MinHash-LSH does not apply)
+    sig = simhash64_signatures(load_table(spark, sf_dir, "documents")).cache()
     bands = sig.select(
         "doc_id",
         "sim_hi",
