@@ -737,7 +737,11 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join multiplies row count by cell size, so per-pair work must be
     # one dot product, not dot + two recomputed norms)
     q8a = q8.join(assign_int8(q8, cents).select("vec_id", "cell"), "vec_id")
-    q8n = q8a.withColumn("nrm", int_norm("qv"))
+    # cached: both pair-join sides read the assigned+normed table; an
+    # IVF index is a MATERIALIZED artifact in production (you build
+    # assignments once and store them), so recomputing the k-distance
+    # assignment per join side would misrepresent the operator's cost
+    q8n = q8a.withColumn("nrm", int_norm("qv")).cache()
     a = q8n.select(
         F.col("cell"), F.col("vec_id").alias("vec_a"),
         F.col("qv").alias("qa"), F.col("nrm").alias("na"),
