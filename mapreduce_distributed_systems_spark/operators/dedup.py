@@ -521,13 +521,16 @@ FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # The shingle-scale tables are NOT cached (ADVICE r4: persisted
-    # blocks outlive the query in the long-lived driver/bench session);
-    # the SIGNATURE table is — 9 longs per doc, three consumers
-    # (candidates + both estimate sides), so caching it cuts the
-    # full-corpus explode from 3x to 1x at negligible memory.
+    # Deliberately NOT cached (ADVICE r4): persisted blocks outlive the
+    # query in the long-lived driver/bench session, and — the subtler
+    # hazard, observed in-repo — a cached subplan substitutes into ANY
+    # later query that builds the same analyzed plan, silently changing
+    # its physical shape (dedup_lsh_bucket_stats shares this signature
+    # subplan and its pinned exchange count moved when this was
+    # cached). The estimator is a calibration query; its production
+    # sibling dedup_minhash_lsh owns the optimized path.
     sh = shingle_id_table(docs)
-    sig = minhash_signatures(shingle_hashes(docs)).cache()
+    sig = minhash_signatures(shingle_hashes(docs))
     cand = lsh_candidates(sig)
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
