@@ -387,3 +387,94 @@ def test_kv_replay_tws_matches_batch(spark, sf_dir):
         for r in replay(op_log(ev)).collect()
     }
     assert got == want
+
+
+def test_shard_serve_stream_restart_carries_state(spark, sf_dir):
+    """Kill-and-resume for the C14 streaming twin: process the first
+    half of the time-ordered log, stop, restart from the same
+    checkpoint with the second half. The resumed run's per-shard
+    counts must equal the full totals — which is only possible if the
+    (ops_seen, n_old) state survived the restart, since the second
+    half alone undercounts every shard."""
+    import time
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from mapreduce_distributed_systems_spark.streaming.shard_stream import (
+        HANDOFF_OPS,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _serve_state,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="shard_restart_src_")
+    halved = raw.withColumn(
+        "_h", F.ntile(2).over(Window.orderBy("ts", "event_id"))
+    )
+
+    def stage(j):
+        halved.where(F.col("_h") == j + 1).drop("_h").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part-{j}.dir")
+
+    stage(0)
+
+    shard_col = (
+        F.ascii(F.substring((F.col("user_id") % 20).cast("string"), 1, 1)) % 10
+    ).cast("long")
+
+    def run():
+        collected: list = []
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .select(shard_col.alias("shard"), "ts", "event_id")
+        )
+        folded = stream.groupBy("shard").applyInPandasWithState(
+            _serve_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            folded.writeStream.foreachBatch(
+                lambda df, bid: collected.append(df.toPandas())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # latest update per shard across this run's batches
+        out = pd.concat(collected) if collected else pd.DataFrame(
+            columns=["shard", "ops_seen", "n_old"]
+        )
+        return out.sort_values("ops_seen").groupby("shard").last().reset_index()
+
+    ckpt = tempfile.mkdtemp(prefix="shard_restart_ckpt_")
+    first = run()
+
+    totals = {
+        r.shard: r.n
+        for r in raw.select(shard_col.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # premise: the first half alone undercounts every shard
+    seen1 = dict(zip(first["shard"], first["ops_seen"]))
+    assert all(seen1[s] < totals[s] for s in seen1)
+
+    stage(1)  # the second half lands while "down"
+    second = run()
+
+    # resumed counts must be the FULL totals (state carried over)
+    seen2 = dict(zip(second["shard"], second["ops_seen"]))
+    nold2 = dict(zip(second["shard"], second["n_old"]))
+    assert seen2 == totals
+    assert all(nold2[s] == min(HANDOFF_OPS, totals[s]) for s in nold2)
