@@ -68,18 +68,36 @@ FROM c
     "window anywhere in the plan.",
 )
 def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(words("text")).cast("long").alias("n_tok")
     )
+    packed = distributed_cumsum(spark, docs, "n_tok", ["doc_id"])
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"((_csum - n_tok) div {TOKEN_BUDGET})")
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+def distributed_cumsum(
+    spark: SparkSession, df: DataFrame, value_col: str, order_cols: list[str]
+) -> DataFrame:
+    """Global running sum of `value_col` in `order_cols` order WITHOUT
+    a single-partition window: range-partition on the order, run the
+    prefix sum per partition, then add each partition's starting
+    offset (an O(#partitions) driver collect of per-partition totals).
+    Returns the input plus a `_csum` column."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = (
-        docs.repartitionByRange(n_parts, "doc_id")
+        df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     sums = {
         r["_pid"]: r["s"]
-        for r in part.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
+        for r in part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     }
     offsets, acc = {}, 0
     for pid in range(n_parts):
@@ -88,20 +106,11 @@ def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     off_map = F.create_map(
         *[F.lit(v) for pid in range(n_parts) for v in (pid, offsets[pid])]
     )
-    w = W.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+    w = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, 0
     )
-    csum = F.element_at(off_map, F.col("_pid")) + F.sum("n_tok").over(w)
-    return (
-        part.withColumn("_csum", csum)
-        .select(
-            "doc_id",
-            "n_tok",
-            F.expr(f"((_csum - n_tok) div {TOKEN_BUDGET})")
-            .cast("long")
-            .alias("shard_id"),
-        )
-    )
+    csum = F.element_at(off_map, F.col("_pid")) + F.sum(value_col).over(w)
+    return part.withColumn("_csum", csum).drop("_pid")
 
 
 MIXTURE_ORACLE = """
@@ -153,3 +162,120 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.col("_h"), F.col("doc_id")],
     )
     return picked.select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# Training-prep composition (round 5): the packing-side sibling of
+# pipeline_clean_corpus. A cleaned corpus still has to become training
+# shards: take the TRAIN split (stable hash assignment), chunk long
+# docs into overlapping fixed-token-budget units, pack the chunks
+# sequentially into token-budget shards, and emit one certifiable row
+# per shard whose shard_hash (md5 of the ordered chunk hashes) pins
+# the exact chunk membership AND order — the strongest end-to-end
+# signal: any drift in split, tokenization, chunk boundaries, packing
+# order, or shard assignment changes the hash.
+# --------------------------------------------------------------------------
+
+TRAIN_PREP_ORACLE = None  # assigned below (needs sampling/text imports)
+
+
+def _train_prep_oracle() -> str:
+    from mapreduce_distributed_systems_spark.operators.sampling import (
+        _BUCKET_DUCK,
+    )
+    from mapreduce_distributed_systems_spark.operators.text_analysis import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    return f"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE {_BUCKET_DUCK} < 58982
+),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                     x -> x <> '') AS toks
+  FROM train
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {CHUNK_OVERLAP}, 1) + 1,
+                      {CHUNK_STRIDE})) AS start
+  FROM t WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id,
+         CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         CAST(len(toks[start:start + {CHUNK_TOKENS - 1}]) AS BIGINT) AS n_tok,
+         md5(array_to_string(toks[start:start + {CHUNK_TOKENS - 1}], ' '))
+           AS chunk_hash
+  FROM s
+),
+cs AS (
+  SELECT *, sum(n_tok) OVER (ORDER BY doc_id, chunk_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+  FROM ch
+),
+packed AS (
+  SELECT *, CAST((csum - n_tok) // {TOKEN_BUDGET} AS BIGINT) AS shard_id
+  FROM cs
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       md5(string_agg(chunk_hash, '' ORDER BY doc_id, chunk_idx))
+         AS shard_hash
+FROM packed GROUP BY shard_id
+"""
+
+
+TRAIN_PREP_ORACLE = _train_prep_oracle()
+
+
+@register(
+    "pipeline_training_prep",
+    oracle=TRAIN_PREP_ORACLE,
+    tags=("pipeline", "packing", "chunking", "training-data"),
+    doc="End-to-end training-prep: stable train-split assignment -> "
+    "overlapping fixed-token chunking -> sequential token-budget "
+    "shard packing -> one row per shard with an order-sensitive "
+    "shard_hash (md5 of the ordered chunk hashes). The hash certifies "
+    "split membership, tokenization, chunk boundaries, packing order, "
+    "and shard assignment in one value. The global packing order uses "
+    "the distributed prefix sum (range partition + O(#partitions) "
+    "offsets) — no single-partition window; per-shard collect_lists "
+    "are bounded by the token budget.",
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.operators.sampling import (
+        _BUCKET_SPARK,
+    )
+    from mapreduce_distributed_systems_spark.operators.text_analysis import (
+        chunk_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.expr(_BUCKET_SPARK) < 58982
+    )
+    chunks = chunk_rows(docs).select(
+        "doc_id", "chunk_idx", F.col("n_chunk_tokens").alias("n_tok"),
+        "chunk_hash",
+    )
+    packed = distributed_cumsum(
+        spark, chunks, "n_tok", ["doc_id", "chunk_idx"]
+    ).withColumn(
+        "shard_id", F.expr(f"((_csum - n_tok) div {TOKEN_BUDGET})").cast("long")
+    )
+    ordered_hashes = F.expr(
+        "transform(sort_array(collect_list(struct(doc_id, chunk_idx, "
+        "chunk_hash))), x -> x.chunk_hash)"
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.md5(F.concat_ws("", ordered_hashes)).alias("shard_hash"),
+    )

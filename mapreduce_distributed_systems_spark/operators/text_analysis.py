@@ -340,14 +340,19 @@ FROM c
     "Narrow plan: no shuffle at all — chunking fuses into the scan.",
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "toks", words("text")
-    )
+    return chunk_rows(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_rows(docs: DataFrame) -> DataFrame:
+    """Chunking as a reusable stage over any (doc_id, text) frame —
+    chunk_documents applies it to the whole table; the training-prep
+    pipeline applies it to the train split."""
+    toked = docs.withColumn("toks", words("text"))
     starts = F.expr(
         f"sequence(1, greatest(size(toks) - {CHUNK_OVERLAP}, 1), "
         f"{CHUNK_STRIDE})"
     )
-    s = docs.where(F.size("toks") > 0).select(
+    s = toked.where(F.size("toks") > 0).select(
         "doc_id", "toks", F.explode(starts).alias("start")
     )
     chunk = F.expr(f"slice(toks, start, {CHUNK_TOKENS})")
