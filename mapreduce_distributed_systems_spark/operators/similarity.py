@@ -594,6 +594,16 @@ ANN_IVF_KMEANS_ORACLE = _ivf_kmeans_oracle(
     "vs the float brute force: tests/test_similarity.py.",
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q8, assigned, cells = _ivf_build(spark, sf_dir)
+    return _ivf_probe_topk(q8, assigned, cells, N_PROBE)
+
+
+def _ivf_build(spark: SparkSession, sf_dir: str):
+    """Build the IVF-SQ8 index once: quantized corpus, final cell
+    assignment, and the centroid table. Shared by ann_ivf_kmeans and
+    the recall-curve query (which probes the SAME index at several
+    n_probe settings — refitting per setting would both waste the
+    dominant cost and change the question being asked)."""
     from mapreduce_distributed_systems_spark.operators.kmeans import (
         assign_int8,
         kmeans_fit_int8,
@@ -612,6 +622,12 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(c), [int(x) for x in cents[c]]) for c in range(len(cents))],
         "cell int, cv array<bigint>",
     )
+    return q8, assigned, cells
+
+
+def _ivf_probe_topk(
+    q8: DataFrame, assigned: DataFrame, cells: DataFrame, n_probe: int
+) -> DataFrame:
     q = (
         q8.where(F.expr(QUERY_FILTER))
         .orderBy("vec_id")
@@ -628,7 +644,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
     probed = (
         qd.withColumn("cell_rank", F.row_number().over(cw))
-        .where(F.col("cell_rank") <= N_PROBE)
+        .where(F.col("cell_rank") <= n_probe)
         .select("query_id", "cell")
     )
     q8a = q8.join(assigned, "vec_id")
@@ -814,3 +830,72 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_hit") / F.count("*"), 4).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Recall-vs-n_probe operating curve (round 5): the dial an IVF
+# deployment actually turns. One shared index build, probed at
+# n_probe ∈ {1, 2, 4}; each setting's hits against the brute-force
+# baseline aggregate to a single (n_probe, recall) row, so the
+# recall/scan-fraction trade is a CERTIFIED result, not a prose claim.
+# --------------------------------------------------------------------------
+
+RECALL_CURVE_PROBES = (1, 2, 4)
+
+
+def _recall_curve_oracle() -> str:
+    ivf_ctes = ",\n".join(
+        f"ivf{np} AS ({_ivf_kmeans_oracle(k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER, dim=DIM, n_probe=np, top_k=TOP_K, cap=ANN_QUERY_CAP)})"
+        for np in RECALL_CURVE_PROBES
+    )
+    blocks = "\nUNION ALL\n".join(
+        f"""SELECT CAST({np} AS BIGINT) AS n_probe,
+       CAST(count(DISTINCT b.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_brute_pairs,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(i.neighbor_id) * 1.0 / count(*), 4) AS recall
+FROM brute b
+LEFT JOIN ivf{np} i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id"""
+        for np in RECALL_CURVE_PROBES
+    )
+    return f"WITH brute AS ({BRUTE_ORACLE}),\n{ivf_ctes}\n{blocks}"
+
+
+ANN_RECALL_CURVE_ORACLE = _recall_curve_oracle()
+
+
+@register(
+    "ann_recall_curve",
+    oracle=ANN_RECALL_CURVE_ORACLE,
+    tags=("similarity", "ann", "ivf", "quality"),
+    doc="IVF recall-vs-n_probe operating curve: the SAME learned index "
+    "probed at n_probe in {1, 2, 4}, each setting's top-k compared "
+    "against the brute-force baseline and aggregated to one "
+    "(n_probe, recall) row. Certifies the dial a deployment turns — "
+    "scan n_probe/k of the corpus, get this recall — end-to-end in "
+    "both engines (the oracle replays the fit once per CTE with "
+    "identical integer arithmetic, so all three probes see the same "
+    "centroids).",
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    brute = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    q8, assigned, cells = _ivf_build(spark, sf_dir)
+    parts = []
+    for np_ in RECALL_CURVE_PROBES:
+        ivf = _ivf_probe_topk(q8, assigned, cells, np_).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        parts.append(
+            brute.join(ivf, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.count("*").cast("long").alias("n_brute_pairs"),
+                F.count("_hit").cast("long").alias("n_hits"),
+                F.round(F.count("_hit") / F.count("*"), 4).alias("recall"),
+            )
+            .select(F.lit(np_).cast("long").alias("n_probe"), "*")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -189,7 +189,8 @@ GATE_ORDER = (
 # r6 window head should be (a) any query whose code changes in round
 # 5 after the gate ran (check git log vs CORRECTNESS_r05.json) plus
 # the round-5 additions outside the r5 window (window_dedup_latest,
-# shard_serve_streaming, pipeline_training_prep, plus ann_recall_at_k
+# shard_serve_streaming, pipeline_training_prep, ann_recall_curve,
+# plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,
 # corpus_bigram_topk, dedup_exact_hash, dedup_exact_normalized,
