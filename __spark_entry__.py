@@ -27,8 +27,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return get_spec("wc").fn(spark, "/root/testdata/sf0.001")
 
 
+def _isolated(fn: Callable[[SparkSession, str], DataFrame]):
+    """Evict any cached blocks left by the PREVIOUS query before
+    building this one's plan. Some queries cache bounded intermediates
+    (signature tables, IVF assignments) that live until materialization
+    and so cannot unpersist inside their own function; in the driver's
+    130-query back-to-back session those blocks would otherwise
+    accumulate and pressure executor memory (ADVICE r4). Clearing at
+    query entry keeps every query self-contained without touching the
+    caches it is about to build."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in all_specs().items()}
+    return {name: _isolated(spec.fn) for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:

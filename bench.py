@@ -80,6 +80,11 @@ def main() -> None:
             "shuffle_read_bytes": r1 - r0,
             "shuffle_write_bytes": w1 - w0,
         }
+        # Queries may cache bounded intermediates (signature tables,
+        # IVF assignments). Evict between queries so each measurement
+        # is cache-cold and a 24-query session never accumulates
+        # blocks that pressure later queries' execution memory.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     # io bytes: sidecar file + an early line (NOT part of the final line

@@ -81,3 +81,22 @@ def test_reordering_preserves_full_registry():
     assert len(specs) == len(set(specs)), "duplicate names after reorder"
     # prefix is exactly GATE_ORDER
     assert list(specs)[: len(GATE_ORDER)] == list(GATE_ORDER)
+
+
+def test_driver_queries_wrapper_isolates_cache(spark, sf_dir):
+    """The driver runs 133 queries back-to-back in one session; some
+    cache bounded intermediates they cannot unpersist before returning
+    (the caller materializes after the function returns). The contract
+    shim must therefore evict leftover blocks at each query's entry so
+    caches never accumulate across the session (ADVICE r4)."""
+    import importlib
+
+    entry_mod = importlib.import_module("__spark_entry__")
+    leftover = spark.range(100).cache()
+    leftover.count()  # materialize so storage actually holds blocks
+    df = entry_mod.queries()["wc"](spark, sf_dir)
+    # is_cached is a stale python-side flag after clearCache; the
+    # authoritative signal is the storage level losing memory+disk
+    lvl = leftover.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "previous query's cache survived"
+    assert df.count() > 0
