@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.simhash64",
     "mapreduce_distributed_systems_spark.operators.similarity",
     "mapreduce_distributed_systems_spark.operators.text_analysis",
+    "mapreduce_distributed_systems_spark.operators.text_prep",
     "mapreduce_distributed_systems_spark.operators.multimodal",
     "mapreduce_distributed_systems_spark.operators.pipeline",
     "mapreduce_distributed_systems_spark.operators.sampling",
@@ -190,6 +191,7 @@ GATE_ORDER = (
 # 5 after the gate ran (check git log vs CORRECTNESS_r05.json) plus
 # the round-5 additions outside the r5 window (window_dedup_latest,
 # shard_serve_streaming, pipeline_training_prep, ann_recall_curve,
+# text_denylist_scrub, vocab_build_encode, source_unigram_divergence,
 # plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,

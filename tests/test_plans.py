@@ -230,3 +230,42 @@ def test_canonical_pick_windows_only_cluster_members(spark, sf_dir):
     plan = physical_plan(get_spec("dedup_canonical_pick").fn(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_denylist_scrub_is_map_only(spark, sf_dir):
+    # redaction is a narrow per-doc transform: it must fuse into the
+    # scan with zero exchanges — at 100 TB it runs at scan speed
+    plan = physical_plan(get_spec("text_denylist_scrub").fn(spark, sf_dir))
+    assert "Exchange" not in plan, "denylist scrub should not shuffle"
+    assert "FileScan parquet" in plan
+
+
+def test_vocab_encode_bounded_sort_and_broadcast(spark, sf_dir):
+    # pass 1: map-side-combined token counts + K-row TakeOrdered (never
+    # a full corpus sort); the id-assignment window runs over those K
+    # rows only; pass 2: the vocabulary broadcast-joins back onto the
+    # token stream — the corpus itself is never re-shuffled for the join
+    plan = physical_plan(get_spec("vocab_build_encode").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject(limit=16" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert plan.count("Window") == 1  # only the K-row id assignment
+
+
+def test_divergence_reuses_src_counts_and_broadcasts_marginals(spark, sf_dir):
+    # the (source, token) count table feeds three consumers — it must
+    # come from the cache, not three corpus explodes; per-source totals
+    # and the grand total ride broadcasts, and the cross join of the
+    # 1-row total must never be a cartesian product
+    plan = physical_plan(
+        get_spec("source_unigram_divergence").fn(spark, sf_dir)
+    )
+    assert plan.count("InMemoryTableScan") >= 3
+    # every explode/scan occurrence in the printed plan must sit inside
+    # a reprinted InMemoryRelation BUILD subtree (the cache's own
+    # definition) — an uncached consumer would add a FileScan/explode
+    # beyond the one-per-InMemoryRelation reprint
+    assert plan.count("Generate explode") == plan.count("InMemoryRelation")
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
