@@ -201,3 +201,52 @@ def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name).where(F.col("user_id") != -1)
+
+
+DEDUP_STREAM_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "events_dedup_streaming",
+    oracle=DEDUP_STREAM_ORACLE,
+    tags=("events", "streaming", "dedup", "exactly-once"),
+    doc="Streaming ingestion dedup under at-least-once delivery: the "
+    "stream reads the events file TWICE (every record redelivered), "
+    "and dropDuplicatesWithinWatermark on event_id must restore "
+    "exactly-once counts — the oracle is the single-copy batch "
+    "aggregate, so any duplicate leaking through doubles a count and "
+    "fails the hash. Watermark-scoped dedup state is the production "
+    "contract: state is bounded by the redelivery horizon (the "
+    "watermark delay), not by stream lifetime — the unbounded-state "
+    "dropDuplicates variant cannot run 24/7 at 100 TB/day.",
+)
+def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="evdd_stream_src_")
+    # at-least-once delivery: the same file visible twice
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events-a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events-b.parquet")
+    stream = normalize_ts(spark.readStream.schema(raw.schema).parquet(src_dir))
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    name = f"evdd_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="evdd_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -478,3 +478,35 @@ def test_shard_serve_stream_restart_carries_state(spark, sf_dir):
     nold2 = dict(zip(second["shard"], second["n_old"]))
     assert seen2 == totals
     assert all(nold2[s] == min(HANDOFF_OPS, totals[s]) for s in nold2)
+
+
+def test_dedup_stream_actually_sees_redelivery(spark, sf_dir):
+    """Negative control for events_dedup_streaming: the two-symlink
+    source must really deliver every record twice — otherwise the
+    oracle match would be vacuous (dedup of an already-unique stream).
+    Run the same doubled source WITHOUT the dedup and assert exactly
+    2x the batch counts."""
+    import uuid
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="evdd_ctrl_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events-a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events-b.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = f"evdd_ctrl_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="evdd_ctrl_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    doubled = {r["event_type"]: r["n"] for r in spark.table(name).collect()}
+    batch = {
+        r["event_type"]: r["n"]
+        for r in raw.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in batch.items()}
