@@ -614,7 +614,9 @@ def _ivf_build(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q8 = quantize_int8(emb)
-    cents = kmeans_fit_int8(q8, k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER)
+    cents = kmeans_fit_int8(
+        q8, k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER, n=emb.count()
+    )
     # final assignment with the FINAL centroids so the index and the
     # probe routing agree
     assigned = assign_int8(q8, cents).select("vec_id", "cell")
@@ -742,8 +744,10 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q8 = quantize_int8(emb)
     # metadata-cheap parquet row count drives the cell-count formula
-    k = ivf_k_for(emb.count())
-    cents = kmeans_fit_int8(q8, k=k, n_iter=IVF_KMEANS_ITER)
+    # and the fit-sample lever (n passed through: no second count)
+    n = emb.count()
+    k = ivf_k_for(n)
+    cents = kmeans_fit_int8(q8, k=k, n_iter=IVF_KMEANS_ITER, n=n)
     from mapreduce_distributed_systems_spark.functions.vector import (
         int_dot,
         int_norm,
