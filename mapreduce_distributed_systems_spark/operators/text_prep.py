@@ -61,6 +61,7 @@ FROM s
     "text_denylist_scrub",
     oracle=SCRUB_ORACLE,
     tags=("text", "quality", "redaction"),
+    bench=True,  # round-5: map-only redaction wall-clock/io record
     doc="Denylist redaction: replace blocked terms with [X], report "
     "per-doc hit count + scrubbed length + scrubbed-content md5. "
     "Narrow map-only plan — no exchange; at 100 TB this runs at scan "
@@ -126,6 +127,7 @@ FROM enc GROUP BY doc_id
     "vocab_build_encode",
     oracle=VOCAB_ORACLE,
     tags=("text", "vocab", "pipeline"),
+    bench=True,  # round-5: two-pass vocab wall-clock/io record
     doc="Two-pass vocabulary build + encode: pass 1 aggregates corpus "
     "token counts and keeps the top-K (count desc, token asc — "
     "deterministic tiebreak) with rank ids; pass 2 broadcast-joins the "
