@@ -614,8 +614,14 @@ def _ivf_build(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q8 = quantize_int8(emb)
+    # cell count scales with the corpus (ivf_k_for, floor k=8) so a
+    # fixed n_probe scans ~n_probe x IVF_TARGET_CELL vectors per query
+    # regardless of corpus size; n_probe is the recall knob
+    # (ann_recall_curve certifies the operating curve). At driver/bench
+    # SFs the formula returns the k=8 the static oracles pin.
+    n = emb.count()
     cents = kmeans_fit_int8(
-        q8, k=IVF_KMEANS_K, n_iter=IVF_KMEANS_ITER, n=emb.count()
+        q8, k=ivf_k_for(n), n_iter=IVF_KMEANS_ITER, n=n
     )
     # final assignment with the FINAL centroids so the index and the
     # probe routing agree

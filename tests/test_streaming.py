@@ -510,3 +510,75 @@ def test_dedup_stream_actually_sees_redelivery(spark, sf_dir):
         for r in raw.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert doubled == {k: 2 * v for k, v in batch.items()}
+
+
+def test_dedup_stream_state_survives_restart(spark, sf_dir):
+    """Kill-and-resume for the ingestion-dedup path: first delivery of
+    the full log, crash, then — after restart from the same checkpoint
+    — a redelivery of the RECENT slice (ts inside the watermark
+    horizon, so the rows are not droppable as late; only recovered
+    dedup state can reject them). Final counts must equal the
+    single-copy batch aggregate."""
+    import time
+    import pandas as pd
+
+    from mapreduce_distributed_systems_spark.sources.tables import normalize_ts
+
+    raw = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="evdd_restart_src_")
+    raw.write.mode("overwrite").parquet(f"{src}/first.dir")
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+
+    collected: list = []
+
+    def start(ckpt):
+        stream = normalize_ts(
+            spark.readStream.schema(spark.read.parquet(f"{src}/first.dir").schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: collected.append((bid, df.toPandas()))
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="evdd_restart_ckpt_")
+    q1 = start(ckpt)
+    deadline = time.time() + 120
+    while len(collected) < 1 and time.time() < deadline:
+        time.sleep(0.2)
+        if q1.exception() is not None:
+            raise q1.exception()
+    q1.stop()
+    q1.awaitTermination()
+    assert collected, "stream made no progress before stop"
+
+    # while "down": redeliver the slice INSIDE the watermark horizon
+    # (1h of a 2h delay) — not late, so only state can drop it
+    redelivery = raw.where(F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+    assert redelivery.count() > 0, "redelivery slice empty; test is vacuous"
+    redelivery.write.mode("overwrite").parquet(f"{src}/redelivered.dir")
+
+    q2 = start(ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    final = collected[-1][1]  # complete mode: last emission is the state
+    got = {(r.event_type, int(r.n)) for r in final.itertuples(index=False)}
+    want = {
+        (r["event_type"], r["n"])
+        for r in raw.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want, "redelivered rows leaked through restarted dedup state"
