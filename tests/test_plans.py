@@ -257,6 +257,10 @@ def test_divergence_reuses_src_counts_and_broadcasts_marginals(spark, sf_dir):
     # come from the cache, not three corpus explodes; per-source totals
     # and the grand total ride broadcasts, and the cross join of the
     # 1-row total must never be a cartesian product
+    # start cache-cold: a cache entry left by an earlier test (parity
+    # runs the same query) changes how the InMemoryRelation subtree
+    # prints and breaks the textual counts below
+    spark.catalog.clearCache()
     plan = physical_plan(
         get_spec("source_unigram_divergence").fn(spark, sf_dir)
     )

@@ -1,0 +1,24 @@
+"""PLANS.md is generated evidence, not narrative — this golden test
+keeps it honest: if a code change alters any bench query's executed
+plan features (a new exchange, a lost broadcast, a dropped codegen
+span), the doc must be regenerated in the same commit, and silent
+plan-shape regressions surface here instead of in the next round's
+bench delta."""
+
+from __future__ import annotations
+
+import os
+
+
+def test_plans_md_matches_live_bench_plans(spark):
+    import mapreduce_distributed_systems_spark.plans.dump_plans as dp
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "PLANS.md")) as f:
+        want = f.read()
+    got = dp.render()
+    assert got == want, (
+        "PLANS.md is stale vs the live executed plans — regenerate with "
+        "`python -m mapreduce_distributed_systems_spark.plans.dump_plans` "
+        "and review the feature diff"
+    )
