@@ -192,3 +192,58 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - 1).alias("n_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Soft dedup (round 5): instead of dropping near-duplicates, DOWN-WEIGHT
+# them — every doc gets training weight 1/cluster_size, so a cluster of
+# near-dups contributes one document's worth of gradient in expectation.
+# The standard alternative to hard removal when near-dups carry signal
+# (boilerplate variants, translations); singletons keep weight 1.0.
+# --------------------------------------------------------------------------
+
+SOFT_WEIGHTS_ORACLE = _CLUSTER_CTES + """,
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY cluster_id
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+       round(1.0 / coalesce(s.n, 1), 6) AS weight
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+"""
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=SOFT_WEIGHTS_ORACLE,
+    tags=("dedup", "graph", "sampling", "soft-dedup"),
+    doc="Soft dedup: per-doc training weight 1/cluster_size over the "
+    "near-dup components (weight 1.0 for singletons) — the "
+    "down-weighting alternative to hard removal. Scale shape: the "
+    "components table is bounded by docs-appearing-in-pairs (orders "
+    "of magnitude below the corpus), so both the membership and "
+    "cluster-size joins broadcast against the corpus scan — the "
+    "corpus itself is never shuffled.",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    pairs = dedup_simhash64(spark, sf_dir).select("doc_a", "doc_b")
+    # comp feeds the membership join AND the size agg — bounded rows
+    comp = connected_components(pairs).cache()
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .join(F.broadcast(sizes), "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("n", F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(F.lit(1.0) / F.coalesce("n", F.lit(1)), 6).alias("weight"),
+        )
+    )

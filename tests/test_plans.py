@@ -273,3 +273,14 @@ def test_divergence_reuses_src_counts_and_broadcasts_marginals(spark, sf_dir):
     assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_soft_weights_broadcasts_components(spark, sf_dir):
+    # the components/size tables are bounded by docs-in-pairs; both
+    # joins against the corpus scan must broadcast — the corpus is
+    # never shuffled for the weighting
+    spark.catalog.clearCache()
+    plan = physical_plan(get_spec("dedup_soft_weights").fn(spark, sf_dir))
+    tail = plan.split("InMemoryRelation")[0]  # the final-join section
+    assert tail.count("BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning" not in tail.split("BroadcastExchange")[0]
