@@ -192,7 +192,7 @@ GATE_ORDER = (
 # the round-5 additions outside the r5 window (window_dedup_latest,
 # shard_serve_streaming, pipeline_training_prep, ann_recall_curve,
 # text_denylist_scrub, vocab_build_encode, source_unigram_divergence,
-# events_dedup_streaming, dedup_soft_weights,
+# events_dedup_streaming, dedup_soft_weights, events_attribution_streaming,
 # plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,

@@ -203,6 +203,72 @@ def events_sessionize_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).where(F.col("user_id") != -1)
 
 
+ATTRIBUTION_ORACLE = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+       v.user_id AS user_id
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "events_attribution_streaming",
+    oracle=ATTRIBUTION_ORACLE,
+    tags=("events", "streaming", "stream-stream-join", "attribution"),
+    doc="STREAM-STREAM interval join — the attribution shape: each "
+    "purchase joins the same user's views from the preceding hour, "
+    "both sides watermarked so join state expires once the watermark "
+    "passes the interval bound (the condition that makes a 24/7 "
+    "stream-stream join runnable at all — without the time bound both "
+    "sides' state grows forever). Inner-join matches emit as soon as "
+    "both rows have arrived, so the finite availableNow replay needs "
+    "no sentinel; the oracle is the identical batch interval join.",
+)
+def events_attribution_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="evattr_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = normalize_ts(spark.readStream.schema(raw.schema).parquet(src_dir))
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("view_id", "purchase_id", "user_id")
+    name = f"evattr_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="evattr_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 DEDUP_STREAM_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
