@@ -116,6 +116,93 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTERED_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv FROM e
+      WHERE {QUERY_FILTER} ORDER BY vec_id LIMIT {ANN_QUERY_CAP}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS label,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+  FROM q JOIN e ON e.label = q.qlab AND e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, label, cos_sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_cosine_filtered",
+    oracle=FILTERED_ORACLE,
+    tags=("similarity", "ann", "filtered", "hybrid"),
+    doc="FILTERED (hybrid) vector search: top-10 cosine neighbors "
+    "restricted to the query's own label — the metadata-predicate + "
+    "vector-similarity combination every production vector store "
+    "serves. The label mask applies INSIDE the scoring kernel (rows "
+    "failing the predicate never produce candidate triples), so "
+    "selective predicates cut the emitted candidate stream "
+    "proportionally; with label-partitioned storage the same "
+    "predicate becomes partition pruning and cuts the scan itself. "
+    "Same bounded query block and scan-once/no-shuffle corpus shape "
+    "as ann_cosine_topk.",
+)
+def ann_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition BLAS scoring with a per-query label mask: the
+    query block (ids, labels, vectors) ships in the task closure; only
+    label-matching (query, neighbor, score) triples are emitted."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    qrows = (
+        emb.where(F.expr(QUERY_FILTER))
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_lab = np.array([r.label for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_nrm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            lab = pdf["label"].to_numpy(dtype=np.int64)
+            s = (m @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
+            ni, qi = np.nonzero(lab[:, None] == q_lab[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": pdf["vec_id"].to_numpy()[ni],
+                    "label": lab[ni].astype("int32"),
+                    "cos_sim": s[ni, qi],
+                }
+            )
+
+    scored = (
+        emb.mapInPandas(
+            score,
+            schema="query_id long, neighbor_id long, label int, cos_sim double",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= TOP_K
+    )
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH ANN
 # --------------------------------------------------------------------------

@@ -284,3 +284,13 @@ def test_soft_weights_broadcasts_components(spark, sf_dir):
     tail = plan.split("InMemoryRelation")[0]  # the final-join section
     assert tail.count("BroadcastHashJoin") >= 2
     assert "Exchange hashpartitioning" not in tail.split("BroadcastExchange")[0]
+
+
+def test_filtered_ann_scan_once_no_corpus_shuffle(spark, sf_dir):
+    # hybrid search keeps the brute-force shape: corpus scanned once,
+    # scored in-partition (label mask inside the kernel), and only the
+    # candidate triples reach the per-query rank window — exactly one
+    # exchange (the window's partitionBy query_id)
+    plan = physical_plan(get_spec("ann_cosine_filtered").fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
