@@ -247,3 +247,64 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) / F.coalesce("n", F.lit(1)), 6).alias("weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-aware sampling: inclusion probability == the soft-dedup weight,
+# with an INTEGER-exact threshold. A doc is kept iff
+# md5_bucket(doc_id) * cluster_size < 65536, so each member of an
+# n-cluster survives with ~1/n probability and every cluster
+# contributes ~one expected document — sampling and dedup in a single
+# content-addressed filter (reproducible across engines, runs,
+# partitionings, and corpus growth; no RNG, no floats).
+# --------------------------------------------------------------------------
+
+SOFT_SAMPLE_ORACLE = _CLUSTER_CTES + """,
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY cluster_id
+),
+w AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size
+  FROM documents d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+)
+SELECT doc_id, cluster_id, cluster_size
+FROM w
+WHERE ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+       (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+       (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+       (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+      * cluster_size < 65536
+"""
+
+_BUCKET_SPARK_DOC = (
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 4096 + "
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1) * 256 + "
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 3, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 4, 1)) - 1)"
+)
+
+
+@register(
+    "sample_weighted_softdedup",
+    oracle=SOFT_SAMPLE_ORACLE,
+    tags=("sampling", "dedup", "soft-dedup", "pipeline"),
+    doc="Dedup-aware deterministic sampling: keep a doc iff "
+    "md5_bucket(doc_id) x cluster_size < 65536 — inclusion "
+    "probability equals the soft-dedup weight (1/cluster_size), so "
+    "each near-dup cluster contributes ~one expected survivor while "
+    "singletons all pass. Integer-exact (no RNG, no float "
+    "thresholds): the sample is reproducible across engines, runs, "
+    "partitionings, and corpus growth. Same broadcast shape as "
+    "dedup_soft_weights — the corpus is never shuffled.",
+)
+def sample_weighted_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = dedup_soft_weights(spark, sf_dir)
+    return (
+        w.where(F.expr(_BUCKET_SPARK_DOC) * F.col("cluster_size") < 65536)
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
