@@ -42,6 +42,11 @@ def render() -> str:
         "|---|---|---|---|---|---|",
     ]
     for name, spec in bench_specs().items():
+        # cache-cold per query: a cache left by a previous query (or,
+        # when called from the test suite, by an earlier test) changes
+        # how cached subtrees print and with them the feature counts —
+        # the table must be a function of the CODE, not session history
+        spark.catalog.clearCache()
         df = spec.fn(spark, SF_DIR)
         # execute THIS DataFrame's own query execution (collect, not a
         # noop write — a write is a separate execution and would leave
