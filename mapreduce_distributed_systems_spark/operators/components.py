@@ -76,11 +76,29 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             edges.join(labels, edges.dst == labels.doc_id)
             .select(F.col("src").alias("doc_id"), "label")
         )
-        new_labels = (
+        prop = (
             labels.select("doc_id", "label")
             .union(neigh)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: l(x) <- min(l(x), l(l(x))). Plain neighbor
+        # propagation needs diameter rounds — the 10x scale probe's
+        # chained near-dup copies exceeded MAX_ROUNDS — while the jump
+        # halves the remaining pointer depth each round (O(log
+        # diameter), the Shiloach-Vishkin / large-star move). Labels
+        # are always member doc_ids, so the label-keyed self-join hits
+        # a row for every label; cost is one extra bounded-size join
+        # per round.
+        a, b = prop.alias("a"), prop.alias("b")
+        new_labels = (
+            a.join(b, F.col("a.label") == F.col("b.doc_id"), "left")
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("a.label"), F.coalesce(F.col("b.label"), F.col("a.label"))
+                ).alias("label"),
+            )
         )
         # localCheckpoint, not cache: caching truncates EXECUTION but
         # the logical plan still grows every round, and per-round

@@ -210,14 +210,19 @@ GATE_ORDER = (
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see
-    GATE_ORDER), then the remainder in registration order."""
+    GATE_ORDER), then the remainder sorted by name. The remainder must
+    NOT use raw registration order: _REGISTRY fills in IMPORT order,
+    and a process that imports an operator module directly (tests do)
+    before _load() runs would register it early — making queries() /
+    bench_specs() ordering depend on session history instead of being
+    a pure function of the code."""
     _load()
     ordered: dict[str, QuerySpec] = {}
     for name in GATE_ORDER:
         ordered[name] = _REGISTRY[name]
-    for name, spec in _REGISTRY.items():
+    for name in sorted(_REGISTRY):
         if name not in ordered:
-            ordered[name] = spec
+            ordered[name] = _REGISTRY[name]
     return ordered
 
 

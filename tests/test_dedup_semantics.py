@@ -223,3 +223,22 @@ def test_chunking_reconstructs_documents(spark, sf_dir):
         .count()
     )
     assert bad == 0, f"{bad} documents lost or duplicated tokens in chunking"
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """Diameter >> MAX_ROUNDS: plain neighbor propagation would need
+    199 rounds on a 200-edge path (the failure the 10x probe's chained
+    near-dup copies actually hit); pointer jumping must converge within
+    the fixed round budget and label the whole path with its min id."""
+    from mapreduce_distributed_systems_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert len(labels) == 201
+    assert set(labels.values()) == {0}
