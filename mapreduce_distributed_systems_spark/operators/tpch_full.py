@@ -575,3 +575,142 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted supply cost)
+# --------------------------------------------------------------------------
+
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+rps AS (
+  SELECT l_partkey, l_suppkey, cost, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       floor(cost * 100 + 0.5) / 100 AS supply_cost
+FROM rps
+JOIN part ON p_partkey = l_partkey
+WHERE p_type = 'LARGE'
+  AND cost = (
+    SELECT min(cost) FROM rps r2 WHERE r2.l_partkey = rps.l_partkey
+  )
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=Q2_ORACLE,
+    tags=("relational", "subquery", "correlated", "argmin"),
+    doc="TPC-H Q2 (adapted: a (part, supplier)'s observed minimum unit "
+    "price min(l_extendedprice / l_quantity) from lineitem stands in "
+    "for ps_supplycost): for every LARGE-type part, the ASIA-region "
+    "supplier(s) offering it at the region-wide minimum cost. The "
+    "correlated scalar-min subquery becomes a per-part min aggregate "
+    "joined back on (partkey, cost) — one shuffle on partkey shared "
+    "by both sides; region/nation/supplier/part dims all broadcast. "
+    "min() is selection (order-independent) and the per-row division "
+    "is identical IEEE arithmetic in both engines, so the cost "
+    "equality join is exact. The emitted cost is 2-decimal-ized with "
+    "floor(x*100 + 0.5)/100 — pure IEEE ops on bit-identical inputs — "
+    "rather than round(): quotients of 2-decimal prices by small "
+    "quantities routinely land on exact decimal half-boundaries, where "
+    "Spark (rounds the double's shortest decimal string) and DuckDB "
+    "(rounds the binary value) disagree.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rps = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("l_partkey", "cost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = rps.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("mc")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "LARGE")
+    return (
+        rps.join(
+            min_cost,
+            (rps.l_partkey == F.col("mk")) & (rps.cost == F.col("mc")),
+        )
+        .join(F.broadcast(p), rps.l_partkey == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.floor(F.col("cost") * 100 + 0.5) / 100).alias("supply_cost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (adapted inventory value)
+# --------------------------------------------------------------------------
+
+Q11_ORACLE = """
+WITH val AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM val
+WHERE part_value > (SELECT round(1.5 * avg(part_value), 2) FROM val)
+"""
+
+
+@register(
+    "q11_important_stock",
+    oracle=Q11_ORACLE,
+    tags=("relational", "subquery", "scalar-agg"),
+    doc="TPC-H Q11 (adapted: per-part revenue supplied through "
+    "EUROPE-region suppliers stands in for ps_supplycost * "
+    "ps_availqty, and the threshold is 1.5x the average part value — "
+    "scale-free where the original's FRACTION hardcodes 1/SF): parts "
+    "whose supplied value exceeds 1.5x the mean. The scalar global "
+    "aggregate broadcasts as a 1-row join; per-part sums are rounded "
+    "in-query on both engines BEFORE the avg/threshold compare so the "
+    "filter sees bit-identical doubles despite different summation "
+    "order.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_value")
+        )
+    )
+    thresh = val.agg(F.round(1.5 * F.avg("part_value"), 2).alias("cut"))
+    return (
+        val.join(F.broadcast(thresh), F.col("part_value") > F.col("cut"))
+        .select("l_partkey", "part_value")
+    )

@@ -194,6 +194,7 @@ GATE_ORDER = (
 # text_denylist_scrub, vocab_build_encode, source_unigram_divergence,
 # events_dedup_streaming, dedup_soft_weights, events_attribution_streaming,
 # ann_cosine_filtered, sample_weighted_softdedup,
+# q2_min_cost_supplier, q11_important_stock,
 # plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,
