@@ -279,3 +279,81 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.md5(F.concat_ws("", ordered_hashes)).alias("shard_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-epoch deterministic corpus shuffle (round 5). Training over a
+# packed corpus needs a DIFFERENT global permutation each epoch, and
+# the permutation must be (a) reproducible bit-for-bit (resumable
+# training, shard re-generation after node loss) and (b) computable
+# without any single-point order assignment. Keyed md5(epoch:doc_id)
+# gives (a); the distributed prefix-sum machinery gives (b): global
+# position = range-partitioned per-partition rank + an O(#partitions)
+# offset, identical to pack_training_shards' running sum — no
+# SinglePartition window anywhere.
+# --------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 3
+EPOCH_SHARD_DOCS = 64
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH e AS (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch),
+h AS (
+  SELECT epoch, doc_id,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents, e
+),
+r AS (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch ORDER BY hh, doc_id) AS pos
+  FROM h
+)
+SELECT epoch, doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST((pos - 1) // {EPOCH_SHARD_DOCS} AS BIGINT) AS shard_id
+FROM r
+"""
+
+
+@register(
+    "training_epoch_shuffle",
+    oracle=EPOCH_SHUFFLE_ORACLE,
+    tags=("packing", "training-data", "shuffle"),
+    doc=f"Deterministic per-epoch global shuffle: each of "
+    f"{SHUFFLE_EPOCHS} epochs permutes the corpus by md5(epoch:doc_id) "
+    "and assigns the contiguous position in that order (then "
+    f"{EPOCH_SHARD_DOCS}-doc shards). The global position is computed "
+    "with the distributed prefix-sum (range partition on the sort key "
+    "+ per-partition rank + O(#partitions) offsets) — the plan has no "
+    "SinglePartition window, so a 100 TB corpus reshuffles at full "
+    "cluster width every epoch, and the keyed hash makes every "
+    "epoch's permutation reproducible for resume/regeneration.",
+)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.broadcast(
+        spark.range(SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
+    )
+    hdf = (
+        docs.crossJoin(epochs)
+        .select(
+            "epoch",
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("hh"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    cum = distributed_cumsum(spark, hdf, "_one", ["epoch", "hh", "doc_id"])
+    n = docs.agg(F.count("*").alias("_n"))
+    pos = F.col("_csum") - F.col("epoch") * F.col("_n")
+    return cum.crossJoin(F.broadcast(n)).select(
+        "epoch",
+        "doc_id",
+        pos.cast("long").alias("pos"),
+        ((pos - 1) / EPOCH_SHARD_DOCS).cast("long").alias("shard_id"),
+    )

@@ -283,3 +283,110 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (round 5). Second sketch family next
+# to KMV: frequency estimation in O(D*W) space. Like KMV, the sketch
+# is built from md5 — both engines derive the identical (row, bucket)
+# cell for every token, so the sketch contents, the estimates, and the
+# CMS overestimate-only guarantee are all hash-certifiable, which no
+# built-in approximate aggregate (approx_count_distinct, approx
+# percentile) can offer across engines.
+# --------------------------------------------------------------------------
+
+CMS_D = 4     # hash rows
+CMS_W = 512   # buckets per row
+CMS_TOP = 20  # heavy-hitter candidates emitted
+
+
+def _cms_bucket_duck(expr: str, r: str) -> str:
+    """DuckDB bucket for token expr under hash row r (md5 -> first 8
+    hex chars -> 32-bit int -> % CMS_W), via the portable hex->int."""
+    h = f"md5(CAST({r} AS VARCHAR) || ':' || {expr})"
+    val = " + ".join(
+        f"(strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({val}) % {CMS_W})"
+
+
+CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+occ AS (SELECT unnest(t) AS w FROM toks),
+cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY w),
+hrows AS (SELECT unnest(range({CMS_D})) AS r),
+cells AS (
+  SELECT r, {_cms_bucket_duck("w", "r")} AS b, sum(c) AS cell
+  FROM cnt, hrows GROUP BY 1, 2
+),
+cand AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT {CMS_TOP}),
+probe AS (
+  SELECT w, c, r, {_cms_bucket_duck("w", "r")} AS b FROM cand, hrows
+)
+SELECT p.w AS token, any_value(p.c) AS n_exact,
+       CAST(min(cells.cell) AS BIGINT) AS n_est,
+       CAST(min(cells.cell) - any_value(p.c) AS BIGINT) AS overestimate
+FROM probe p JOIN cells ON cells.r = p.r AND cells.b = p.b
+GROUP BY p.w
+"""
+
+
+def _cms_bucket_spark(col: F.Column, r: F.Column) -> F.Column:
+    h = F.md5(F.concat(r.cast("string"), F.lit(":"), col))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W).cast(
+        "long"
+    )
+
+
+@register(
+    "sketch_cms_heavyhitters",
+    oracle=CMS_ORACLE,
+    tags=("sketch", "approximate", "frequency", "text"),
+    doc=f"Count-min sketch ({CMS_D} md5 hash rows x {CMS_W} buckets) "
+    "over the token stream, certified end-to-end: estimates for the "
+    f"top-{CMS_TOP} tokens (deterministic count-then-token order) are "
+    "emitted NEXT TO their exact counts and the per-token "
+    "overestimate, so the driver certifies both the sketch contents "
+    "and the CMS one-sided-error guarantee (min over rows can only "
+    "overcount). The sketch is LINEAR — cells here are built from the "
+    "pre-aggregated exact counts (needed anyway for calibration), "
+    "which by linearity equals building from raw occurrences; a "
+    "production deployment streams occurrences straight into the "
+    f"O({CMS_D}x{CMS_W}) cell array as a map-side partial aggregate "
+    "and merges by addition, never materializing exact counts. "
+    "Candidate probing joins the broadcast hash-row axis, then the "
+    "tiny cells table back — no shuffle beyond the vocabulary "
+    "aggregate.",
+)
+def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    occ = docs.select(F.explode(words("text")).alias("w"))
+    cnt = occ.groupBy("w").agg(F.count("*").alias("c"))
+    hrows = F.broadcast(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
+    )
+    cells = (
+        cnt.crossJoin(hrows)
+        .select("r", _cms_bucket_spark(F.col("w"), F.col("r")).alias("b"), "c")
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("cell"))
+    )
+    cand = cnt.orderBy(F.col("c").desc(), "w").limit(CMS_TOP)
+    probe = cand.crossJoin(hrows).select(
+        "w", "c", "r", _cms_bucket_spark(F.col("w"), F.col("r")).alias("b")
+    )
+    return (
+        probe.join(F.broadcast(cells), ["r", "b"])
+        .groupBy(F.col("w").alias("token"))
+        .agg(
+            F.any_value("c").alias("n_exact"),
+            F.min("cell").alias("n_est"),
+            (F.min("cell") - F.any_value("c")).alias("overestimate"),
+        )
+    )

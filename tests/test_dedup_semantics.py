@@ -242,3 +242,26 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     }
     assert len(labels) == 201
     assert set(labels.values()) == {0}
+
+
+def test_epoch_shuffle_is_per_epoch_permutation(spark, sf_dir):
+    """Each epoch's pos column is a permutation of 1..N, and distinct
+    epochs produce genuinely different orders (the keyed-hash reshuffle
+    property training relies on)."""
+    from mapreduce_distributed_systems_spark.operators.packing import (
+        SHUFFLE_EPOCHS,
+    )
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+    rows = get_spec("training_epoch_shuffle").fn(spark, sf_dir).collect()
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+    assert len(by_epoch) == SHUFFLE_EPOCHS
+    n = len(by_epoch[0])
+    for ep, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, n + 1)), ep
+    moved = sum(
+        1 for d in by_epoch[0] if by_epoch[0][d] != by_epoch[1][d]
+    )
+    assert moved > 0.9 * n

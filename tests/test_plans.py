@@ -294,3 +294,50 @@ def test_filtered_ann_scan_once_no_corpus_shuffle(spark, sf_dir):
     plan = physical_plan(get_spec("ann_cosine_filtered").fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    """At 100 TB, dims outgrow the broadcast threshold and dim-fact
+    joins fall back to shuffle joins — where Catalyst's runtime bloom
+    filter (spark.sql.optimizer.runtime.bloomFilter.enabled, on in
+    session.py by default) injects a bloom_filter_agg built from the
+    selective side and a might_contain() filter on the fact side, so
+    unmatched fact rows drop BEFORE the shuffle. Locally the fact scan
+    sits under the 10 GiB applicationSideScanSizeThreshold, so this
+    test lowers the thresholds to emulate the 100 TB shape and pins
+    that the injection actually fires on our join pattern."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+            F.col("p_type") == "LARGE"
+        )
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_type").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # the filter guards the FACT side's partkey, pre-shuffle
+        assert "might_contain" in plan.split("Join")[1]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_epoch_shuffle_no_single_partition_window(spark, sf_dir):
+    # the global per-epoch order comes from the distributed prefix sum
+    # (range partition + per-partition rank + offset map); the only
+    # SinglePartition exchange allowed is the 1-row corpus count
+    plan = physical_plan(get_spec("training_epoch_shuffle").fn(spark, sf_dir))
+    assert plan.count("SinglePartition") <= 1
+    assert "Window" in plan  # per-partition rank, keyed by _pid

@@ -1,0 +1,78 @@
+"""Semantic properties of the certified sketches (operators/
+sketches.py) that the oracle-parity check alone doesn't spell out:
+KMV losslessness below k, CMS one-sided error and linearity.
+(Cross-engine bit-equality itself is covered by tests/test_parity.py
+and the driver gate.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.operators.sketches import (
+    CMS_D,
+    CMS_TOP,
+    CMS_W,
+    _cms_bucket_spark,
+)
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+
+def test_cms_overestimates_only(spark, sf_dir):
+    """The defining count-min guarantee: min over rows can only
+    OVERcount (collisions add, never subtract), so every emitted
+    overestimate is >= 0 and n_est >= n_exact."""
+    rows = get_spec("sketch_cms_heavyhitters").fn(spark, sf_dir).collect()
+    assert len(rows) == CMS_TOP
+    for r in rows:
+        assert r.overestimate >= 0, r
+        assert r.n_est == r.n_exact + r.overestimate
+
+
+def test_cms_linearity_partials_sum_to_whole(spark, sf_dir):
+    """The property that makes CMS a valid map-side partial aggregate
+    at 100 TB: cells built independently per language and merged by
+    ADDITION equal the cells built over the whole corpus in one pass."""
+    from mapreduce_distributed_systems_spark.functions.text import words
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    occ = docs.select("lang", F.explode(words("text")).alias("w"))
+    hrows = F.broadcast(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
+    )
+    bucketed = occ.crossJoin(hrows).select(
+        "lang", "r", _cms_bucket_spark(F.col("w"), F.col("r")).alias("b")
+    )
+    whole = {
+        (r.r, r.b): r.cell
+        for r in bucketed.groupBy("r", "b")
+        .agg(F.count("*").alias("cell"))
+        .collect()
+    }
+    merged = {
+        (r.r, r.b): r.cell
+        for r in bucketed.groupBy("lang", "r", "b")
+        .agg(F.count("*").alias("part"))
+        .groupBy("r", "b")
+        .agg(F.sum("part").alias("cell"))
+        .collect()
+    }
+    assert merged == whole
+    assert len(whole) <= CMS_D * CMS_W
+
+
+def test_kmv_lossless_below_k(spark):
+    """Groups with fewer than k distinct elements report the exact
+    count (the estimator branch only engages at >= k)."""
+    from mapreduce_distributed_systems_spark.operators.sketches import (
+        _kmv_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"el{i}") for i in range(37)], "lang string, el string"
+    ).select("lang", F.md5("el").alias("h"))
+    sk = df.distinct().groupBy("lang").agg(
+        F.max("h").alias("kth"), F.count("*").alias("n_sketch")
+    )
+    got = sk.select(_kmv_estimate().alias("est")).collect()[0].est
+    assert got == 37
