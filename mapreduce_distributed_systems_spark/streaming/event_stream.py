@@ -316,3 +316,117 @@ def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Streaming count-min sketch (round 5). The existing streaming aggs
+# keep one state row PER KEY (event_type, window, event_id...) — fine
+# while key cardinality is bounded, but a 100 TB/day stream of
+# arbitrary ids (users, IPs, urls) grows that state without bound.
+# The CMS turns frequency tracking into O(D x W) counters REGARDLESS
+# of key cardinality: each event increments D (row, bucket) cells,
+# and the streaming state is just the cell array. Because the sketch
+# is linear and the cells are md5-derived (operators/sketches.py),
+# the full streamed state is certifiable: a finite availableNow
+# replay must produce bit-for-bit the cells the batch oracle computes,
+# and the candidate probe on top is the same min-over-rows estimate.
+# --------------------------------------------------------------------------
+
+from mapreduce_distributed_systems_spark.operators.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_TOP,
+    _cms_bucket_duck,
+    _cms_bucket_spark,
+)
+
+EVENTS_CMS_ORACLE = f"""
+WITH cnt AS (
+  SELECT CAST(user_id AS VARCHAR) AS w, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+hrows AS (SELECT unnest(range({CMS_D})) AS r),
+cells AS (
+  SELECT r, {_cms_bucket_duck("w", "r")} AS b, sum(c) AS cell
+  FROM cnt, hrows GROUP BY 1, 2
+),
+cand AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT {CMS_TOP}),
+probe AS (
+  SELECT w, c, r, {_cms_bucket_duck("w", "r")} AS b FROM cand, hrows
+)
+SELECT CAST(p.w AS BIGINT) AS user_id, any_value(p.c) AS n_exact,
+       CAST(min(cells.cell) AS BIGINT) AS n_est,
+       CAST(min(cells.cell) - any_value(p.c) AS BIGINT) AS overestimate
+FROM probe p JOIN cells ON cells.r = p.r AND cells.b = p.b
+GROUP BY p.w
+"""
+
+
+@register(
+    "events_cms_streaming",
+    oracle=EVENTS_CMS_ORACLE,
+    tags=("events", "streaming", "sketch", "frequency"),
+    doc=f"Streaming count-min sketch over user_id: every event fans "
+    f"out to {CMS_D} md5-derived (row, bucket) cells and the streaming "
+    "aggregate maintains ONLY the cell counters — state is O(D x W) "
+    "no matter how many distinct users the stream carries, the "
+    "bounded-state answer to high-cardinality frequency tracking that "
+    "per-key streaming state cannot give. The replayed cell array is "
+    "certified bit-for-bit against the batch-built sketch (CMS is "
+    "linear, so increment-as-you-go == aggregate-then-insert), then "
+    f"probed for the top-{CMS_TOP} users next to their exact counts "
+    "and the one-sided overestimate.",
+)
+def events_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="evcms_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    uid = F.col("user_id").cast("string")
+    fan = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        _cms_bucket_spark(uid, F.lit(r)).alias("b"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.r", "rc.b")
+    cells_q = fan.groupBy("r", "b").agg(F.count("*").alias("cell"))
+    name = f"evcms_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        cells_q.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="evcms_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    cells = spark.table(name)
+    # batch side: exact counts for the candidate probe (calibration
+    # column, exactly as in the batch CMS query)
+    cnt = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.col("user_id").cast("string").alias("w"))
+        .agg(F.count("*").alias("c"))
+    )
+    cand = cnt.orderBy(F.col("c").desc(), "w").limit(CMS_TOP)
+    hrows = F.broadcast(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
+    )
+    probe = cand.crossJoin(hrows).select(
+        "w", "c", "r", _cms_bucket_spark(F.col("w"), F.col("r")).alias("b")
+    )
+    return (
+        probe.join(F.broadcast(cells), ["r", "b"])
+        .groupBy(F.col("w").cast("long").alias("user_id"))
+        .agg(
+            F.any_value("c").alias("n_exact"),
+            F.min("cell").alias("n_est"),
+            (F.min("cell") - F.any_value("c")).alias("overestimate"),
+        )
+    )

@@ -695,3 +695,57 @@ def test_attribution_join_state_survives_restart(spark, sf_dir):
     }
     assert want, "batch interval join empty; test is vacuous"
     assert got == want, "recovered join state missed or duplicated matches"
+
+
+def test_cms_streaming_state_is_bounded_by_cells(spark, sf_dir):
+    """The whole point of the streaming CMS: state row count is capped
+    by the D x W cell grid no matter how many distinct keys the stream
+    carries. Run the same fan-out aggregate events_cms_streaming uses
+    and read the state-operator metrics from the final progress."""
+    import tempfile
+    import uuid
+
+    from mapreduce_distributed_systems_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _cms_bucket_spark,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="cms_state_src_")
+    import os as _os
+
+    _os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    uid = F.col("user_id").cast("string")
+    fan = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        _cms_bucket_spark(uid, F.lit(r)).alias("b"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.r", "rc.b")
+    q = (
+        fan.groupBy("r", "b")
+        .agg(F.count("*").alias("cell"))
+        .writeStream.format("memory")
+        .queryName(f"cms_state_{uuid.uuid4().hex[:8]}")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cms_state_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = sum(
+        op["numRowsTotal"] for op in (q.lastProgress or {}).get("stateOperators", [])
+    )
+    n_users = raw.select("user_id").distinct().count()
+    assert 0 < state_rows <= CMS_D * CMS_W
+    # and the cap is structural: it does NOT scale with key cardinality
+    assert state_rows <= CMS_D * max(n_users, CMS_W)
