@@ -340,3 +340,92 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series densification: hourly spine + forward fill (round 5).
+# Feature pipelines need gap-free per-entity series (training windows,
+# rate comparisons, staleness features); raw event streams have holes.
+# The operator shape: per-user hourly aggregate -> per-user dense hour
+# spine (sequence/explode between that user's own min and max hour) ->
+# left join -> last-non-null forward fill. Everything is keyed by
+# user_id: the spine explode, the join, and the fill window all
+# partition on the entity, so a 100 TB stream densifies at full
+# cluster width — no global spine, no SinglePartition window, and the
+# spine length is bounded by each entity's own active span.
+# --------------------------------------------------------------------------
+
+GAP_FILL_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS hour_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT s.user_id, s.h AS hour_start,
+       coalesce(hy.n_events, 0) AS n_events,
+       last_value(hy.hour_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value,
+       hy.n_events IS NULL AS was_gap
+FROM spine s LEFT JOIN hourly hy ON hy.user_id = s.user_id AND hy.h = s.h
+"""
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle=GAP_FILL_ORACLE,
+    tags=("events", "time-series", "densify", "window"),
+    doc="Per-user hourly densification with forward fill: build each "
+    "user's dense hour spine between their own first and last active "
+    "hour (sequence + explode — no global calendar), left-join the "
+    "hourly aggregate, and carry the last non-null hour_value forward "
+    "(last_value IGNORE NULLS). Gap hours emit n_events = 0, "
+    "was_gap = true, and the previous observed value — the "
+    "training-feature shape (staleness/carry-forward) that raw event "
+    "streams can't provide. Spine, join, and fill window are all "
+    "partitioned by user_id; hour sums are rounded in-query in both "
+    "engines before the fill copies them around.",
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("hour_value"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    fill_w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(fill_w).alias(
+            "filled_value"
+        ),
+        F.col("n_events").isNull().alias("was_gap"),
+    )

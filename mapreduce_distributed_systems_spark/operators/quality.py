@@ -1,0 +1,242 @@
+"""Data-quality audit: declarative constraint validation over the
+star schema (the dbt-test / Deequ shape — the gate every 100 TB
+ingest runs before data reaches training or BI).
+
+Rule classes and their scale paths:
+- intra-row predicates (range, sign, length-consistency): conditional
+  sums fused into ONE scan per table — adding rules to a table adds
+  zero passes;
+- referential integrity: left-anti joins counting orphans, dim side
+  broadcast;
+- uniqueness: count keys with multiplicity > 1 (map-side-combined
+  two-phase aggregate);
+- cross-table reconciliation: order header total vs the rounded
+  line-item sum (both engines round before the tolerance compare, per
+  the float discipline).
+
+Output is one row per rule: (rule, checked, violations) — the audit
+summary a pipeline gates on; violating ROWS are a filter away with
+the same predicates.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+PRICE_TOL = 1.0
+
+QUALITY_ORACLE = f"""
+WITH li_sum AS (
+  SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS s
+  FROM lineitem GROUP BY 1
+)
+SELECT 'customer_negative_acctbal' AS rule,
+       CAST(count(*) AS BIGINT) AS checked,
+       CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations
+FROM customer
+UNION ALL
+SELECT 'documents_nchars_mismatch', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'events_nonpositive_value', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events_duplicate_ids',
+       (SELECT CAST(count(*) AS BIGINT) FROM events),
+       CAST(count(*) AS BIGINT)
+FROM (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders_orderdate_out_of_range', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                       OR o_orderdate >= TIMESTAMP '1999-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_missing_customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_missing_order',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       CAST(count(*) AS BIGINT)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem_missing_part',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       CAST(count(*) AS BIGINT)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'orders_totalprice_reconciles',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       CAST(sum(CASE WHEN x.s IS NULL
+                       OR abs(o.o_totalprice - x.s) > {PRICE_TOL}
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN li_sum x ON x.l_orderkey = o.o_orderkey
+"""
+
+
+def _rule_row(rule: str, checked: F.Column, violations: F.Column, df):
+    return df.agg(
+        F.lit(rule).alias("rule"),
+        checked.cast("long").alias("checked"),
+        violations.cast("long").alias("violations"),
+    )
+
+
+@register(
+    "data_quality_audit",
+    oracle=QUALITY_ORACLE,
+    tags=("quality", "audit", "constraints"),
+    doc="Declarative data-quality audit, one row per rule "
+    "(rule, checked, violations): intra-row predicates as conditional "
+    "sums fused into one scan per table, referential integrity as "
+    "broadcast left-anti orphan counts, uniqueness as a "
+    "multiplicity>1 two-phase aggregate, and header-vs-lines price "
+    "reconciliation with in-query rounding on both engines before the "
+    "tolerance compare. The Deequ/dbt-test gate shape for a 100 TB "
+    "ingest: every rule's full-scan work is map-side combined and the "
+    "audit emits O(#rules) rows.",
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    cnt = F.count("*")
+    rows = [
+        _rule_row(
+            "customer_negative_acctbal",
+            cnt,
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)),
+            cust,
+        ),
+        _rule_row(
+            "documents_nchars_mismatch",
+            cnt,
+            F.sum(
+                F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+            ),
+            docs,
+        ),
+        _rule_row(
+            "events_nonpositive_value",
+            cnt,
+            F.sum(
+                F.when(
+                    F.col("value").isNull() | (F.col("value") <= 0), 1
+                ).otherwise(0)
+            ),
+            ev,
+        ),
+    ]
+    # uniqueness: ids with multiplicity > 1
+    n_events = ev.agg(F.count("*").cast("long").alias("checked"))
+    dup = (
+        ev.groupBy("event_id")
+        .agg(F.count("*").alias("m"))
+        .where(F.col("m") > 1)
+        .agg(F.count("*").cast("long").alias("violations"))
+    )
+    rows.append(
+        n_events.crossJoin(F.broadcast(dup)).select(
+            F.lit("events_duplicate_ids").alias("rule"),
+            "checked",
+            "violations",
+        )
+    )
+    rows.append(
+        _rule_row(
+            "orders_orderdate_out_of_range",
+            cnt,
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                    | (
+                        F.col("o_orderdate")
+                        >= F.lit("1999-01-01").cast("timestamp")
+                    ),
+                    1,
+                ).otherwise(0)
+            ),
+            orders,
+        )
+    )
+
+    # referential integrity: orphan counts via left-anti joins
+    def _orphans(rule, fact, fact_key, dim, dim_key):
+        total = fact.agg(F.count("*").cast("long").alias("checked"))
+        orphan = (
+            fact.join(
+                F.broadcast(dim), F.col(fact_key) == F.col(dim_key), "left_anti"
+            )
+            .agg(F.count("*").cast("long").alias("violations"))
+        )
+        return total.crossJoin(F.broadcast(orphan)).select(
+            F.lit(rule).alias("rule"), "checked", "violations"
+        )
+
+    rows.append(
+        _orphans(
+            "orders_missing_customer", orders, "o_custkey", cust, "c_custkey"
+        )
+    )
+    rows.append(
+        _orphans(
+            "lineitem_missing_order", li, "l_orderkey", orders, "o_orderkey"
+        )
+    )
+    rows.append(
+        _orphans("lineitem_missing_part", li, "l_partkey", part, "p_partkey")
+    )
+
+    # cross-table reconciliation
+    li_sum = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("s")
+    )
+    recon = (
+        orders.join(li_sum, orders.o_orderkey == li_sum.l_orderkey, "left")
+        .agg(
+            F.count("*").cast("long").alias("checked"),
+            F.sum(
+                F.when(
+                    F.col("s").isNull()
+                    | (F.abs(F.col("o_totalprice") - F.col("s")) > PRICE_TOL),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("violations"),
+        )
+        .select(
+            F.lit("orders_totalprice_reconciles").alias("rule"),
+            "checked",
+            "violations",
+        )
+    )
+    rows.append(recon)
+    return reduce(DataFrame.unionByName, rows)

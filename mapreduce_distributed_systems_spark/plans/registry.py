@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.vector_ops",
     "mapreduce_distributed_systems_spark.operators.packing",
     "mapreduce_distributed_systems_spark.operators.layout",
+    "mapreduce_distributed_systems_spark.operators.quality",
     "mapreduce_distributed_systems_spark.operators.components",
     "mapreduce_distributed_systems_spark.operators.sketches",
     "mapreduce_distributed_systems_spark.storage.snapshots",
@@ -197,7 +198,7 @@ GATE_ORDER = (
 # ann_cosine_filtered, sample_weighted_softdedup,
 # q2_min_cost_supplier, q11_important_stock,
 # sketch_cms_heavyhitters, training_epoch_shuffle, zorder_key_events,
-# events_cms_streaming,
+# events_cms_streaming, events_gap_fill_hourly, data_quality_audit,
 # plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,
