@@ -363,3 +363,65 @@ def kv_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestamp_micros((unix_micros(t0) + unix_micros(t1)) div 2)"),
     )
     return compacted_replay(with_cut, F.col("ts") <= F.col("cutoff"))
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 version table (round 5). kv_get_asof answers point-in-
+# time lookups by replaying; a warehouse serves the same question from
+# a MATERIALIZED slowly-changing-dimension table: one row per (key,
+# version) with a [valid_from, valid_to) interval, valid_to = the next
+# put's timestamp (NULL while current). Any as-of read becomes a
+# range predicate on the version table instead of a replay — the
+# standard dimension-build shape every warehouse load runs.
+# --------------------------------------------------------------------------
+
+KV_SCD2_ORACLE = f"""
+WITH ops AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+         {OP_CASE_SQL} AS op,
+         CAST(value AS VARCHAR) AS payload,
+         ts, event_id
+  FROM events
+),
+v AS (
+  SELECT key, payload AS value, ts, event_id,
+         row_number() OVER w AS version_no,
+         lead(ts) OVER w AS valid_to
+  FROM ops WHERE op = 'put'
+  WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
+)
+SELECT key, CAST(version_no AS BIGINT) AS version_no, value,
+       ts AS valid_from, valid_to, valid_to IS NULL AS is_current
+FROM v
+"""
+
+
+@register(
+    "kv_scd2_versions",
+    oracle=KV_SCD2_ORACLE,
+    tags=("kv", "stateful", "scd2", "versioning"),
+    doc="SCD Type-2 dimension build from the put stream: one row per "
+    "(key, version) with version_no (row_number), value, and the "
+    "[valid_from, valid_to) validity interval from lead(ts) over the "
+    "per-key commit order — valid_to NULL marks the current version. "
+    "Materializes what kv_get_asof recomputes per query: an as-of "
+    "read becomes `valid_from <= t AND (valid_to IS NULL OR "
+    "valid_to > t)` against this table. Both windows partition on "
+    "key (commit order is per-key), so the build is one shuffle at "
+    "any scale; semantics anchor: kvraft overwrite-put "
+    "(models/kv.go:44-46) — each put supersedes the previous, which "
+    "is exactly a version interval close.",
+)
+def kv_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    puts = op_log(load_table(spark, sf_dir, "events")).where(
+        F.col("op") == "put"
+    )
+    w = W.partitionBy("key").orderBy("ts", "event_id")
+    return puts.select(
+        "key",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.col("payload").alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -137,3 +137,38 @@ def test_snapshot_compaction_invisible_at_any_cutoff(spark, sf_dir):
             for r in compacted_replay(ops, F.col("ts") <= F.lit(cutoff)).collect()
         }
         assert got == full, f"compaction visible at cutoff frac={frac}"
+
+
+def test_scd2_versions_partition_time_and_match_replay(spark, sf_dir):
+    """SCD2 invariants: per key, validity intervals are contiguous and
+    non-overlapping (each valid_to equals the next valid_from), there
+    is exactly one current version, version count equals put count,
+    and the current version's value is the base put that replay's
+    final state starts with (appends extend it)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+    rows = get_spec("kv_scd2_versions").fn(spark, sf_dir).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    ops = op_log(load_table(spark, sf_dir, "events"))
+    puts_per_key = {
+        r.key: r.n
+        for r in ops.where("op = 'put'").groupBy("key").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    final = {r.key: r.final_value for r in replay(ops).collect()}
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in vs] == list(range(1, len(vs) + 1))
+        assert len(vs) == puts_per_key[key]
+        assert sum(1 for v in vs if v.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, (key, a.version_no)
+            assert a.valid_from <= a.valid_to
+        # replay semantics: final state = last put ++ later appends
+        assert final[key].startswith(vs[-1].value), key
