@@ -341,3 +341,33 @@ def test_epoch_shuffle_no_single_partition_window(spark, sf_dir):
     plan = physical_plan(get_spec("training_epoch_shuffle").fn(spark, sf_dir))
     assert plan.count("SinglePartition") <= 1
     assert "Window" in plan  # per-partition rank, keyed by _pid
+
+
+def test_gap_fill_windows_partition_by_user(spark, sf_dir):
+    # spine explode, join, and fill window are all keyed by user_id —
+    # no SinglePartition exchange anywhere (densification must run at
+    # full cluster width)
+    plan = physical_plan(get_spec("events_gap_fill_hourly").fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_audit_broadcasts_dims_and_fuses_rules(spark, sf_dir):
+    # referential-integrity rules must anti-join against BROADCAST
+    # dims (never shuffle the fact side), and intra-row rules ride
+    # conditional sums — no join at all
+    plan = physical_plan(get_spec("data_quality_audit").fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # 3 orphan checks
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the reconciliation join is the single fact-fact hash shuffle;
+    # everything else is scalar aggregates
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_scd2_single_shuffle_on_key(spark, sf_dir):
+    # both window functions share the per-key commit order: ONE
+    # hash-partitioning exchange on key, no SinglePartition
+    plan = physical_plan(get_spec("kv_scd2_versions").fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
