@@ -429,3 +429,68 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_events").isNull().alias("was_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-grain time rollup (round 5): hour/day/week aggregates of the
+# same measure in ONE scan via grouping sets — the OLAP time-hierarchy
+# materialization. The alternative (three separate groupBys) scans
+# 100 TB three times; Catalyst's Expand produces the three grain rows
+# per input row and one shuffle aggregates all grains together.
+# --------------------------------------------------------------------------
+
+MULTI_GRAIN_ORACLE = """
+SELECT grain, bucket_start, event_type,
+       CAST(n AS BIGINT) AS n, total_value
+FROM (
+  SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), event_type,
+         count(*), round(sum(value), 2)
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'week', date_trunc('week', ts), event_type,
+         count(*), round(sum(value), 2)
+  FROM events GROUP BY 2, 3
+)
+"""
+
+
+@register(
+    "events_multi_grain_rollup",
+    oracle=MULTI_GRAIN_ORACLE,
+    tags=("events", "aggregate", "grouping-sets", "time-hierarchy"),
+    doc="Hour/day/week rollup of (count, sum) per event_type in ONE "
+    "pass: precompute the three truncations as columns, aggregate "
+    "over GROUPING SETS ((hour, type), (day, type), (week, type)), "
+    "and collapse the grain columns with coalesce + a grouping()-"
+    "derived label. One scan + one Expand(3x) + one shuffle replaces "
+    "three full scans — the standard way to materialize a time "
+    "hierarchy over 100 TB. The oracle spells out the equivalent "
+    "3-way union for DuckDB.",
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+    )
+    ev.createOrReplaceTempView("ev_grains")
+    return ev.sparkSession.sql(
+        """
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS grain,
+               coalesce(h, d, w) AS bucket_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM ev_grains
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type),
+                                (w, event_type))
+        """
+    )

@@ -50,21 +50,31 @@ from mapreduce_distributed_systems_spark.sources import load_table
 MANIFEST_VERSION = 1
 
 
-def write_snapshot(state: DataFrame, base_dir: str, cutoff_repr: str) -> str:
+def write_snapshot(
+    state: DataFrame,
+    base_dir: str,
+    cutoff_repr: str,
+    version: int = MANIFEST_VERSION,
+) -> str:
     """Commit `state` (key, final_value, n_effective_ops) as an
     immutable parquet snapshot + manifest pointer. Returns the
     manifest path. The parquet write happens BEFORE the manifest is
     written, so a reader never sees a manifest pointing at missing
     data — the manifest write is the atomic commit point (the same
-    ordering a table-format commit protocol uses)."""
-    data_dir = os.path.join(base_dir, f"snap-{MANIFEST_VERSION:03d}")
+    ordering a table-format commit protocol uses). Every commit also
+    leaves a versioned manifest-<ver>.json behind, so superseded
+    versions stay resolvable (time travel across maintenance
+    rewrites)."""
+    data_dir = os.path.join(base_dir, f"snap-{version:03d}")
     state.write.mode("overwrite").parquet(data_dir)
     manifest = {
-        "version": MANIFEST_VERSION,
+        "version": version,
         "cutoff": cutoff_repr,
         "data_dir": data_dir,
         "n_keys": None,  # optional stats; kept null to avoid an extra job
     }
+    with open(os.path.join(base_dir, f"manifest-{version:03d}.json"), "w") as f:
+        json.dump(manifest, f)
     path = os.path.join(base_dir, "manifest.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -73,11 +83,36 @@ def write_snapshot(state: DataFrame, base_dir: str, cutoff_repr: str) -> str:
     return path
 
 
-def read_snapshot(spark: SparkSession, base_dir: str) -> tuple[DataFrame, dict]:
-    """Resolve the manifest, then load the snapshot it points at."""
-    with open(os.path.join(base_dir, "manifest.json")) as f:
+def read_snapshot(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> tuple[DataFrame, dict]:
+    """Resolve the manifest (latest, or a pinned historical version),
+    then load the snapshot it points at."""
+    name = "manifest.json" if version is None else f"manifest-{version:03d}.json"
+    with open(os.path.join(base_dir, name)) as f:
         manifest = json.load(f)
     return spark.read.parquet(manifest["data_dir"]), manifest
+
+
+def compact_snapshot(
+    spark: SparkSession, base_dir: str, target_files: int = 4
+) -> str:
+    """Small-file compaction as a versioned table-format commit: read
+    the current snapshot THROUGH the manifest, rewrite it into
+    target_files files with coalesce (no shuffle — compaction merges,
+    it never redistributes), commit the new data dir under version+1,
+    and swap the manifest pointer. The superseded version's data dir
+    and manifest-<ver>.json are left immutable, so in-flight readers
+    finish against the old files and time travel keeps resolving. At
+    100 TB this runs per table partition with a per-partition file
+    budget; the commit protocol is identical."""
+    snap, manifest = read_snapshot(spark, base_dir)
+    return write_snapshot(
+        snap.coalesce(target_files),
+        base_dir,
+        cutoff_repr=manifest["cutoff"],
+        version=manifest["version"] + 1,
+    )
 
 
 def _writes_with_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -371,3 +371,14 @@ def test_scd2_single_shuffle_on_key(spark, sf_dir):
     plan = physical_plan(get_spec("kv_scd2_versions").fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
+
+
+def test_multi_grain_rollup_is_one_scan_expand(spark, sf_dir):
+    # the whole point vs three groupBys: ONE scan, Catalyst Expand
+    # produces the grain rows, one hash aggregate pair
+    plan = physical_plan(
+        get_spec("events_multi_grain_rollup").fn(spark, sf_dir)
+    )
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -77,3 +77,39 @@ def test_time_travel_is_a_proper_prefix(spark, sf_dir):
     assert any(
         asof[k].final_value != final[k].final_value for k in asof
     ), "cutoff produced an identical state — vacuous time-travel check"
+
+
+def test_compaction_is_a_versioned_invisible_commit(spark, sf_dir):
+    """Small-file compaction must (a) reduce file count, (b) leave the
+    content bit-identical, (c) bump the manifest version atomically,
+    and (d) keep the superseded version resolvable — maintenance
+    rewrites are invisible to readers and to history."""
+    import glob
+
+    from mapreduce_distributed_systems_spark.storage.snapshots import (
+        compact_snapshot,
+    )
+
+    state = replay(op_log(load_table(spark, sf_dir, "events")))
+    base = tempfile.mkdtemp(prefix="kv_compact_")
+    # fragment the snapshot into many small files first
+    write_snapshot(state.repartition(32), base, cutoff_repr="full-log")
+    before, m1 = read_snapshot(spark, base)
+    n_before = len(glob.glob(f"{m1['data_dir']}/*.parquet"))
+    assert n_before > 4
+
+    compact_snapshot(spark, base, target_files=4)
+    after, m2 = read_snapshot(spark, base)
+    n_after = len(glob.glob(f"{m2['data_dir']}/*.parquet"))
+    assert n_after <= 4
+    assert m2["version"] == m1["version"] + 1
+    assert m2["cutoff"] == m1["cutoff"]
+    assert sorted(map(tuple, before.collect())) == sorted(
+        map(tuple, after.collect())
+    )
+    # the superseded version stays resolvable and intact (time travel)
+    old, m_old = read_snapshot(spark, base, version=m1["version"])
+    assert m_old["data_dir"] == m1["data_dir"]
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, after.collect())
+    )
