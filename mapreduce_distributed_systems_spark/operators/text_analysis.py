@@ -493,3 +493,93 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("freq_bits").alias("rarest_bits"),
         F.max("freq_bits").alias("commonest_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document (round 5): the classic IR weighting as
+# a certified query. All heavy aggregates are vocabulary- or
+# (doc, term)-sized; the corpus size N rides a broadcast scalar, the
+# document-frequency table joins on term (vocabulary-sized), and the
+# top-3 rank windows per doc_id. Scores are rounded in-query in both
+# engines BEFORE ranking (ln() last-ulp differences across libm
+# implementations otherwise make the order engine-dependent — the
+# same discipline source_unigram_divergence uses), with the term as
+# the deterministic tiebreak.
+# --------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(n.nd / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM ranked WHERE rn <= {TFIDF_TOP}
+"""
+
+
+@register(
+    "doc_tfidf_topterms",
+    oracle=TFIDF_ORACLE,
+    tags=("text", "tfidf", "feature-prep"),
+    doc=f"Top-{TFIDF_TOP} TF-IDF terms per document (tf x ln(N/df)): "
+    "term counts and document frequencies are "
+    "vocabulary-/(doc,term)-sized two-phase aggregates, N is one "
+    "broadcast scalar, and the rank window partitions by doc_id. "
+    "Scores round to 6 decimals in BOTH engines before ranking "
+    "(libm ln() ulp drift would otherwise flip engine-dependent "
+    "near-ties), with term-ascending as the deterministic tiebreak — "
+    "the float discipline the KL-divergence query established.",
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").cast("double").alias("nd"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("nd") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP)
+        .drop("rn")
+    )
