@@ -494,3 +494,68 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (w, event_type))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (round 5): for every calendar day, the
+# distinct users active in the trailing 7-day window — the WAU curve.
+# A naive RANGE-interval window with COUNT(DISTINCT) doesn't exist in
+# either engine (distinct over moving frames); the scale shape is:
+# collapse the stream to distinct (user, day) pairs FIRST (the only
+# corpus-sized aggregate, map-side combined), then explode each pair
+# to the <=7 window-end days it contributes to, and count distinct
+# per day. The explode multiplies the already-tiny (user, day) table
+# by 7, never the raw stream.
+# --------------------------------------------------------------------------
+
+ROLLING_WINDOW_DAYS = 7
+
+ROLLING_ACTIVE_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+contrib AS (
+  SELECT ud.user_id, days.d AS window_end
+  FROM ud JOIN days
+    ON days.d >= ud.d
+   AND days.d < ud.d + INTERVAL {ROLLING_WINDOW_DAYS} DAY
+)
+SELECT window_end, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM contrib GROUP BY 1
+"""
+
+
+@register(
+    "events_rolling_7d_active_users",
+    oracle=ROLLING_ACTIVE_ORACLE,
+    tags=("events", "time-series", "rolling-distinct"),
+    doc=f"Rolling {ROLLING_WINDOW_DAYS}-day active users per day (the "
+    "WAU curve): distinct (user, day) pairs first — the only "
+    "stream-sized aggregate, map-side combined — then each pair "
+    f"explodes to the <= {ROLLING_WINDOW_DAYS} observed window-end "
+    "days it covers and a distinct count folds per day. Neither "
+    "engine can COUNT(DISTINCT) over a moving RANGE frame; this "
+    "explode-then-count formulation multiplies only the collapsed "
+    "pair table by the window length, never the raw events. Window "
+    "ends are restricted to days that actually appear (the oracle "
+    "joins the same observed-days set).",
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    days = F.broadcast(ud.select("d").distinct().withColumnRenamed("d", "wd"))
+    contrib = ud.join(
+        days,
+        (F.col("wd") >= F.col("d"))
+        & (
+            F.col("wd")
+            < F.col("d") + F.expr(f"INTERVAL {ROLLING_WINDOW_DAYS} DAYS")
+        ),
+    )
+    return contrib.groupBy(F.col("wd").alias("window_end")).agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
