@@ -559,3 +559,73 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
     return contrib.groupBy(F.col("wd").alias("window_end")).agg(
         F.count_distinct("user_id").alias("active_users")
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics (round 5): robust per-group scaling — clip
+# value to its group's [p05, p95] before aggregating, the standard
+# outlier-taming step before features/metrics. The percentile pair is
+# a per-group aggregate (exact interpolated, same function pair
+# agg_percentiles certifies: Spark percentile() == DuckDB
+# quantile_cont()), broadcast back onto the stream; percentiles are
+# rounded in-query in BOTH engines before the clip compare so a value
+# sitting on the boundary classifies identically.
+# --------------------------------------------------------------------------
+
+WINSOR_ORACLE = """
+WITH pct AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       round(sum(least(greatest(value, lo), hi)), 2) AS winsorized_sum,
+       round(sum(value), 2) AS raw_sum
+FROM events e JOIN pct USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register(
+    "events_winsorized_stats",
+    oracle=WINSOR_ORACLE,
+    tags=("events", "robust-stats", "feature-prep"),
+    doc="Per-type winsorization: clip value into the group's exact "
+    "interpolated [p05, p95] (percentiles rounded in-query in both "
+    "engines before the compare, so boundary values classify "
+    "identically), then aggregate clipped vs raw sums and the clip "
+    "counts. The percentile table is one row per group — a broadcast "
+    "join back onto the stream — and the final aggregate is map-side "
+    "combined; two passes total, the minimum for a data-dependent "
+    "threshold.",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.round(
+                F.sum(F.least(F.greatest("value", F.col("lo")), F.col("hi"))),
+                2,
+            ).alias("winsorized_sum"),
+            F.round(F.sum("value"), 2).alias("raw_sum"),
+        )
+    )

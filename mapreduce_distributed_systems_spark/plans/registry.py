@@ -200,7 +200,7 @@ GATE_ORDER = (
 # sketch_cms_heavyhitters, training_epoch_shuffle, zorder_key_events,
 # events_cms_streaming, events_gap_fill_hourly, data_quality_audit,
 # kv_scd2_versions, events_multi_grain_rollup, doc_tfidf_topterms,
-# events_rolling_7d_active_users,
+# events_rolling_7d_active_users, events_winsorized_stats,
 # plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,
