@@ -416,6 +416,13 @@ def kv_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     puts = op_log(load_table(spark, sf_dir, "events")).where(
         F.col("op") == "put"
     )
+    return scd2_versions(puts)
+
+
+def scd2_versions(puts: DataFrame) -> DataFrame:
+    """Core SCD2 build over (key, payload, ts, event_id) put rows —
+    separated from the registered query so the hypothesis model test
+    can drive it with arbitrary op logs."""
     w = W.partitionBy("key").orderBy("ts", "event_id")
     return puts.select(
         "key",

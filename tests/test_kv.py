@@ -172,3 +172,46 @@ def test_scd2_versions_partition_time_and_match_replay(spark, sf_dir):
             assert a.valid_from <= a.valid_to
         # replay semantics: final state = last put ++ later appends
         assert final[key].startswith(vs[-1].value), key
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=op_strategy)
+def test_scd2_matches_sequential_model(ops):
+    """SCD2 against the obvious sequential fold: replay the put
+    stream in order; each put for a key closes the previous open
+    interval at its timestamp and opens a new current one."""
+    from mapreduce_distributed_systems_spark.operators.kv import scd2_versions
+
+    spark = _get_spark()
+    rows = [
+        (i, key, op, payload, i)
+        for i, (key, op, payload) in enumerate(ops)
+    ]
+    # sequential model over puts only
+    model: dict[str, list] = {}
+    for ts, key, op, payload, eid in rows:
+        if op != "put":
+            continue
+        if model.get(key):
+            model[key][-1][3] = ts  # close previous interval
+        model.setdefault(key, []).append([len(model.get(key, [])) + 1
+                                          if not model.get(key) else
+                                          model[key][-1][0] + 1,
+                                          payload, ts, None])
+    df = spark.createDataFrame(
+        rows, schema="ts long, key string, op string, payload string, event_id long"
+    )
+    got = sorted(
+        (r.key, r.version_no, r.value, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_versions(df.where("op = 'put'")).collect()
+    )
+    want = sorted(
+        (key, ver, val, vf, vt, vt is None)
+        for key, versions in model.items()
+        for ver, val, vf, vt in versions
+    )
+    assert got == want
