@@ -629,3 +629,111 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("raw_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Daily trend via exact-arithmetic OLS (round 5). regr_slope exists in
+# both engines but sums doubles in engine-dependent order, so its last
+# ulps can't hash-certify. Instead: daily totals are rounded to cents
+# and cast to BIGINT, the day index is a small integer, and every OLS
+# moment (n, Sx, Sy, Sxy, Sxx) is then an EXACT integer aggregate —
+# order-independent in any engine — with one final double division.
+# The integer-moment trick is the same discipline that made the IVF
+# k-means quantizer certifiable.
+# --------------------------------------------------------------------------
+
+TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, yc,
+         CAST((epoch(d) - min(epoch(d)) OVER (PARTITION BY event_type))
+              / 86400 AS BIGINT) AS x
+  FROM daily
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(yc) AS sy,
+         sum(x * yc) AS sxy, sum(x * x) AS sxx
+  FROM idx GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6)
+         AS slope_per_day,
+       round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(sx AS DOUBLE) / n) / n / 100, 6)
+         AS intercept
+FROM m
+"""
+
+
+@register(
+    "events_daily_trend",
+    oracle=TREND_ORACLE,
+    tags=("events", "regression", "exact-arithmetic"),
+    doc="Per-type OLS trend of daily value totals: daily sums rounded "
+    "to cents and cast to BIGINT, day index a small integer, so every "
+    "OLS moment (n, Sx, Sy, Sxy, Sxx) is an exact integer aggregate — "
+    "order-independent, hence hash-certifiable where the built-in "
+    "regr_slope's double summation is not — with one final double "
+    "division (identical IEEE op on identical integers) rounded for "
+    "emission. Two map-side-combined aggregates and a per-group "
+    "window over day counts; nothing corpus-sized past the daily "
+    "rollup.",
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.round(F.round(F.sum("value"), 2) * 100)
+        .cast("long")
+        .alias("yc")
+    )
+    w = W.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "yc",
+        (
+            (F.unix_timestamp("d") - F.min(F.unix_timestamp("d")).over(w))
+            / 86400
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope / 100, 6).alias("slope_per_day"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double") / F.col("n")
+            )
+            / F.col("n")
+            / 100,
+            6,
+        ).alias("intercept"),
+    )

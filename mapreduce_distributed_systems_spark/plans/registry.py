@@ -201,6 +201,7 @@ GATE_ORDER = (
 # events_cms_streaming, events_gap_fill_hourly, data_quality_audit,
 # kv_scd2_versions, events_multi_grain_rollup, doc_tfidf_topterms,
 # events_rolling_7d_active_users, events_winsorized_stats,
+# events_daily_trend,
 # plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,
