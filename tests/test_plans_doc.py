@@ -7,6 +7,7 @@ bench delta."""
 
 from __future__ import annotations
 
+import difflib
 import os
 
 
@@ -17,8 +18,13 @@ def test_plans_md_matches_live_bench_plans(spark):
     with open(os.path.join(repo_root, "PLANS.md")) as f:
         want = f.read()
     got = dp.render()
+    diff = "\n".join(
+        difflib.unified_diff(
+            want.splitlines(), got.splitlines(), "PLANS.md", "live", lineterm=""
+        )
+    )
     assert got == want, (
         "PLANS.md is stale vs the live executed plans — regenerate with "
         "`python -m mapreduce_distributed_systems_spark.plans.dump_plans` "
-        "and review the feature diff"
+        "and review the feature diff:\n" + diff
     )
