@@ -737,3 +737,95 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection (round 5): median/MAD outlier flags per event
+# type. Mean/stddev break under the very outliers being hunted; the
+# median absolute deviation estimator doesn't. Exact-arithmetic
+# discipline as events_daily_trend: values go to integer cents first,
+# so both medians interpolate identical integers ((a+b)/2 — exact in
+# a double at these magnitudes) and every comparison sees bitwise-equal
+# operands in both engines.
+# --------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag beyond 3 scaled MADs
+MAD_SCALE = 1.4826  # consistency constant vs sigma under normality
+
+ANOMALY_MAD_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS med
+  FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, m.med, abs(c.vc - m.med) AS dv
+  FROM c JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dv, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(d.med) / 100, 4) AS median_value,
+       round(max(m2.mad) / 100, 4) AS mad_value,
+       CAST(sum(CASE WHEN d.dv > {MAD_K} * {MAD_SCALE} * m2.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN d.dv > {MAD_K} * {MAD_SCALE} * m2.mad
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS outlier_frac,
+       round(max(d.dv) / 100, 4) AS max_abs_dev
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=ANOMALY_MAD_ORACLE,
+    tags=("events", "robust-stats", "anomaly"),
+    doc="Median/MAD outlier detection per event type: values to integer "
+    "cents, exact interpolated median, MAD from a second exact median "
+    "over deviations, flags at 3x1.4826xMAD. Both median tables are "
+    "one row per type and broadcast back onto the stream; the final "
+    "aggregate is map-side combined. The exact medians buffer each "
+    "group's values (ObjectHashAggregate) — the price of a "
+    "hash-certifiable estimator; a 100 TB deployment would swap in "
+    "approx_percentile and keep the identical plan shape.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(vc, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("vc") - F.col("med")).alias("dv")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dv, 0.5)").alias("mad")
+    )
+    is_out = F.col("dv") > F.lit(MAD_K) * F.lit(MAD_SCALE) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med") / 100, 4).alias("median_value"),
+            F.round(F.max("mad") / 100, 4).alias("mad_value"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+            F.round(
+                F.sum(F.when(is_out, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("outlier_frac"),
+            F.round(F.max("dv") / 100, 4).alias("max_abs_dev"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Iterative graph analytics: integer-exact PageRank (round 5).
+
+Third member of the iterative family (k-means: operators/kmeans.py,
+connected components: operators/components.py). Classic PageRank sums
+doubles in engine-dependent order, so it can't hash-certify; this one
+applies the same integer-moment discipline as the IVF quantizer and
+events_daily_trend — ranks live on an integer scale (SCALE = 1e12) and
+the recurrence
+
+    r'(v) = (15 * (SCALE // N)) // 100
+            + sum over in-edges u->v of (85 * r(u)) // (100 * deg(u))
+
+is pure BIGINT arithmetic: floor divisions are deterministic, the sum
+is an associative integer aggregate, so the fixed-point values are
+bit-identical in any engine and any execution order. (The floors leak
+a few units of mass per iteration — documented semantics, not an
+approximation bug; the ordering this produces is PageRank's.)
+
+Graph: the part-supplier bipartite graph from lineitem, each distinct
+(l_partkey, l_suppkey) pair an undirected edge (two directed edges).
+Node ids pack into one BIGINT: part p -> 2p, supplier s -> 2s+1.
+
+Scale shape: each iteration is ONE shuffle — the edge table joins the
+(nodes-sized) rank table on src and re-aggregates by dst with map-side
+combine; degree is computed once and rides along the edge rows. N and
+the teleport constant come from a 1-row broadcast aggregate (the
+documented O(1)-row crossJoin idiom), so there is no driver-side
+action at all. ITER is fixed (3) so the oracle unrolls exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+PR_SCALE = 10**12
+PR_ITER = 3
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank step: r_{i+1} from r_i (DuckDB CTE body)."""
+    return (
+        f"{cur} AS (\n"
+        f"  SELECT d.dst AS id,\n"
+        f"         CAST((SELECT t FROM tele)\n"
+        f"              + sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS r\n"
+        f"  FROM ed d JOIN {prev} r ON r.id = d.src\n"
+        f"  GROUP BY d.dst\n"
+        f")"
+    )
+
+
+PAGERANK_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+),
+ed0 AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e
+),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed0 GROUP BY src
+),
+ed AS (
+  SELECT d.src, d.dst, g.deg FROM ed0 d JOIN deg g USING (src)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+tele AS (
+  SELECT CAST((15 * ({PR_SCALE} // n)) // 100 AS BIGINT) AS t FROM nn
+),
+r0 AS (
+  SELECT src AS id, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM deg
+),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT id,
+       CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       r AS rank_scaled
+FROM r3
+"""
+
+
+@register(
+    "graph_pagerank_bipartite",
+    oracle=PAGERANK_ORACLE,
+    tags=("graph", "iterative", "exact-arithmetic"),
+    doc="Integer-exact PageRank over the part-supplier bipartite graph "
+    "(3 unrolled iterations, SCALE=1e12): floor-division contributions "
+    "and integer sums make every rank value order-independent, hence "
+    "hash-certifiable where double PageRank is not. One shuffle per "
+    "iteration (edges join ranks on src, re-aggregate by dst, map-side "
+    "combined); degree rides on the edge table; N and the teleport "
+    "constant are a 1-row broadcast.",
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    ).distinct()
+    ed0 = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = ed0.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    ed = ed0.join(deg, "src")
+    nn = deg.agg(F.count("*").cast("long").alias("n"))
+    consts = nn.select(
+        "n",
+        F.expr(f"CAST(div(15 * div({PR_SCALE}, n), 100) AS BIGINT)").alias(
+            "t"
+        ),
+    )
+    ranks = deg.crossJoin(F.broadcast(consts)).select(
+        F.col("src").alias("id"),
+        F.expr(f"CAST(div({PR_SCALE}, n) AS BIGINT)").alias("r"),
+    )
+    for _ in range(PR_ITER):
+        msgs = ed.join(ranks.withColumnRenamed("id", "src"), "src").select(
+            "dst", F.expr("div(85 * r, 100 * deg)").alias("c")
+        )
+        ranks = (
+            msgs.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(consts))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("t") + F.col("s")).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, "part").otherwise("supplier").alias(
+            "node_type"
+        ),
+        F.col("r").alias("rank_scaled"),
+    )

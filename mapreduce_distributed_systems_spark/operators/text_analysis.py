@@ -583,3 +583,133 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TFIDF_TOP)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (round 5). Rae et al. 2021 ("Scaling
+# Language Models: ... Gopher", arXiv:2112.11446, Table A1) drop docs
+# dominated by repeated n-grams; the two rules expressible exactly over
+# this corpus are (a) the fraction of all bigram occurrences taken by
+# the single most frequent bigram and (b) the fraction of trigram
+# occurrences that are repeats of an earlier trigram. Both are integer
+# ratios — hash-certifiable without float-order concerns.
+# ---------------------------------------------------------------------------
+
+TOP_BIGRAM_MAX_FRAC = 0.20
+DUP_TRIGRAM_MAX_FRAC = 0.30
+
+_REP_TOKS_DUCK = (
+    "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+)
+
+REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_REP_TOKS_DUCK} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(2, len(toks) + 1),
+                        i -> toks[i - 1] || ' ' || toks[i]) AS bgs,
+         list_transform(range(3, len(toks) + 1),
+                        i -> toks[i - 2] || ' ' || toks[i - 1] || ' ' || toks[i])
+           AS tgs
+  FROM t
+),
+top_bg AS (
+  SELECT doc_id, max(c) AS top_bigram_n
+  FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS bg FROM grams)
+    GROUP BY doc_id, bg
+  )
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         CAST(len(tgs) AS BIGINT) AS n_trigrams,
+         CAST(len(list_distinct(tgs)) AS BIGINT) AS n_distinct_tg
+  FROM grams
+)
+SELECT b.doc_id,
+       b.n_bigrams,
+       CAST(coalesce(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       round(CAST(coalesce(t.top_bigram_n, 0) AS DOUBLE)
+             / greatest(b.n_bigrams, 1), 4) AS top_bigram_frac,
+       round(CAST(b.n_trigrams - b.n_distinct_tg AS DOUBLE)
+             / greatest(b.n_trigrams, 1), 4) AS dup_trigram_frac,
+       (CAST(coalesce(t.top_bigram_n, 0) AS DOUBLE)
+          / greatest(b.n_bigrams, 1) <= {TOP_BIGRAM_MAX_FRAC}
+        AND CAST(b.n_trigrams - b.n_distinct_tg AS DOUBLE)
+          / greatest(b.n_trigrams, 1) <= {DUP_TRIGRAM_MAX_FRAC}) AS keep
+FROM base b LEFT JOIN top_bg t USING (doc_id)
+"""
+
+
+@register(
+    "quality_repetition_filters",
+    oracle=REPETITION_ORACLE,
+    tags=("text", "quality", "pipeline"),
+    doc="Gopher-style repetition rules: top-bigram dominance and "
+    "duplicate-trigram fraction per doc, plus the keep/drop verdict. "
+    "Trigram stats are pure array expressions fused into the scan (no "
+    "shuffle); only the bigram mode needs a shuffle, and its key is "
+    "(doc_id, bigram) — per-doc-scoped, so cardinality grows with the "
+    "corpus but no key is ever hot, and the count is map-side "
+    "combined. Integer-ratio outputs (one final double division on "
+    "identical integers) keep it hash-certifiable.",
+)
+def quality_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        # sequence(2, 1) in Spark DESCENDS (it never returns empty), so
+        # short docs must be guarded explicitly to mirror DuckDB's
+        # empty range(2, 2)
+        F.expr(
+            "CASE WHEN size(toks) < 2 THEN cast(array() AS array<string>)"
+            " ELSE transform(sequence(2, size(toks)),"
+            " i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"
+            " END"
+        ).alias("bgs"),
+        F.expr(
+            "CASE WHEN size(toks) < 3 THEN cast(array() AS array<string>)"
+            " ELSE transform(sequence(3, size(toks)),"
+            " i -> concat(element_at(toks, i - 2), ' ',"
+            "             element_at(toks, i - 1), ' ', element_at(toks, i)))"
+            " END"
+        ).alias("tgs"),
+    )
+    top_bg = (
+        grams.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    base = grams.select(
+        "doc_id",
+        F.size("bgs").cast("long").alias("n_bigrams"),
+        F.size("tgs").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("tgs")).cast("long").alias("n_distinct_tg"),
+    )
+    joined = base.join(top_bg, "doc_id", "left").withColumn(
+        "top_bigram_n", F.coalesce("top_bigram_n", F.lit(0)).cast("long")
+    )
+    nb = F.greatest(F.col("n_bigrams"), F.lit(1))
+    nt = F.greatest(F.col("n_trigrams"), F.lit(1))
+    top_frac = F.col("top_bigram_n").cast("double") / nb
+    dup_frac = (F.col("n_trigrams") - F.col("n_distinct_tg")).cast("double") / nt
+    return joined.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        F.round(dup_frac, 4).alias("dup_trigram_frac"),
+        (
+            (top_frac <= F.lit(TOP_BIGRAM_MAX_FRAC))
+            & (dup_frac <= F.lit(DUP_TRIGRAM_MAX_FRAC))
+        ).alias("keep"),
+    )

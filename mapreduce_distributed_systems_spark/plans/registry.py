@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.layout",
     "mapreduce_distributed_systems_spark.operators.quality",
     "mapreduce_distributed_systems_spark.operators.components",
+    "mapreduce_distributed_systems_spark.operators.graph",
     "mapreduce_distributed_systems_spark.operators.sketches",
     "mapreduce_distributed_systems_spark.storage.snapshots",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
@@ -201,7 +202,8 @@ GATE_ORDER = (
 # events_cms_streaming, events_gap_fill_hourly, data_quality_audit,
 # kv_scd2_versions, events_multi_grain_rollup, doc_tfidf_topterms,
 # events_rolling_7d_active_users, events_winsorized_stats,
-# events_daily_trend,
+# events_daily_trend, quality_repetition_filters, events_anomaly_mad,
+# graph_pagerank_bipartite,
 # plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,

@@ -1,0 +1,54 @@
+"""Integer-exact PageRank semantics (operators/graph.py): the oracle
+pins cross-engine equality; these pin the algorithm's own invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.operators.graph import (
+    PR_ITER,
+    PR_SCALE,
+)
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+
+def test_pagerank_mass_and_node_coverage(spark, sf_dir):
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    out = get_spec("graph_pagerank_bipartite").fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    n_supps = li.select("l_suppkey").distinct().count()
+    # every node of the bipartite graph ranks exactly once
+    assert len(out) == n_parts + n_supps
+    assert len({r.id for r in out}) == len(out)
+    # floor divisions only LEAK mass (never create it): total stays in
+    # (0.9, 1.0] x SCALE after PR_ITER rounds, every rank positive
+    total = sum(r.rank_scaled for r in out)
+    assert total <= PR_SCALE
+    assert total > 0.9 * PR_SCALE
+    assert all(r.rank_scaled > 0 for r in out)
+    assert PR_ITER >= 2  # the unrolled oracle covers every iteration
+
+
+def test_pagerank_rank_tracks_degree(spark, sf_dir):
+    """With uniform init and a teleport floor, a higher-degree supplier
+    must outrank the minimum-degree one after the iterations."""
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    out = {
+        r.id: r.rank_scaled
+        for r in get_spec("graph_pagerank_bipartite").fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("d"))
+        .collect()
+    )
+    hi = max(deg, key=lambda r: (r.d, -r.l_suppkey))
+    lo = min(deg, key=lambda r: (r.d, r.l_suppkey))
+    if hi.d > lo.d:
+        assert out[hi.l_suppkey * 2 + 1] > out[lo.l_suppkey * 2 + 1]

@@ -382,3 +382,37 @@ def test_multi_grain_rollup_is_one_scan_expand(spark, sf_dir):
     assert plan.count("Expand") >= 1
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_filters_shuffles_doc_scoped_keys_only(spark, sf_dir):
+    # trigram stats are array expressions fused into the scan; the only
+    # shuffles are the (doc_id, bigram) mode count and the join back on
+    # doc_id — never a corpus-wide window or a text-keyed exchange
+    plan = physical_plan(
+        get_spec("quality_repetition_filters").fn(spark, sf_dir)
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan  # bigram mode count combines map-side
+    # column pruning: only doc_id + text leave the scan
+    assert "lang" not in plan.split("ReadSchema")[-1]
+
+
+def test_anomaly_mad_broadcasts_median_tables(spark, sf_dir):
+    # both per-type median tables are one-row-per-group and must come
+    # back as broadcasts — the events stream itself never re-shuffles
+    # for the join
+    plan = physical_plan(get_spec("events_anomaly_mad").fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "ObjectHashAggregate" in plan  # exact percentile buffers
+    # only event_type + value are read
+    assert "props" not in plan.split("ReadSchema")[-1]
+    assert "user_id" not in plan.split("ReadSchema")[-1]
+
+
+def test_pagerank_broadcasts_consts_and_combines_mapside(spark, sf_dir):
+    # the 1-row (n, teleport) table must broadcast; each iteration's
+    # re-aggregation by dst must combine map-side; no SinglePartition
+    # exchange anywhere (the scalar agg's own merge excepted)
+    plan = physical_plan(get_spec("graph_pagerank_bipartite").fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
