@@ -390,3 +390,163 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell") - F.any_value("c")).alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (round 5). KLL / t-digest / GK summaries are
+# merge-order-dependent, so (like HLL) they can never hash-certify
+# across engines. A fixed-bin histogram CAN: bin counts are associative
+# integer sums, the bin rule is integer arithmetic, and the quantile
+# read-off is a deterministic scan of <= NBINS cumulative rows. This is
+# the production percentile path events_anomaly_mad's doc points to —
+# at 100 TB you keep the exact two-pass shape (min/max, then histogram)
+# but the second pass shuffles at most |groups| x NBINS rows, never the
+# stream. The certified guarantee is order-statistic containment —
+# the ceil(q*n)-th value lies within one bin below the estimate,
+# pinned by test_sketches.py. (There is deliberately NO claimed bound
+# vs the interpolated percentile: in a heavy tail adjacent order
+# statistics can sit arbitrarily far apart, so the exact_pq columns
+# are calibration output, not an error reference.)
+# ---------------------------------------------------------------------------
+
+HIST_NBINS = 512
+
+# (name, numerator, denominator) — k-th order statistic ceil(q * n)
+_HIST_QS = (("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100))
+
+
+def _hist_q_duck(num: int, den: int) -> str:
+    return (
+        f"min(CASE WHEN cum * {den} >= n * {num} THEN b END)"
+    )
+
+
+_HIST_PICK_COLS = ", ".join(
+    _hist_q_duck(num, den) + f" AS b_{name}" for name, num, den in _HIST_QS
+)
+_HIST_EXACT_COLS = ", ".join(
+    f"quantile_cont(vc, {num}.0 / {den}) AS x_{name}"
+    for name, num, den in _HIST_QS
+)
+_HIST_OUT_COLS = ",\n       ".join(
+    f"round(CAST(m.mn + (p.b_{name} + 1) * m.w - 1 AS DOUBLE) / 100, 2)"
+    f" AS est_{name},\n       round(e.x_{name} / 100, 2) AS exact_{name}"
+    for name, _, _ in _HIST_QS
+)
+
+HIST_QUANTILE_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+),
+mm AS (
+  SELECT event_type, min(vc) AS mn, max(vc) AS mx,
+         CAST(count(*) AS BIGINT) AS n,
+         (max(vc) - min(vc)) // {HIST_NBINS} + 1 AS w
+  FROM c GROUP BY event_type
+),
+hist AS (
+  SELECT c.event_type, (c.vc - m.mn) // m.w AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM c JOIN mm m USING (event_type)
+  GROUP BY c.event_type, (c.vc - m.mn) // m.w
+),
+cum AS (
+  SELECT event_type, b, sum(cnt) OVER (
+    PARTITION BY event_type ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+picks AS (
+  SELECT c.event_type,
+         {_HIST_PICK_COLS}
+  FROM cum c JOIN mm m USING (event_type)
+  GROUP BY c.event_type
+),
+ex AS (
+  SELECT event_type,
+         {_HIST_EXACT_COLS}
+  FROM c GROUP BY event_type
+)
+SELECT m.event_type, m.n,
+       round(CAST(m.w AS DOUBLE) / 100, 2) AS bin_width,
+       {_HIST_OUT_COLS}
+FROM mm m JOIN picks p USING (event_type) JOIN ex e USING (event_type)
+"""
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=HIST_QUANTILE_ORACLE,
+    tags=("sketch", "quantiles", "exact-arithmetic"),
+    doc="Certified approximate percentiles (p50/p95/p99) per event type "
+    "from a fixed 512-bin integer histogram: bin counts are associative "
+    "integer sums (map-side combined, output bounded by groups x 512 "
+    "regardless of stream size) and the read-off scans the cumulative "
+    "histogram — so unlike KLL/t-digest the whole estimator "
+    "hash-certifies. The certified guarantee is order-statistic "
+    "containment (the ceil(q*n)-th value lies within one bin below "
+    "the estimate, pinned by test); exact interpolated percentiles "
+    "are emitted alongside for calibration.",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    mm = ev.groupBy("event_type").agg(
+        F.min("vc").alias("mn"),
+        F.max("vc").alias("mx"),
+        F.count("*").alias("n"),
+        (
+            F.expr(f"div(max(vc) - min(vc), {HIST_NBINS})") + 1
+        ).alias("w"),
+    )
+    hist = (
+        ev.join(F.broadcast(mm), "event_type")
+        .select("event_type", F.expr("div(vc - mn, w)").alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("event_type").orderBy("b").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    picks = (
+        cum.join(F.broadcast(mm.select("event_type", "n")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("cum") * den >= F.col("n") * num, F.col("b"))
+                ).alias(f"b_{name}")
+                for name, num, den in _HIST_QS
+            ]
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(vc, {num}.0 / {den})").alias(f"x_{name}")
+            for name, num, den in _HIST_QS
+        ]
+    )
+    out_cols = [F.col("event_type"), F.col("n")]
+    out_cols.append(F.round(F.col("w").cast("double") / 100, 2).alias("bin_width"))
+    for name, _, _ in _HIST_QS:
+        out_cols.append(
+            F.round(
+                (F.col("mn") + (F.col(f"b_{name}") + 1) * F.col("w") - 1).cast(
+                    "double"
+                )
+                / 100,
+                2,
+            ).alias(f"est_{name}")
+        )
+        out_cols.append(F.round(F.col(f"x_{name}") / 100, 2).alias(f"exact_{name}"))
+    return (
+        mm.join(picks, "event_type").join(ex, "event_type").select(*out_cols)
+    )

@@ -416,3 +416,14 @@ def test_pagerank_broadcasts_consts_and_combines_mapside(spark, sf_dir):
     plan = physical_plan(get_spec("graph_pagerank_bipartite").fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_histogram_quantiles_shuffles_bounded_histogram(spark, sf_dir):
+    # the stream-sized work is the min/max pass and the histogram
+    # build; everything after operates on <= groups x 512 rows. The
+    # min/max table must broadcast back, counts combine map-side, and
+    # only (event_type, value) leave the scan
+    plan = physical_plan(get_spec("sketch_histogram_quantiles").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "props" not in plan.split("ReadSchema")[-1]

@@ -76,3 +76,43 @@ def test_kmv_lossless_below_k(spark):
     )
     got = sk.select(_kmv_estimate().alias("est")).collect()[0].est
     assert got == 37
+
+
+def test_histogram_quantile_error_bound(spark, sf_dir):
+    """The histogram guarantee is ORDER-STATISTIC containment: est_pq
+    is the upper cent bound of the bucket holding the ceil(q*n)-th
+    order statistic, so that statistic lies within one bin below the
+    estimate. (No bound vs the interpolated percentile exists — in a
+    heavy tail, adjacent order statistics can be arbitrarily far
+    apart; the exact_pq column is emitted for calibration, not as an
+    error reference.)"""
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+    from mapreduce_distributed_systems_spark.sources import load_table
+    from pyspark.sql import functions as F
+    import math
+
+    rows = get_spec("sketch_histogram_quantiles").fn(spark, sf_dir).collect()
+    assert rows
+    vals = {
+        r.event_type: sorted(x.vc for x in grp)
+        for r in rows
+        for grp in [
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_type") == r.event_type)
+            .select(F.round(F.col("value") * 100).cast("long").alias("vc"))
+            .collect()
+        ]
+    }
+    for r in rows:
+        vs = vals[r.event_type]
+        for q, num, den in (("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)):
+            k = math.ceil(len(vs) * num / den)
+            order_stat = vs[k - 1] / 100
+            est = getattr(r, f"est_{q}")
+            assert est + 0.005 >= order_stat >= est - r.bin_width - 0.005, (
+                r.event_type,
+                q,
+                est,
+                order_stat,
+                r.bin_width,
+            )
