@@ -140,3 +140,133 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("r").alias("rank_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (round 5). The supplier co-purchase graph: two
+# suppliers are adjacent iff they supply a common part; a triangle is
+# a mutually-adjacent triple. Exact and integer-only, so it
+# hash-certifies directly.
+#
+# Scale shape — the two standard tricks, both load-bearing at 100 TB:
+# 1. Projection fan-out is C(k, 2) per part, where k = suppliers per
+#    part; k is bounded by the SUPPLIER DIMENSION (not the fact
+#    table), and the pair join runs part-local before a distinct on
+#    (supplier, supplier) edges.
+# 2. Degree ORIENTATION: each undirected edge points low-degree ->
+#    high-degree (ties by id), turning triangle enumeration into a
+#    join of out-wedges against oriented edges. Every wedge center
+#    has out-degree <= O(sqrt(|E|)) in any graph, which is what keeps
+#    the wedge join from exploding on hubs — the reason this exact
+#    plan (not the naive 3-way self-join) is the production one.
+# ---------------------------------------------------------------------------
+
+TRIANGLE_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+),
+deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY u
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+wedges AS (
+  SELECT a.src AS c, a.dst AS x, b.dst AS y
+  FROM oriented a JOIN oriented b
+    ON a.src = b.src AND a.dst < b.dst
+),
+tri AS (
+  SELECT w.c, w.x, w.y
+  FROM wedges w JOIN oriented o
+    ON ((o.src = w.x AND o.dst = w.y) OR (o.src = w.y AND o.dst = w.x))
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes
+FROM tri
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=TRIANGLE_ORACLE,
+    tags=("graph", "exact-arithmetic"),
+    doc="Exact triangle count of the supplier co-purchase graph "
+    "(suppliers adjacent iff they share a part). Degree-oriented "
+    "enumeration: edges point low-degree -> high-degree, out-wedges "
+    "join against oriented edges — the out-degree bound O(sqrt(|E|)) "
+    "per wedge center is what keeps hubs from exploding the join, "
+    "which is why this exact plan (not the naive 3-way self-join) is "
+    "the one that survives scale. Projection fan-out per part is "
+    "C(suppliers-per-part, 2), bounded by the supplier dimension.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.select("p", F.col("s").alias("u"))
+    b = ps.select("p", F.col("s").alias("v"))
+    edges = (
+        a.join(b, "p").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    return triangle_count_edges(edges)
+
+
+def triangle_count_edges(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle enumeration over an undirected edge
+    list (columns u < v, already distinct). Exposed separately so the
+    unit tests can drive sparse synthetic graphs — the lineitem
+    co-purchase projection is complete (every supplier pair shares
+    some part) at the synthetic SFs, which exercises the count but
+    not the orientation's hub behavior."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    wa = oriented.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    wb = oriented.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    wedges = wa.join(wb, "c").where(F.col("x") < F.col("y"))
+    o2 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    # the wedge's closing edge may be oriented either way between x, y
+    closed = wedges.join(o2, ["x", "y"], "left_semi").unionByName(
+        wedges.join(
+            o2.select(F.col("x").alias("y"), F.col("y").alias("x")),
+            ["x", "y"],
+            "left_semi",
+        )
+    )
+    n_tri = closed.agg(F.count("*").cast("long").alias("n_triangles"))
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    return n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(
+        F.broadcast(n_nodes)
+    )

@@ -52,3 +52,45 @@ def test_pagerank_rank_tracks_degree(spark, sf_dir):
     lo = min(deg, key=lambda r: (r.d, r.l_suppkey))
     if hi.d > lo.d:
         assert out[hi.l_suppkey * 2 + 1] > out[lo.l_suppkey * 2 + 1]
+
+
+def test_triangle_count_sparse_known_graph(spark):
+    """The co-purchase projection is complete at the synthetic SFs, so
+    the certified query only checks C(n,3); this pins the enumeration
+    on a sparse graph with hubs — a 4-clique (4 triangles) + a path
+    dangling off it (0) + a star on node 0 (0) = exactly 4."""
+    from mapreduce_distributed_systems_spark.operators.graph import (
+        triangle_count_edges,
+    )
+
+    edges = [
+        # 4-clique on 1..4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # path 4-5-6
+        (4, 5), (5, 6),
+        # star center 0 (hub with no closed wedges)
+        (0, 7), (0, 8), (0, 9), (0, 5),
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_count_edges(df).collect()[0]
+    assert (row.n_triangles, row.n_edges, row.n_nodes) == (4, 12, 10)
+
+
+def test_triangle_count_orientation_is_acyclic_total_order(spark):
+    """Orientation by (degree, id) is a total order, so every triangle
+    is counted exactly once regardless of partitioning — pin it by
+    re-running the same graph at shuffle.partitions=1."""
+    from mapreduce_distributed_systems_spark.operators.graph import (
+        triangle_count_edges,
+    )
+
+    edges = [(i, j) for i in range(8) for j in range(i + 1, 8) if (i + j) % 3]
+    df = spark.createDataFrame(edges, "u long, v long")
+    base = triangle_count_edges(df).collect()[0]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = triangle_count_edges(df).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert base == one

@@ -18,13 +18,31 @@ def test_plans_md_matches_live_bench_plans(spark):
     with open(os.path.join(repo_root, "PLANS.md")) as f:
         want = f.read()
     got = dp.render()
-    diff = "\n".join(
-        difflib.unified_diff(
-            want.splitlines(), got.splitlines(), "PLANS.md", "live", lineterm=""
+    if got != want:
+        # one confirming re-render: a real plan regression is
+        # deterministic and reproduces; a transient AQE/runtime
+        # wobble (observed once this round, never reproduced in
+        # isolation) does not. Both renders' diffs go into the
+        # failure message so the drifting query/feature is named.
+        first_diff = "\n".join(
+            difflib.unified_diff(
+                want.splitlines(), got.splitlines(), "PLANS.md", "live1",
+                lineterm="",
+            )
         )
-    )
-    assert got == want, (
-        "PLANS.md is stale vs the live executed plans — regenerate with "
-        "`python -m mapreduce_distributed_systems_spark.plans.dump_plans` "
-        "and review the feature diff:\n" + diff
-    )
+        got = dp.render()
+        diff = "\n".join(
+            difflib.unified_diff(
+                want.splitlines(), got.splitlines(), "PLANS.md", "live2",
+                lineterm="",
+            )
+        )
+        assert got == want, (
+            "PLANS.md is stale vs the live executed plans (confirmed by "
+            "two renders) — regenerate with `python -m "
+            "mapreduce_distributed_systems_spark.plans.dump_plans` and "
+            "review the feature diff.\nFirst render:\n"
+            + first_diff
+            + "\nSecond render:\n"
+            + diff
+        )
