@@ -550,3 +550,180 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mm.join(picks, "event_type").join(ex, "event_type").select(*out_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (round 5, fourth sketch family after KMV /
+# count-min / histogram-quantiles). Library blooms (Spark's
+# bloom_filter_agg, Guava-backed) hash with engine-private functions,
+# so their bit arrays can't be certified across engines. Building the
+# filter RELATIONALLY from md5-derived positions can: the filter "bit
+# array" is the distinct set of (hash-slice mod M) positions of the
+# member keys, membership of a probe is "all K of its positions are
+# set", and every step is integer arithmetic + set ops — certifiable,
+# and exactly how a bloom build distributes anyway (the position set
+# is a map-side-combined distinct, bounded by M regardless of member
+# count; the probe check is a bounded join against it).
+#
+# The probe set is constructed DISJOINT from the member set (shifted
+# keys), so every hit is a false positive and the emitted fp-rate is a
+# clean read of the filter's operating point at the chosen M, K.
+#
+# M is NOT a constant: like lsh_bits_for / ivf_k_for, the size lever
+# is code — M = M_UNIT * ceil(n_members / MEMBERS_PER_UNIT), computed
+# from the same member count in both engines, so bits-per-member (and
+# with it the fp rate) stays bounded as the corpus grows instead of
+# the filter saturating. The K positions are four non-overlapping
+# 8-hex (32-bit) slices of ONE md5, so the position domain covers any
+# realistic M.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_UNIT = 1 << 18
+BLOOM_MEMBERS_PER_UNIT = 16384  # M_UNIT/16 -> >= 16 bits per member
+BLOOM_K = 4  # hash functions: md5 hex slices [1-8],[9-16],[17-24],[25-32]
+_BLOOM_PROBE_SHIFT = 10**9
+
+
+def _bloom_hex_duck(expr: str, start: int, n: int = 8) -> str:
+    """Portable n-hex-char -> int (DuckDB), chars start..start+n-1."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+
+
+def _bloom_positions_duck(key: str) -> str:
+    """K bloom positions of a BIGINT key (DuckDB list expression);
+    expects a scalar `m` CTE holding the filter size."""
+    slices = [
+        f"({_bloom_hex_duck(f'md5(CAST({key} AS VARCHAR))', 1 + 8 * i)})"
+        f" % (SELECT m FROM mcalc)"
+        for i in range(BLOOM_K)
+    ]
+    return "[" + ", ".join(slices) + "]"
+
+
+BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT l_orderkey AS key FROM lineitem
+),
+mcalc AS (
+  SELECT CAST({BLOOM_M_UNIT} * ((count(*) + {BLOOM_MEMBERS_PER_UNIT - 1})
+              // {BLOOM_MEMBERS_PER_UNIT}) AS BIGINT) AS m
+  FROM members
+),
+bits AS (
+  SELECT DISTINCT unnest({_bloom_positions_duck('key')}) AS pos FROM members
+),
+probes AS (
+  SELECT o_orderkey + {_BLOOM_PROBE_SHIFT} AS key FROM orders
+),
+probe_pos AS (
+  SELECT DISTINCT key, unnest({_bloom_positions_duck('key')}) AS pos
+  FROM probes
+),
+npos AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_pos FROM probe_pos GROUP BY key
+),
+hits AS (
+  SELECT p.key, CAST(count(*) AS BIGINT) AS n_set
+  FROM probe_pos p JOIN bits b ON p.pos = b.pos
+  GROUP BY p.key
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fp
+  FROM hits h JOIN npos n USING (key) WHERE h.n_set = n.n_pos
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+       (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+       (SELECT m FROM mcalc) AS m_bits,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+       n_fp,
+       round(CAST(n_fp AS DOUBLE)
+             / (SELECT count(*) FROM probes), 6) AS fp_rate
+FROM fp
+"""
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=BLOOM_ORACLE,
+    tags=("sketch", "approximate", "exact-arithmetic"),
+    doc=f"Relational Bloom filter (K={BLOOM_K} md5-slice hashes; M "
+    "grows with the member count so bits-per-member stays >= 16 — the "
+    "size lever is code, like lsh_bits_for) over the has-lineitems "
+    "order-key set, probed with a provably disjoint shifted key set "
+    "so every hit is a false positive. The bit array is a "
+    "map-side-combined distinct of integer positions (bounded by M "
+    "regardless of member multiplicity), membership is a bounded join "
+    "requiring every distinct probe position set, and — unlike "
+    "bloom_filter_agg's engine-private hashing — every value "
+    "hash-certifies. Emits M and the observed fp rate.",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("key"))
+        .distinct()
+    )
+    mcalc = members.agg(
+        (
+            F.lit(BLOOM_M_UNIT)
+            * F.expr(
+                f"div(count(*) + {BLOOM_MEMBERS_PER_UNIT - 1}, "
+                f"{BLOOM_MEMBERS_PER_UNIT})"
+            )
+        )
+        .cast("long")
+        .alias("m")
+    )
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        h = F.md5(F.col(key).cast("string"))
+        exprs = [
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % F.col("m")
+            for i in range(BLOOM_K)
+        ]
+        return (
+            df.crossJoin(F.broadcast(mcalc))
+            .select(key, F.explode(F.array(*exprs)).alias("pos"))
+            .distinct()
+        )
+
+    bits = positions(members, "key").select("pos").distinct()
+    probes = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") + _BLOOM_PROBE_SHIFT).alias("key")
+    )
+    probe_pos = positions(probes, "key")
+    npos = probe_pos.groupBy("key").agg(F.count("*").alias("n_pos"))
+    hits = (
+        probe_pos.join(bits, "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_set"))
+    )
+    n_fp = (
+        hits.join(npos, "key")
+        .where(F.col("n_set") == F.col("n_pos"))
+        .agg(F.count("*").cast("long").alias("n_fp"))
+    )
+    n_members = members.agg(F.count("*").cast("long").alias("n_members"))
+    n_probes = probes.agg(F.count("*").cast("long").alias("n_probes"))
+    bits_set = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    return (
+        n_members.crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(mcalc))
+        .crossJoin(F.broadcast(bits_set))
+        .crossJoin(F.broadcast(n_fp))
+        .select(
+            "n_members",
+            "n_probes",
+            F.col("m").alias("m_bits"),
+            "bits_set",
+            "n_fp",
+            F.round(
+                F.col("n_fp").cast("double") / F.col("n_probes"), 6
+            ).alias("fp_rate"),
+        )
+    )

@@ -204,6 +204,7 @@ GATE_ORDER = (
 # events_rolling_7d_active_users, events_winsorized_stats,
 # events_daily_trend, quality_repetition_filters, events_anomaly_mad,
 # graph_pagerank_bipartite, sketch_histogram_quantiles, graph_triangle_count,
+# sketch_bloom_membership,
 # plus ann_recall_at_k
 # and sketch_kmv_merge if the r5 window rotated past them), then
 # (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,

@@ -427,3 +427,13 @@ def test_histogram_quantiles_shuffles_bounded_histogram(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
     assert "props" not in plan.split("ReadSchema")[-1]
+
+
+def test_bloom_broadcasts_filter_size_and_combines_mapside(spark, sf_dir):
+    # the 1-row m table must broadcast into the position exprs; the
+    # distinct position build combines map-side; only the key columns
+    # leave the two scans
+    plan = physical_plan(get_spec("sketch_bloom_membership").fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "l_quantity" not in plan.split("ReadSchema")[-1]

@@ -116,3 +116,26 @@ def test_histogram_quantile_error_bound(spark, sf_dir):
                 order_stat,
                 r.bin_width,
             )
+
+
+def test_bloom_size_lever_and_fp_bound(spark, sf_dir):
+    """M is computed from the member count in-query (the size lever is
+    code): m_bits == M_UNIT * ceil(n_members / MEMBERS_PER_UNIT), which
+    keeps bits-per-member >= 16 and the false-positive rate below ~1%
+    at any corpus size. All probes are non-members by construction, so
+    fp_rate is exactly n_fp / n_probes."""
+    import math
+
+    from mapreduce_distributed_systems_spark.operators.sketches import (
+        BLOOM_M_UNIT,
+        BLOOM_MEMBERS_PER_UNIT,
+    )
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+    row = get_spec("sketch_bloom_membership").fn(spark, sf_dir).collect()[0]
+    assert row.m_bits == BLOOM_M_UNIT * math.ceil(
+        row.n_members / BLOOM_MEMBERS_PER_UNIT
+    )
+    assert row.m_bits >= 16 * row.n_members
+    assert row.bits_set <= min(row.m_bits, 4 * row.n_members)
+    assert row.fp_rate < 0.01
