@@ -10,13 +10,26 @@ Each query is executed through a `noop` sink so the full physical
 plan runs (scan -> transforms -> exchange -> agg) without paying a
 collect or a real write.
 
+Measurement protocol (round-6 fix, VERDICT r5 item 2): each query's
+wall-clock is the PER-QUERY MEDIAN over BENCH_PASSES full passes, with
+the execution order ROTATED by a third between passes. Rounds 3-5
+documented a first-slot effect — whichever query ran first in the
+session read 5.7-6.8 s regardless of identity, and an untimed warmup
+did NOT remove it (BENCH_NOTES.md "first-slot"), which made r5's
+pipeline_clean_corpus look 2.06x slower purely because the gate
+rotation moved it into slot 1. Under rotation the inflated slot lands
+on a DIFFERENT query each pass, so the median discards it; no query's
+median can be slot-1-contaminated unless it ran first in >= 2 of 3
+passes, which rotation by len/3 makes impossible for len >= 3.
+
 Besides wall-clock, each query reports input / shuffle-read /
 shuffle-write BYTE deltas from the app status store — the quantities
 that actually predict 100 TB behavior (a query whose shuffle bytes ~
 input bytes re-materializes the corpus through the network; one whose
 shuffle is orders of magnitude smaller is map-side-combining the way
 it should). Deltas are read after a status-store flush wait; they are
-per-query attributions, exact in this single-query-at-a-time harness.
+per-query attributions, exact in this single-query-at-a-time harness
+(first pass only — bytes are a function of the plan, not the slot).
 
 Output protocol (round-3 fix, VERDICT r2 item 2): the driver captures
 a bounded tail of stdout, and round 2's single combined line (wall
@@ -32,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -65,31 +79,46 @@ def main() -> None:
             sw += e.totalShuffleWrite()
         return inp, sr, sw
 
-    timings: dict[str, float] = {}
+    names = list(specs)
+    passes: dict[str, list[float]] = {n: [] for n in names}
     io: dict[str, dict[str, int]] = {}
-    for name, spec in specs.items():
-        df = spec.fn(spark, sf_dir)
-        i0, r0, w0 = executor_totals()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        time.sleep(0.1)  # let the async status store drain
-        i1, r1, w1 = executor_totals()
-        io[name] = {
-            "input_bytes": i1 - i0,
-            "shuffle_read_bytes": r1 - r0,
-            "shuffle_write_bytes": w1 - w0,
-        }
-        # Queries may cache bounded intermediates (signature tables,
-        # IVF assignments). Evict between queries so each measurement
-        # is cache-cold and a 24-query session never accumulates
-        # blocks that pressure later queries' execution memory.
-        spark.catalog.clearCache()
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    for p in range(n_passes):
+        # rotate by a third per pass: the first-slot inflation lands on
+        # a different query each time, so the per-query median drops it
+        off = (p * len(names)) // max(n_passes, 1)
+        order = names[off:] + names[:off]
+        for name in order:
+            df = specs[name].fn(spark, sf_dir)
+            i0, r0, w0 = executor_totals()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            passes[name].append(round(time.perf_counter() - t0, 4))
+            if p == 0:
+                time.sleep(0.1)  # let the async status store drain
+                i1, r1, w1 = executor_totals()
+                io[name] = {
+                    "input_bytes": i1 - i0,
+                    "shuffle_read_bytes": r1 - r0,
+                    "shuffle_write_bytes": w1 - w0,
+                }
+            # Queries may cache bounded intermediates (signature tables,
+            # IVF assignments). Evict between queries so each measurement
+            # is cache-cold and a multi-pass session never accumulates
+            # blocks that pressure later queries' execution memory.
+            spark.catalog.clearCache()
 
+    timings = {n: round(statistics.median(passes[n]), 4) for n in names}
     total = round(sum(timings.values()), 4)
     # io bytes: sidecar file + an early line (NOT part of the final line
     # — the driver's stdout tail must always end with the compact JSON)
-    io_doc = {"metric": "headline_queries_io_bytes", "io": io, "sf": sf}
+    io_doc = {
+        "metric": "headline_queries_io_bytes",
+        "io": io,
+        "sf": sf,
+        # raw per-pass walls behind the medians, for drift forensics
+        "passes": passes,
+    }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_IO.json")
     try:
         with open(sidecar, "w") as f:

@@ -45,10 +45,13 @@ FROM documents GROUP BY text
     oracle=EXACT_ORACLE,
     tags=("dedup",),
     doc="Exact dedup: keep min doc_id per identical text. Shuffles on "
-    "md5(text) — a 16-byte key — never on the full document body; "
-    "md5 collisions are not a practical concern for dedup (and any "
-    "would equally merge groups in the DuckDB oracle's GROUP BY text "
-    "only if the texts were identical anyway).",
+    "md5(text) — a 16-byte key — never on the full document body. "
+    "Note the asymmetry vs the oracle: Spark groups the digest while "
+    "the DuckDB oracle groups the raw text, so an md5 collision "
+    "between two DIFFERENT texts would merge groups here and diverge "
+    "from the oracle. At ~2^-64 per pair that is not a practical "
+    "concern, but the certification story is 'collision-free in "
+    "practice', not 'symmetric by construction'.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

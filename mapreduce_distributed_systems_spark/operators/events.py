@@ -480,10 +480,14 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", "ts").alias("w"),
     )
     ev.createOrReplaceTempView("ev_grains")
+    # grain derives from grouping() — which grouping set produced the
+    # row — NOT from column nullness: a NULL ts (hence NULL h/d/w)
+    # would make a nullness CASE label every grain's row 'week' and
+    # diverge from the oracle's 3-way union
     return ev.sparkSession.sql(
         """
-        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
-                    WHEN d IS NOT NULL THEN 'day'
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
                     ELSE 'week' END AS grain,
                coalesce(h, d, w) AS bucket_start,
                event_type,

@@ -565,9 +565,11 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is a map-side-combined distinct, bounded by M regardless of member
 # count; the probe check is a bounded join against it).
 #
-# The probe set is constructed DISJOINT from the member set (shifted
-# keys), so every hit is a false positive and the emitted fp-rate is a
-# clean read of the filter's operating point at the chosen M, K.
+# The probe set is constructed DISJOINT from the member set (negated
+# keys — TPC-H keys are strictly positive at any SF, so disjointness
+# holds by sign, not by a shift constant the keys could outgrow), so
+# every hit is a false positive and the emitted fp-rate is a clean
+# read of the filter's operating point at the chosen M, K.
 #
 # M is NOT a constant: like lsh_bits_for / ivf_k_for, the size lever
 # is code — M = M_UNIT * ceil(n_members / MEMBERS_PER_UNIT), computed
@@ -581,7 +583,6 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_M_UNIT = 1 << 18
 BLOOM_MEMBERS_PER_UNIT = 16384  # M_UNIT/16 -> >= 16 bits per member
 BLOOM_K = 4  # hash functions: md5 hex slices [1-8],[9-16],[17-24],[25-32]
-_BLOOM_PROBE_SHIFT = 10**9
 
 
 def _bloom_hex_duck(expr: str, start: int, n: int = 8) -> str:
@@ -617,7 +618,7 @@ bits AS (
   SELECT DISTINCT unnest({_bloom_positions_duck('key')}) AS pos FROM members
 ),
 probes AS (
-  SELECT o_orderkey + {_BLOOM_PROBE_SHIFT} AS key FROM orders
+  SELECT -o_orderkey AS key FROM orders
 ),
 probe_pos AS (
   SELECT DISTINCT key, unnest({_bloom_positions_duck('key')}) AS pos
@@ -653,8 +654,10 @@ FROM fp
     doc=f"Relational Bloom filter (K={BLOOM_K} md5-slice hashes; M "
     "grows with the member count so bits-per-member stays >= 16 — the "
     "size lever is code, like lsh_bits_for) over the has-lineitems "
-    "order-key set, probed with a provably disjoint shifted key set "
-    "so every hit is a false positive. The bit array is a "
+    "order-key set, probed with a provably disjoint key set (negated "
+    "orderkeys — disjoint by sign at ANY scale factor, where an "
+    "additive shift breaks once keys outgrow the constant) so every "
+    "hit is a false positive. The bit array is a "
     "map-side-combined distinct of integer positions (bounded by M "
     "regardless of member multiplicity), membership is a bounded join "
     "requiring every distinct probe position set, and — unlike "
@@ -693,8 +696,12 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bits = positions(members, "key").select("pos").distinct()
+    # probe keys are NEGATED orderkeys: TPC-H keys are strictly
+    # positive at every SF, so -o_orderkey is disjoint from the member
+    # set by sign alone — unlike an additive shift, which silently
+    # stops being disjoint once l_orderkey outgrows the shift constant
     probes = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_orderkey") + _BLOOM_PROBE_SHIFT).alias("key")
+        (-F.col("o_orderkey")).alias("key")
     )
     probe_pos = positions(probes, "key")
     npos = probe_pos.groupBy("key").agg(F.count("*").alias("n_pos"))

@@ -666,32 +666,38 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q11_ORACLE = """
 WITH val AS (
   SELECT l_partkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS pv_cents
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON n_nationkey = s_nationkey
   JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
   GROUP BY l_partkey
 )
-SELECT l_partkey, part_value
+SELECT l_partkey, pv_cents / 100.0 AS part_value
 FROM val
-WHERE part_value > (SELECT round(1.5 * avg(part_value), 2) FROM val)
+WHERE 2 * pv_cents * (SELECT count(*) FROM val)
+      > 3 * (SELECT CAST(sum(pv_cents) AS BIGINT) FROM val)
 """
 
 
 @register(
     "q11_important_stock",
     oracle=Q11_ORACLE,
-    tags=("relational", "subquery", "scalar-agg"),
+    tags=("relational", "subquery", "scalar-agg", "exact-arithmetic"),
     doc="TPC-H Q11 (adapted: per-part revenue supplied through "
     "EUROPE-region suppliers stands in for ps_supplycost * "
     "ps_availqty, and the threshold is 1.5x the average part value — "
     "scale-free where the original's FRACTION hardcodes 1/SF): parts "
-    "whose supplied value exceeds 1.5x the mean. The scalar global "
-    "aggregate broadcasts as a 1-row join; per-part sums are rounded "
-    "in-query on both engines BEFORE the avg/threshold compare so the "
-    "filter sees bit-identical doubles despite different summation "
-    "order.",
+    "whose supplied value exceeds 1.5x the mean. Integer-cents "
+    "discipline (the events_daily_trend pattern): each lineitem term "
+    "is rounded to cents per ROW (deterministic — the product of two "
+    "doubles is bit-identical in both engines), per-part values are "
+    "exact BIGINT sums, and the threshold compare is the cross-"
+    "multiplied integer inequality 2*n*pv > 3*sum(pv) — no double "
+    "average is ever formed, so summation order cannot flip a "
+    "borderline part in either engine. The scalar (sum, count) "
+    "aggregate broadcasts as a 1-row join.",
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -704,13 +710,23 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy("l_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("part_value")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("pv_cents")
         )
     )
-    thresh = val.agg(F.round(1.5 * F.avg("part_value"), 2).alias("cut"))
+    thresh = val.agg(
+        F.sum("pv_cents").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
     return (
-        val.join(F.broadcast(thresh), F.col("part_value") > F.col("cut"))
-        .select("l_partkey", "part_value")
+        val.join(
+            F.broadcast(thresh),
+            F.col("pv_cents") * 2 * F.col("n") > F.col("tot") * 3,
+        )
+        .select("l_partkey", (F.col("pv_cents") / 100.0).alias("part_value"))
     )

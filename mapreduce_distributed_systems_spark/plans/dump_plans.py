@@ -34,8 +34,13 @@ def render() -> str:
         "  repeats shared subtrees, and AQE's exchange-reuse race",
         "  decides nondeterministically whether a shared shuffle",
         "  prints once or twice — the deduped count is a function of",
-        "  plan shape only). Lower = less data over the network at",
-        "  100 TB; 0 = fuses into the scan.",
+        "  plan shape only). Known UNDERCOUNT for repeated-key plans:",
+        "  genuinely distinct shuffles with identical id-stripped keys",
+        "  collapse to one (an iterative query that re-shuffles on the",
+        "  same column every round — e.g. PageRank's per-iteration",
+        "  hashpartitioning(dst) — reads as 1); the column is a",
+        "  distinct-shuffle-KEY count, not a stage count. Lower = less",
+        "  data over the network at 100 TB; 0 = fuses into the scan.",
         "- **bcast**: BroadcastHashJoin count (dims never shuffle the",
         "  fact side).",
         "- **codegen**: WholeStageCodegen spans (JVM-compiled pipelines).",

@@ -103,120 +103,93 @@ def _load() -> None:
 
 
 # Driver-gate priority order. The driver's CORRECTNESS check covers a
-# prefix of queries() (50 entries observed in rounds 1-4), so ordering
+# prefix of queries() (50 entries observed in rounds 1-5), so ordering
 # decides which queries get the hard external oracle signal. The window
-# ROTATES per round. Round-5 policy (VERDICT r4 item 1 + the r4
-# rotation note): head = queries whose CODE or ORACLE changed after
-# their newest driver row (the two md5-re-keyed in r4, the two whose
-# window-generation oracles got the off-by-one fix in r5, and
-# kmeans_cells, upgraded rows-only -> hash this round), then the seven
-# round-4 additions with no driver row at all, then the sixteen
-# r2-only stale certs, then the highest-value r3-certified queries up
-# to the window size. Everything outside the window stays covered by
-# tests/test_parity.py, which runs the same DuckDB oracles.
-# Certified-by-round map: COVERAGE.md / QUERIES.md.
+# ROTATES per round. Round-6 policy (VERDICT r5 item 1): the r5 window
+# went 50/50 green, leaving exactly 32 queries that have NEVER had an
+# external driver row (all pytest-parity-certified only) — the head is
+# all 32 of them, code-changed-this-round and streaming first, so
+# CORRECTNESS_r06 gives every registered query at least one driver row
+# in its history. The tail is the 18 highest-value r3-stale refreshes
+# (max cert age after this round: 3 rounds). Everything outside the
+# window stays covered by tests/test_parity.py, which runs the same
+# DuckDB oracles. Certified-by-round map: COVERAGE.md / QUERIES.md.
 GATE_ORDER = (
-    # -- code changed after newest driver row ------------------------
-    "dedup_exact",            # r4: shuffle re-keyed to md5(text)
-    "pipeline_clean_corpus",  # r4: same re-key inside the pipeline
-    "dedup_repeated_passages",      # r5: oracle window-stop off-by-one fix
-    "corpus_decontamination_ngram",  # r5: same fix; also first driver row
-    "kmeans_cells",           # r5: rows-only -> integer-exact hash oracle
-    # -- round-4 additions with no driver row yet (6 more) -----------
-    "kv_get_time_travel",
-    "dedup_minhash_estimate",
-    "events_tumbling_streaming_append",
-    "corpus_decontamination",
-    "sketch_kmv_distinct",
-    "dedup_embedding_cosine_ivf",
-    # -- stale-cert: newest driver row is r2 (16) ---------------------
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "wc_mr_facade",
-    "dataset_split_assign",
-    "dedup_lsh_bucket_stats",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "lang_id_confusion",
-    "profile_orders",
-    "sample_deterministic_10pct",
-    "shard_pruned_read",
-    "skew_salted_agg",
-    "token_count_methods",
-    "window_ntile_pctrank",
-    # -- round-5 additions: first driver row (5) ----------------------
-    # (these displaced stable r3-certified §2.B/util queries —
-    # nocrash, early_exit, key2shard_distribution, ann_cosine_int8 —
-    # whose code is unchanged since their r3 hash rows; a first
-    # external row beats a refresh)
-    "ann_recall_at_k",
-    "sketch_kmv_merge",
-    "dedup_canonical_pick",
-    "chunk_documents",
-    # incremental == full-recompute certification: its oracle IS the
-    # full pipeline SQL, so a green hash row proves the incremental
-    # formulation externally
-    "pipeline_incremental_update",
-    # -- refresh: newest row is r3; highest-value first (18) ----------
-    # reference-parity core
-    "wc",
-    "inverted_index",
-    # KV op-log semantics (C1-C6)
-    "kv_replay_final",
-    "kv_replay_dedup",
-    "kv_get_asof",
-    "kv_replay_streaming",
-    # dedup / similarity production paths (code/oracle touched in r5:
-    # ann_lsh_bucketed gains the corpus-scaled banding formula and
-    # dedup_cluster_components' oracle was refactored into shared CTEs)
-    "ann_lsh_bucketed",
-    "dedup_minhash_lsh",
-    "dedup_simhash64",
-    "dedup_cluster_components",
-    "ann_cosine_topk",
-    "ann_ivf_probe",
-    # text-analysis / sampling / packing pipeline
-    "text_quality",
-    "text_token_rarity",
-    "mixture_weighted_sample",
-    "stratified_sample_per_lang",
-    "pack_training_shards",
-    # events analytics over ts (post-NTZ re-check)
-    "events_funnel_conversion",
+    # -- never externally certified + code/oracle changed in r6 (4) --
+    "events_multi_grain_rollup",   # r6: grain label now grouping()-derived
+    "q11_important_stock",         # r6: integer-cents threshold compare
+    "sketch_bloom_membership",     # r6: probe set disjoint by negation
+    "graph_triangle_count",        # r6: hot-part cap + n_parts_dropped
+    # -- never certified: the streaming four (riskiest surface to
+    #    leave on internal-only certification; the reference's own bar
+    #    is tester-enforced, kvraft/test_test.go:212-247) -------------
+    "events_dedup_streaming",
+    "events_attribution_streaming",
+    "events_cms_streaming",
+    "shard_serve_streaming",
+    # -- never certified: remaining r5 additions + older (24) ---------
+    "graph_pagerank_bipartite",
+    "sketch_cms_heavyhitters",
+    "sketch_histogram_quantiles",
+    "kv_scd2_versions",
+    "doc_tfidf_topterms",
+    "quality_repetition_filters",
+    "data_quality_audit",
+    "zorder_key_events",
+    "training_epoch_shuffle",
+    "pipeline_training_prep",
+    "ann_recall_curve",
+    "events_daily_trend",
+    "events_winsorized_stats",
+    "events_anomaly_mad",
+    "events_gap_fill_hourly",
+    "events_rolling_7d_active_users",
+    "q2_min_cost_supplier",
+    "ann_cosine_filtered",
+    "dedup_soft_weights",
+    "sample_weighted_softdedup",
+    "source_unigram_divergence",
+    "text_denylist_scrub",
+    "vocab_build_encode",
+    "window_dedup_latest",
+    # -- refresh: newest row is r3 (18 of 26; the 8 remaining TPC-H
+    #    shapes queue for r7) -----------------------------------------
+    # reference-parity core (§2.B/C)
+    "nocrash",
+    "early_exit",
+    "key2shard_distribution",
+    "map_ops",
+    # multimodal plumbing (codec gate documented in COVERAGE.md)
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # dedup / similarity
+    "dedup_exact_hash",
+    "dedup_exact_normalized",
+    "dedup_simhash",
+    "ann_cosine_int8",
+    # analytics breadth
+    "agg_percentiles",
+    "corpus_bigram_topk",
+    "events_range_join_concurrent",
+    "events_weekly_retention",
+    "skew_salted_join",
+    "unpivot_status_priority",
+    "q8_market_share",
+    "q9_product_profit",
 )
 
-# Round-6 rotation note: after the r5 window lands, every query
-# except the r3-certified remainder below has a driver row postdating
-# both the NTZ environment change and its own last code change. The
-# r6 window head should be (a) any query whose code changes in round
-# 5 after the gate ran (check git log vs CORRECTNESS_r05.json) plus
-# the round-5 additions outside the r5 window (window_dedup_latest,
-# shard_serve_streaming, pipeline_training_prep, ann_recall_curve,
-# text_denylist_scrub, vocab_build_encode, source_unigram_divergence,
-# events_dedup_streaming, dedup_soft_weights, events_attribution_streaming,
-# ann_cosine_filtered, sample_weighted_softdedup,
-# q2_min_cost_supplier, q11_important_stock,
-# sketch_cms_heavyhitters, training_epoch_shuffle, zorder_key_events,
-# events_cms_streaming, events_gap_fill_hourly, data_quality_audit,
-# kv_scd2_versions, events_multi_grain_rollup, doc_tfidf_topterms,
-# events_rolling_7d_active_users, events_winsorized_stats,
-# events_daily_trend, quality_repetition_filters, events_anomaly_mad,
-# graph_pagerank_bipartite, sketch_histogram_quantiles, graph_triangle_count,
-# sketch_bloom_membership,
-# plus ann_recall_at_k
-# and sketch_kmv_merge if the r5 window rotated past them), then
-# (b) the r3-certified remainder: agg_percentiles, ann_cosine_int8,
-# corpus_bigram_topk, dedup_exact_hash, dedup_exact_normalized,
-# dedup_simhash, early_exit, events_range_join_concurrent,
-# events_weekly_retention, key2shard_distribution, map_ops,
-# multimodal_features, multimodal_frame_sample, nocrash,
-# q7_volume_shipping, q8_market_share, q9_product_profit,
+# Round-7 rotation note: after the r6 window lands, EVERY registered
+# query has at least one external driver row. The r7 head should be
+# (a) any query whose code/oracle changes in round 6 after the gate
+# ran (check git log vs CORRECTNESS_r06.json), then (b) the r3-stale
+# remainder this window couldn't fit: q7_volume_shipping,
 # q12_ship_priority, q13_customer_distribution, q15_top_supplier,
 # q16_part_supplier_cnt, q17_small_qty_revenue, q20_excess_suppliers,
-# q21_waiting_suppliers, skew_salted_join, unpivot_status_priority
-# (26 — fits one window with room for (a)).
+# q21_waiting_suppliers (8), then (c) the oldest r4-certified rows
+# (kv_get_lookup, kv_snapshot_compaction, kv_snapshot_manifest_replay,
+# shard_migration_moves, shard_serve_during_migration, top_k_orders,
+# ann_ivf_kmeans, asof_purchase_view, ... — see QUERIES.md Certified
+# column) so no green row ages past 3 rounds.
 
 
 def all_specs() -> dict[str, QuerySpec]:

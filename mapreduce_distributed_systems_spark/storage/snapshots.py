@@ -73,8 +73,15 @@ def write_snapshot(
         "data_dir": data_dir,
         "n_keys": None,  # optional stats; kept null to avoid an extra job
     }
-    with open(os.path.join(base_dir, f"manifest-{version:03d}.json"), "w") as f:
+    # the versioned manifest is a commit artifact too: time-travel reads
+    # (read_snapshot(version=...)) resolve it directly, so it gets the
+    # same tmp + atomic-replace discipline as the pointer — a crash
+    # mid-write must never leave a truncated manifest-<ver>.json behind
+    ver_path = os.path.join(base_dir, f"manifest-{version:03d}.json")
+    ver_tmp = ver_path + ".tmp"
+    with open(ver_tmp, "w") as f:
         json.dump(manifest, f)
+    os.replace(ver_tmp, ver_path)
     path = os.path.join(base_dir, "manifest.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
