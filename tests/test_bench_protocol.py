@@ -63,3 +63,12 @@ def test_bench_emits_parseable_final_line():
         assert {"input_bytes", "shuffle_read_bytes", "shuffle_write_bytes"} <= set(
             stats
         )
+    # round-6 measurement protocol (VERDICT r5 item 2): every reported
+    # wall is the per-query MEDIAN over >= 3 rotated passes, so the
+    # first-slot inflation cannot masquerade as a regression again
+    import statistics
+
+    assert set(io["passes"]) == set(final["queries"])
+    for name, walls in io["passes"].items():
+        assert len(walls) >= 3, f"{name}: {len(walls)} passes"
+        assert final["queries"][name] == round(statistics.median(walls), 4)

@@ -1,10 +1,15 @@
 """Driver-gate composition guard.
 
 The driver's CORRECTNESS check verifies a prefix of queries() (50
-entries observed in rounds 1-4). These tests pin that every query the
-round-5 rotation owes a driver row sits inside that window, and that
-reordering never drops or duplicates a registered query.
+entries observed in rounds 1-5). These tests pin that every query the
+round-6 rotation owes a driver row sits inside that window, that
+reordering never drops or duplicates a registered query, and that the
+judge-facing audit docs are regenerated at round close.
 """
+
+import glob
+import json
+import os
 
 from mapreduce_distributed_systems_spark.plans.registry import (
     GATE_ORDER,
@@ -13,40 +18,26 @@ from mapreduce_distributed_systems_spark.plans.registry import (
 
 DRIVER_GATE_WINDOW = 50
 
-# Round-5 gate policy (VERDICT r4 item 1 + the registry's r4 rotation
-# note): head = queries whose code or oracle changed after their newest
-# driver row, then the round-4 additions with no driver row, then the
-# r2-only stale slice. Everything here MUST sit inside the driver's
-# 50-entry window.
-CHANGED_AFTER_NEWEST_ROW = {
-    "dedup_exact",            # r4 md5 re-key; newest row r3
-    "pipeline_clean_corpus",  # r4 md5 re-key; newest row r3
-    "dedup_repeated_passages",       # r5 oracle window-stop fix
-    "corpus_decontamination_ngram",  # r5 oracle window-stop fix
-    "kmeans_cells",           # r5 rows-only -> integer-exact hash oracle
-}
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-NO_DRIVER_ROW_YET = {
-    # round-4 additions certified only by pytest parity so far
-    "kv_get_time_travel", "dedup_minhash_estimate",
-    "events_tumbling_streaming_append", "corpus_decontamination",
-    "sketch_kmv_distinct", "dedup_embedding_cosine_ivf",
-    # round-5 additions — first external row this round
-    "ann_recall_at_k", "sketch_kmv_merge",
-    "dedup_canonical_pick", "chunk_documents",
-}
+# Round-6 gate policy (VERDICT r5 item 1): the window head is every
+# query that has NEVER had an external driver row — computed from the
+# CORRECTNESS_r*.json files themselves, not a hand-kept list, so the
+# set stays true if late-round gate runs land extra rows.
 
-STALE_R2_ONLY = {
-    # newest driver row is r2 (pre-NTZ environment)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "wc_mr_facade", "dataset_split_assign", "dedup_lsh_bucket_stats",
-    "doc_fingerprint", "embedding_centroids", "embedding_quantize_int8",
-    "lang_id_confusion", "profile_orders", "sample_deterministic_10pct",
-    "shard_pruned_read", "skew_salted_agg", "token_count_methods",
-    "window_ntile_pctrank",
-}
 
-MUST_GATE = CHANGED_AFTER_NEWEST_ROW | NO_DRIVER_ROW_YET | STALE_R2_ONLY
+def _ever_certified() -> set[str]:
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match") or row.get("rows_match"):
+                    seen.add(name)
+    return seen
+
+
+def _must_gate() -> set[str]:
+    return set(all_specs()) - _ever_certified()
 
 
 def test_gate_order_names_are_registered():
@@ -67,12 +58,37 @@ def test_gate_order_fills_the_window():
     )
 
 
-def test_all_must_gate_queries_inside_driver_window():
-    window = list(all_specs())[:DRIVER_GATE_WINDOW]
-    missing = MUST_GATE - set(window)
+def test_all_never_certified_queries_inside_driver_window():
+    """Every registered query with NO green driver row in any
+    CORRECTNESS_r*.json must sit inside the gate window — external
+    certification debt is the first thing each rotation pays down."""
+    window = set(list(all_specs())[:DRIVER_GATE_WINDOW])
+    missing = _must_gate() - window
     assert missing == set(), (
-        f"round-5 certification debt outside the driver's first "
+        f"never-externally-certified queries outside the driver's first "
         f"{DRIVER_GATE_WINDOW} entries: {sorted(missing)}"
+    )
+
+
+def test_queries_doc_covers_newest_correctness_round():
+    """QUERIES.md is the auditable certified-by-round map; VERDICT r5
+    item 4 flagged it lagging a round behind. Regeneration is a
+    round-close step — this fails if the newest CORRECTNESS_r*.json
+    round label is absent from the doc's Certified header."""
+    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    assert paths, "no CORRECTNESS files — driver has not run yet?"
+    newest = "r" + os.path.basename(paths[-1])[len("CORRECTNESS_r"):].split(
+        "."
+    )[0].lstrip("0")
+    with open(os.path.join(_REPO_ROOT, "QUERIES.md")) as f:
+        head = f.read(2000)
+    # the header renders "...by round (r1, r2, ...)" — the newest label
+    # must be in that parenthesized list
+    round_list = head.split("by round (", 1)[-1].split(")", 1)[0]
+    assert newest in round_list.split(", "), (
+        f"QUERIES.md Certified header covers ({round_list}) but the newest "
+        f"driver round is {newest}; regenerate with "
+        "python -m mapreduce_distributed_systems_spark.plans.dump_queries"
     )
 
 
