@@ -337,3 +337,190 @@ def corpus_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("train_doc_id").alias("n_train_docs"),
         )
     )
+
+
+# Fuzzy (MinHash-LSH) decontamination — the third rung of the
+# decontamination ladder: whole-document hashing (corpus_decontamination)
+# misses edits; passage hashing (corpus_decontamination_ngram) misses
+# paraphrase-level rewording that still shares most shingles. The
+# production check (GPT-3/PaLM-style "13-gram overlap" is the exact
+# cousin; near-dup decon uses MinHash) flags an eval doc when it is
+# NEAR-duplicate of any training doc. Reuses the dedup_minhash_lsh
+# machinery wholesale: signatures off the raw shingle stream, band
+# buckets, hot-bucket cap, sid-keyed exact-Jaccard verification —
+# except the bucket join here is train-side x eval-side (two disjoint
+# streams), never a self-join. Planted near-dups (train text + a
+# 3-token tail, forced into the eval split by id range) guarantee the
+# contamination branch is non-vacuous at any sf.
+
+DECON_FUZZY_THRESHOLD = 0.5
+_DECON_FUZZY_BASE = 20_000_000  # planted eval ids; >= base -> split 'test'
+
+_FUZZY_SPLIT_DUCK = f"""CASE WHEN doc_id >= {_DECON_FUZZY_BASE} THEN 'test'
+              WHEN {_BUCKET_DUCK} < 58982 THEN 'train'
+              WHEN {_BUCKET_DUCK} < 62259 THEN 'valid'
+              ELSE 'test' END"""
+
+
+def _fuzzy_oracle() -> str:
+    from mapreduce_distributed_systems_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        N_PERMS,
+        SID_DUCK,
+    )
+
+    mins = ", ".join(
+        f"min(('0x' || substring(md5(shingle), {4 * i + 1}, 4))::BIGINT) AS h{i}"
+        for i in range(N_PERMS)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DECON_FUZZY_BASE}, text || ' zq zq zq'
+  FROM documents WHERE doc_id % 11 = 3
+),
+labeled AS (
+  SELECT doc_id, text, {_FUZZY_SPLIT_DUCK} AS split FROM corpus
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS t
+  FROM labeled
+),
+shraw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (SELECT DISTINCT doc_id, {SID_DUCK} AS sid FROM shraw),
+mh AS (SELECT doc_id, {mins} FROM shraw GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN h0 * 65536 + h1 WHEN 1 THEN h2 * 65536 + h3
+                   WHEN 2 THEN h4 * 65536 + h5 ELSE h6 * 65536 + h7 END AS bkey
+  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+lb AS (SELECT b.doc_id, b.band, b.bkey, l.split
+       FROM bands b JOIN labeled l USING (doc_id)),
+tb0 AS (SELECT band, bkey, doc_id AS train_doc_id FROM lb WHERE split = 'train'),
+small AS (SELECT band, bkey FROM tb0 GROUP BY band, bkey
+          HAVING count(*) <= {LSH_BUCKET_CAP}),
+tb AS (SELECT tb0.* FROM tb0 JOIN small USING (band, bkey)),
+eb AS (SELECT band, bkey, doc_id AS eval_doc_id, split AS eval_split
+       FROM lb WHERE split <> 'train'),
+cand AS (SELECT DISTINCT train_doc_id, eval_doc_id, eval_split
+         FROM tb JOIN eb USING (band, bkey)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.train_doc_id, c.eval_doc_id, c.eval_split, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.train_doc_id
+  JOIN sh sb ON sb.doc_id = c.eval_doc_id AND sb.sid = sa.sid
+  GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT eval_doc_id, eval_split,
+         CAST(i AS DOUBLE) / (na.n + nb.n - i) AS j
+  FROM inter
+  JOIN sizes na ON na.doc_id = train_doc_id
+  JOIN sizes nb ON nb.doc_id = eval_doc_id
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {DECON_FUZZY_THRESHOLD}
+)
+SELECT eval_doc_id, eval_split,
+       CAST(count(*) AS BIGINT) AS n_train_matches,
+       round(max(j), 4) AS max_jaccard
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register(
+    "corpus_decontamination_fuzzy",
+    oracle=_fuzzy_oracle(),
+    tags=("sampling", "pipeline", "dedup", "decontamination", "lsh"),
+    doc="Near-duplicate train/eval decontamination: an eval document "
+    "is flagged when MinHash-LSH banding pairs it with a training "
+    "document and the sid-exact Jaccard is >= 0.5 — catching "
+    "reworded/extended leakage that whole-document and passage "
+    "hashing miss. Per eval doc: matching-train-doc count and max "
+    "Jaccard. The scale shape is dedup_minhash_lsh's: signatures off "
+    "the raw shingle stream (no distinct), integer band keys only in "
+    "the shuffle, hot train-side buckets capped at LSH_BUCKET_CAP, "
+    "and the bucket join is train x eval (two disjoint streams — in "
+    "production the eval side is small enough to broadcast, making "
+    "the candidate step a narrow map over training bands). Planted "
+    "tail-extended copies (forced into the eval split by id range) "
+    "keep the contamination branch non-vacuous at any sf.",
+)
+def corpus_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from mapreduce_distributed_systems_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        lsh_bands,
+        minhash_signatures,
+        shingle_hashes,
+        shingle_id_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + _DECON_FUZZY_BASE).alias("doc_id"),
+        F.concat("text", F.lit(" zq zq zq")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    # split is a PURE FUNCTION of doc_id (planted ids land in 'test' by
+    # range), so band rows re-derive it in place — no label join
+    split_col = (
+        F.when(F.col("doc_id") >= _DECON_FUZZY_BASE, "test")
+        .when(F.expr(_BUCKET_SPARK) < 58982, "train")
+        .when(F.expr(_BUCKET_SPARK) < 62259, "valid")
+        .otherwise("test")
+    )
+    bands = lsh_bands(minhash_signatures(shingle_hashes(corpus))).withColumn(
+        "split", split_col
+    )
+    train_b = (
+        bands.where(F.col("split") == "train")
+        .select("band", "bkey", F.col("doc_id").alias("train_doc_id"))
+        .withColumn("bn", F.count("*").over(W.partitionBy("band", "bkey")))
+        .where(F.col("bn") <= LSH_BUCKET_CAP)
+        .drop("bn")
+    )
+    eval_b = bands.where(F.col("split") != "train").select(
+        "band",
+        "bkey",
+        F.col("doc_id").alias("eval_doc_id"),
+        F.col("split").alias("eval_split"),
+    )
+    cand = (
+        train_b.join(eval_b, ["band", "bkey"])
+        .select("train_doc_id", "eval_doc_id", "eval_split")
+        .distinct()
+    )
+    # sid table feeds both verification sides and the size table —
+    # bounded at (docs x distinct shingles), evicted at next query entry
+    sh = shingle_id_table(corpus).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("train_doc_id"), "sid")
+    sb = sh.select(F.col("doc_id").alias("eval_doc_id"), "sid")
+    inter = (
+        cand.join(sa, "train_doc_id")
+        .join(sb, ["eval_doc_id", "sid"])
+        .groupBy("train_doc_id", "eval_doc_id", "eval_split")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("train_doc_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("eval_doc_id"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    pairs = (
+        inter.join(na, "train_doc_id")
+        .join(nb, "eval_doc_id")
+        .where(jac >= DECON_FUZZY_THRESHOLD)
+        .select("eval_doc_id", "eval_split", jac.alias("j"))
+    )
+    return pairs.groupBy("eval_doc_id", "eval_split").agg(
+        F.count("*").cast("long").alias("n_train_matches"),
+        F.round(F.max("j"), 4).alias("max_jaccard"),
+    )

@@ -240,3 +240,100 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_vs_corpus",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: pattern-based redaction of emails / phone numbers
+# ---------------------------------------------------------------------------
+
+# The C4/Dolma-style preprocessing step the denylist scrub doesn't
+# cover: structural PII (emails, phone numbers) found by regex, not by
+# dictionary. Patterns stay inside the Java-regex/RE2 COMMON SUBSET —
+# character classes, bounded repeats, no alternation, no backrefs, no
+# lookaround — so Spark and DuckDB match identical spans and the
+# scrubbed-content md5 hash-certifies the cross-engine regex
+# semantics (the actual risk in shipping regex redaction on two
+# engines). The synthetic corpus contains no PII, so deterministic
+# PII is PLANTED into a doc_id slice first (the DENYLIST pattern:
+# a redaction path that never fires would certify vacuously).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9 -]{7,}[0-9]"
+_PII_PLANT = " contact alice.k@example.com or +1 555 123 4567 now"
+_PII_MOD = 13  # docs with doc_id % 13 == 0 get the planted PII tail
+
+PII_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN doc_id % {_PII_MOD} = 0
+              THEN text || ' {_PII_PLANT.strip()}'
+              ELSE text END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PII_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+  FROM corpus
+)
+SELECT doc_id, lang, source,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed,
+       md5(scrubbed) AS scrubbed_md5
+FROM s
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=PII_ORACLE,
+    tags=("text", "quality", "redaction", "pii"),
+    doc="Structural-PII redaction: count and replace email addresses "
+    "([EMAIL]) and phone-number-shaped digit runs ([PHONE]) per "
+    "document, emitting counts + scrubbed length + scrubbed-content "
+    "md5. Patterns live in the Java-regex/RE2 common subset so the "
+    "md5 certifies identical match SPANS across engines — the real "
+    "hazard of dual-engine regex redaction. Same narrow map-only "
+    "plan as text_denylist_scrub: no exchange, scan-speed at 100 TB. "
+    "PII is planted into a deterministic doc_id slice because the "
+    "synthetic corpus has none (a never-firing redaction certifies "
+    "vacuously).",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            F.col("doc_id") % _PII_MOD == 0,
+            F.concat("text", F.lit(" " + _PII_PLANT.strip())),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # scrub ONCE into a projection (no CSE across output fields);
+    # email replacement runs first in BOTH engines — replacement order
+    # is part of the cross-engine contract
+    s = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("scrubbed"),
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_emails",
+        "n_phones",
+        F.length("scrubbed").cast("long").alias("n_chars_scrubbed"),
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )

@@ -120,6 +120,9 @@ GATE_ORDER = (
     "q11_important_stock",         # r6: integer-cents threshold compare
     "sketch_bloom_membership",     # r6: probe set disjoint by negation
     "graph_triangle_count",        # r6: hot-part cap + n_parts_dropped
+    # -- round-6 additions: first driver row ---------------------------
+    "corpus_decontamination_fuzzy",  # MinHash-LSH train/eval leakage
+    "text_pii_scrub",                # regex PII redaction, dual-engine md5
     # -- never certified: the streaming four (riskiest surface to
     #    leave on internal-only certification; the reference's own bar
     #    is tester-enforced, kvraft/test_test.go:212-247) -------------
@@ -152,7 +155,7 @@ GATE_ORDER = (
     "text_denylist_scrub",
     "vocab_build_encode",
     "window_dedup_latest",
-    # -- refresh: newest row is r3 (18 of 26; the 8 remaining TPC-H
+    # -- refresh: newest row is r3 (16 of 26; the 10 remaining TPC-H
     #    shapes queue for r7) -----------------------------------------
     # reference-parity core (§2.B/C)
     "nocrash",
@@ -174,8 +177,6 @@ GATE_ORDER = (
     "events_weekly_retention",
     "skew_salted_join",
     "unpivot_status_priority",
-    "q8_market_share",
-    "q9_product_profit",
 )
 
 # Round-7 rotation note: after the r6 window lands, EVERY registered
@@ -183,9 +184,10 @@ GATE_ORDER = (
 # (a) any query whose code/oracle changes in round 6 after the gate
 # ran (check git log vs CORRECTNESS_r06.json), then (b) the r3-stale
 # remainder this window couldn't fit: q7_volume_shipping,
-# q12_ship_priority, q13_customer_distribution, q15_top_supplier,
-# q16_part_supplier_cnt, q17_small_qty_revenue, q20_excess_suppliers,
-# q21_waiting_suppliers (8), then (c) the oldest r4-certified rows
+# q8_market_share, q9_product_profit, q12_ship_priority,
+# q13_customer_distribution, q15_top_supplier, q16_part_supplier_cnt,
+# q17_small_qty_revenue, q20_excess_suppliers, q21_waiting_suppliers
+# (10), then (c) the oldest r4-certified rows
 # (kv_get_lookup, kv_snapshot_compaction, kv_snapshot_manifest_replay,
 # shard_migration_moves, shard_serve_during_migration, top_k_orders,
 # ann_ivf_kmeans, asof_purchase_view, ... — see QUERIES.md Certified
