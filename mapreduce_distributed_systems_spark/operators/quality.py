@@ -240,3 +240,95 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows.append(recon)
     return reduce(DataFrame.unionByName, rows)
+
+
+# ------------------------------------------------------------------ #
+# Model-based quality filtering: fasttext-style linear classifier
+# inference with the hashing trick (the CCNet / C4 / Dolma "quality
+# classifier" pipeline stage, run here as distributed inference).
+# ------------------------------------------------------------------ #
+
+CLS_BUCKETS = 4096  # hashing-trick feature space (2^12)
+_CLS_MIX = 2654435761  # Knuth multiplicative mix for the frozen weights
+_CLS_WMOD = 2001  # weights land in [-1000, 1000]
+
+CLS_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {CLS_BUCKETS} AS b
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum((b * {_CLS_MIX}) % {_CLS_WMOD} - {(_CLS_WMOD - 1) // 2})
+              AS BIGINT) AS score
+  FROM feats GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+       CASE WHEN coalesce(s.score, 0) > 0 THEN 'keep' ELSE 'drop' END
+         AS label
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+@register(
+    "quality_classifier_score",
+    oracle=CLS_ORACLE,
+    tags=("quality", "classifier", "text"),
+    bench=True,
+    doc="Linear quality-classifier inference with the hashing trick "
+    "(the fasttext-shaped model CCNet/C4/Dolma pipelines run over "
+    "every document): tokenize (reference tokenizer, case preserved), "
+    "hash each token into one of CLS_BUCKETS feature buckets "
+    "(md5-derived, identical in both engines), score = sum of the "
+    "bucket weights, label = sign gate. Weights are a FROZEN model "
+    "frozen as a pure function of the bucket index "
+    "((b * Knuth-mix) % 2001 - 1000) so inference is certifiable "
+    "integer arithmetic; a learned model would instead broadcast its "
+    "D-entry weight table and join on b — same plan shape. Plan: "
+    "scan -> explode (narrow) -> map-stage hash+weight -> ONE "
+    "map-side-combined shuffle keyed on doc_id. No weight shuffle, "
+    "no join, doc-scoped key (no hot key possible) — at 100 TB the "
+    "exchange carries one (doc_id, partial sum) row per doc per "
+    "partition.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_score(load_table(spark, sf_dir, "documents"))
+
+
+def classifier_score(docs: DataFrame) -> DataFrame:
+    from mapreduce_distributed_systems_spark.functions.text import words
+
+    # explode_outer keeps token-less docs (scored 0/'drop'), mirroring
+    # the oracle's LEFT JOIN — without a second scan or a join.
+    toks = docs.select(
+        "doc_id", F.explode_outer(words("text")).alias("tok")
+    )
+    w = (
+        F.col("b") * F.lit(_CLS_MIX) % F.lit(_CLS_WMOD)
+        - F.lit((_CLS_WMOD - 1) // 2)
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+                f" % {CLS_BUCKETS}"
+            ).alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("b").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum(w), F.lit(0)).cast("long").alias("score"),
+        )
+        .withColumn(
+            "label", F.when(F.col("score") > 0, "keep").otherwise("drop")
+        )
+    )

@@ -123,6 +123,7 @@ GATE_ORDER = (
     # -- round-6 additions: first driver row ---------------------------
     "corpus_decontamination_fuzzy",  # MinHash-LSH train/eval leakage
     "text_pii_scrub",                # regex PII redaction, dual-engine md5
+    "quality_classifier_score",      # hashing-trick linear model inference
     # -- never certified: the streaming four (riskiest surface to
     #    leave on internal-only certification; the reference's own bar
     #    is tester-enforced, kvraft/test_test.go:212-247) -------------
@@ -176,7 +177,6 @@ GATE_ORDER = (
     "events_range_join_concurrent",
     "events_weekly_retention",
     "skew_salted_join",
-    "unpivot_status_priority",
 )
 
 # Round-7 rotation note: after the r6 window lands, EVERY registered
@@ -187,7 +187,8 @@ GATE_ORDER = (
 # q8_market_share, q9_product_profit, q12_ship_priority,
 # q13_customer_distribution, q15_top_supplier, q16_part_supplier_cnt,
 # q17_small_qty_revenue, q20_excess_suppliers, q21_waiting_suppliers
-# (10), then (c) the oldest r4-certified rows
+# (10) and unpivot_status_priority (displaced by
+# quality_classifier_score), then (c) the oldest r4-certified rows
 # (kv_get_lookup, kv_snapshot_compaction, kv_snapshot_manifest_replay,
 # shard_migration_moves, shard_serve_during_migration, top_k_orders,
 # ann_ivf_kmeans, asof_purchase_view, ... — see QUERIES.md Certified
