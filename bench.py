@@ -82,11 +82,15 @@ def main() -> None:
     names = list(specs)
     passes: dict[str, list[float]] = {n: [] for n in names}
     io: dict[str, dict[str, int]] = {}
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # floor at 3: the no-slot-contamination guarantee (per-query median
+    # with rotation) needs >= 3 passes — fewer would crash the median
+    # (0 passes) or average one inflated first-slot wall into the
+    # result (2 passes). A below-floor request is clamped, not honored.
+    n_passes = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     for p in range(n_passes):
         # rotate by a third per pass: the first-slot inflation lands on
         # a different query each time, so the per-query median drops it
-        off = (p * len(names)) // max(n_passes, 1)
+        off = (p * len(names)) // n_passes
         order = names[off:] + names[:off]
         for name in order:
             df = specs[name].fn(spark, sf_dir)

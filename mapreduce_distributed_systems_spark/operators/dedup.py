@@ -108,7 +108,10 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so a HAVING count>1 query over it certifies nothing. To exercise the
 # duplicate branch with real rows at ANY scale, the query plants
 # deterministic variants — every doc_id % 7 == 0 contributes a second
-# copy (doc_id + 10_000_000) whose text is upper-cased and
+# copy (doc_id + max(doc_id) + 1: disjoint from AND larger than every
+# genuine id at any corpus scale, so min() still keeps the original;
+# a fixed additive constant would collide once ids outgrow it) whose
+# text is upper-cased and
 # whitespace-padded — then dedups on the normalized form
 # lower(single-spaced(trim(text))). The planting is identical in the
 # Spark plan and the DuckDB oracle, so the match certifies the
@@ -119,7 +122,7 @@ EXACT_NORM_ORACLE = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000,
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
          '  ' || upper(text) || '   '
   FROM documents WHERE doc_id % 7 = 0
 ),
@@ -149,9 +152,14 @@ FROM norm GROUP BY h HAVING count(*) > 1
 )
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    shift = docs.agg((F.max("doc_id") + F.lit(1)).alias("_s"))
+    planted = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("doc_id") + F.col("_s")).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+        )
     )
     corpus = docs.unionByName(planted)
     norm_hash = F.md5(

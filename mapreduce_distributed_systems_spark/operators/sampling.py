@@ -189,7 +189,8 @@ DECONTAMINATION_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000, '  ' || upper(text) || '   '
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         '  ' || upper(text) || '   '
   FROM documents WHERE doc_id % 7 = 0
 ),
 labeled AS (
@@ -224,9 +225,17 @@ WHERE t.split = 'train'
 )
 def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    # planted ids shift by max(doc_id) + 1 — disjoint from genuine ids
+    # at ANY corpus scale (a fixed additive constant would collide
+    # once ids outgrow it); the broadcast scalar costs one O(1) agg
+    shift = docs.agg((F.max("doc_id") + F.lit(1)).alias("_s"))
+    planted = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("doc_id") + F.col("_s")).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+        )
     )
     corpus = docs.unionByName(planted)
     b = F.expr(_BUCKET_SPARK)
@@ -350,13 +359,16 @@ def corpus_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets, hot-bucket cap, sid-keyed exact-Jaccard verification —
 # except the bucket join here is train-side x eval-side (two disjoint
 # streams), never a self-join. Planted near-dups (train text + a
-# 3-token tail, forced into the eval split by id range) guarantee the
+# 3-token tail, forced into the eval split by sign (planted id = -doc_id - 1)) guarantee the
 # contamination branch is non-vacuous at any sf.
 
 DECON_FUZZY_THRESHOLD = 0.5
-_DECON_FUZZY_BASE = 20_000_000  # planted eval ids; >= base -> split 'test'
-
-_FUZZY_SPLIT_DUCK = f"""CASE WHEN doc_id >= {_DECON_FUZZY_BASE} THEN 'test'
+# Planted eval ids are the NEGATION of their source id (-doc_id - 1):
+# genuine ids are non-negative at any corpus scale, so sign-based
+# disjointness never breaks — the same argument as the bloom probe
+# set's negated keys (sketches.py). An additive shift (+2e7) would
+# collide with genuine ids once the corpus outgrows the constant.
+_FUZZY_SPLIT_DUCK = f"""CASE WHEN doc_id < 0 THEN 'test'
               WHEN {_BUCKET_DUCK} < 58982 THEN 'train'
               WHEN {_BUCKET_DUCK} < 62259 THEN 'valid'
               ELSE 'test' END"""
@@ -377,7 +389,7 @@ def _fuzzy_oracle() -> str:
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {_DECON_FUZZY_BASE}, text || ' zq zq zq'
+  SELECT -doc_id - 1, text || ' zq zq zq'
   FROM documents WHERE doc_id % 11 = 3
 ),
 labeled AS (
@@ -450,7 +462,7 @@ FROM pairs GROUP BY 1, 2
     "and the bucket join is train x eval (two disjoint streams — in "
     "production the eval side is small enough to broadcast, making "
     "the candidate step a narrow map over training bands). Planted "
-    "tail-extended copies (forced into the eval split by id range) "
+    "tail-extended copies (forced into the eval split by sign (planted id = -doc_id - 1)) "
     "keep the contamination branch non-vacuous at any sf.",
 )
 def corpus_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,14 +478,14 @@ def corpus_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.where(F.col("doc_id") % 11 == 3).select(
-        (F.col("doc_id") + _DECON_FUZZY_BASE).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat("text", F.lit(" zq zq zq")).alias("text"),
     )
     corpus = docs.unionByName(planted)
     # split is a PURE FUNCTION of doc_id (planted ids land in 'test' by
-    # range), so band rows re-derive it in place — no label join
+    # sign), so band rows re-derive it in place — no label join
     split_col = (
-        F.when(F.col("doc_id") >= _DECON_FUZZY_BASE, "test")
+        F.when(F.col("doc_id") < 0, "test")
         .when(F.expr(_BUCKET_SPARK) < 58982, "train")
         .when(F.expr(_BUCKET_SPARK) < 62259, "valid")
         .otherwise("test")

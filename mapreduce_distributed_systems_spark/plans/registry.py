@@ -108,10 +108,11 @@ def _load() -> None:
 # ROTATES per round. Round-6 policy (VERDICT r5 item 1): the r5 window
 # went 50/50 green, leaving exactly 32 queries that have NEVER had an
 # external driver row (all pytest-parity-certified only) — the head is
-# all 32 of them, code-changed-this-round and streaming first, so
-# CORRECTNESS_r06 gives every registered query at least one driver row
-# in its history. The tail is the 18 highest-value r3-stale refreshes
-# (max cert age after this round: 3 rounds). Everything outside the
+# all 32 of them plus the 3 round-6 additions, code-changed-this-round
+# and streaming first, so CORRECTNESS_r06 gives every registered query
+# at least one driver row in its history. The tail is the 15
+# highest-value r3-stale refreshes (max cert age after this round: 3
+# rounds). Everything outside the
 # window stays covered by tests/test_parity.py, which runs the same
 # DuckDB oracles. Certified-by-round map: COVERAGE.md / QUERIES.md.
 GATE_ORDER = (
@@ -156,8 +157,8 @@ GATE_ORDER = (
     "text_denylist_scrub",
     "vocab_build_encode",
     "window_dedup_latest",
-    # -- refresh: newest row is r3 (16 of 26; the 10 remaining TPC-H
-    #    shapes queue for r7) -----------------------------------------
+    # -- refresh: newest row is r3 (15 of 26; the 10 remaining TPC-H
+    #    shapes + unpivot_status_priority queue for r7) ---------------
     # reference-parity core (§2.B/C)
     "nocrash",
     "early_exit",
@@ -182,7 +183,10 @@ GATE_ORDER = (
 # Round-7 rotation note: after the r6 window lands, EVERY registered
 # query has at least one external driver row. The r7 head should be
 # (a) any query whose code/oracle changes in round 6 after the gate
-# ran (check git log vs CORRECTNESS_r06.json), then (b) the r3-stale
+# ran (check git log vs CORRECTNESS_r06.json) — known already:
+# corpus_decontamination (planted-id shift became max(doc_id)+1 after
+# its r5 row; outside the r6 window, so its external row is stale
+# until r7 re-certifies it), then (b) the r3-stale
 # remainder this window couldn't fit: q7_volume_shipping,
 # q8_market_share, q9_product_profit, q12_ship_priority,
 # q13_customer_distribution, q15_top_supplier, q16_part_supplier_cnt,

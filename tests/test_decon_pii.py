@@ -15,13 +15,14 @@ from mapreduce_distributed_systems_spark.plans.registry import get_spec
 
 def test_fuzzy_decon_flags_planted_neardups(spark, sf_dir):
     from mapreduce_distributed_systems_spark.operators.sampling import (
-        _DECON_FUZZY_BASE,
         DECON_FUZZY_THRESHOLD,
     )
 
     out = get_spec("corpus_decontamination_fuzzy").fn(spark, sf_dir).collect()
     assert out, "no contamination found — the plant is broken"
-    planted = [r for r in out if r.eval_doc_id >= _DECON_FUZZY_BASE]
+    # planted eval ids are negative (-doc_id - 1): sign-disjoint from
+    # genuine non-negative ids at any corpus scale
+    planted = [r for r in out if r.eval_doc_id < 0]
     # planted evals are train docs + a 3-token tail: high-but-not-1.0
     # Jaccard, well above the flag threshold, and every planted eval
     # whose source doc landed in the train split must be flagged

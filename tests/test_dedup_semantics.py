@@ -51,7 +51,9 @@ def test_exact_normalized_exercises_duplicate_branch(spark):
     ).collect()
     assert len(rows) == 72  # 500 docs at sf0.01 -> 72 with doc_id % 7 == 0
     assert all(r.n_copies == 2 for r in rows)
-    assert all(r.keeper_doc_id % 7 == 0 and r.keeper_doc_id < 10_000_000
+    # keeper = the ORIGINAL: planted ids shift by max(doc_id) + 1, so
+    # they sit strictly above every genuine id (0..499 at sf0.01)
+    assert all(r.keeper_doc_id % 7 == 0 and r.keeper_doc_id < 500
                for r in rows)
 
 
