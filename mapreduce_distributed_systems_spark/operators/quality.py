@@ -303,13 +303,18 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(load_table(spark, sf_dir, "documents"))
 
 
-def classifier_score(docs: DataFrame) -> DataFrame:
+def classifier_score(docs: DataFrame, carry_cols: list[str] | None = None) -> DataFrame:
+    """Score docs with the frozen hashing-trick model. `carry_cols`
+    ride along in the groupBy key (doc_id determines them, so groups
+    are unchanged) — the zero-cost way to keep e.g. `source` without a
+    second doc-keyed join after the aggregate."""
     from mapreduce_distributed_systems_spark.functions.text import words
 
+    carry = list(carry_cols or [])
     # explode_outer keeps token-less docs (scored 0/'drop'), mirroring
     # the oracle's LEFT JOIN — without a second scan or a join.
     toks = docs.select(
-        "doc_id", F.explode_outer(words("text")).alias("tok")
+        "doc_id", *carry, F.explode_outer(words("text")).alias("tok")
     )
     w = (
         F.col("b") * F.lit(_CLS_MIX) % F.lit(_CLS_WMOD)
@@ -318,12 +323,13 @@ def classifier_score(docs: DataFrame) -> DataFrame:
     return (
         toks.select(
             "doc_id",
+            *carry,
             F.expr(
                 "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
                 f" % {CLS_BUCKETS}"
             ).alias("b"),
         )
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(
             F.count("b").cast("long").alias("n_tokens"),
             F.coalesce(F.sum(w), F.lit(0)).cast("long").alias("score"),
@@ -332,3 +338,101 @@ def classifier_score(docs: DataFrame) -> DataFrame:
             "label", F.when(F.col("score") > 0, "keep").otherwise("drop")
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# Model-gated curation: keep the N best documents per source by
+# classifier score — per-group top-k by VALUE at corpus scale.
+# ------------------------------------------------------------------ #
+
+CURATION_QUOTA = 25  # docs kept per source
+_SCORE_BUCKETS = 65535  # bounded histogram domain for the threshold
+
+CURATION_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {CLS_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+), agg AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum((b * {_CLS_MIX}) % {_CLS_WMOD} - {(_CLS_WMOD - 1) // 2})
+              AS BIGINT) AS score
+  FROM feats GROUP BY doc_id, source
+), scored AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(a.score, 0) AS BIGINT) AS score
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+)
+SELECT source, doc_id, n_tokens, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+WHERE rk <= {CURATION_QUOTA}
+"""
+
+
+@register(
+    "curation_top_quality_per_source",
+    oracle=CURATION_ORACLE,
+    tags=("quality", "classifier", "curation", "sampling"),
+    doc="Model-gated curation: the N highest-classifier-score docs "
+    "per source (ties broken by doc_id) — the 'keep the best slice "
+    "of every domain' corpus-curation step. The oracle is the naive "
+    "per-group window; the Spark plan is NOT: ordering by VALUE "
+    "reuses the bucket-histogram threshold machinery "
+    "(functions/selection.py) with a bucket derived from the score "
+    "itself — global [min,max] score from one broadcast scalar agg, "
+    "bucket = (max - score) * 65535 div span (monotone in score "
+    "DESC, bounded domain regardless of corpus size). A "
+    "low-cardinality `row_number OVER (PARTITION BY source ORDER BY "
+    "score)` would funnel each source's entire corpus through one "
+    "reducer at 100 TB; here every Window sees either the bounded "
+    "histogram or one score-bucket's sliver. Equal scores always "
+    "share a bucket (bucket is a pure function of score), so the "
+    "residual pick's (score DESC, doc_id) order is exact.",
+)
+def curation_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.functions.selection import (
+        select_first_by_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier_score(docs, carry_cols=["source"]).select(
+        "source", "doc_id", "n_tokens", "score"
+    )
+    bounds = scored.agg(
+        F.max("score").alias("_mx"), F.min("score").alias("_mn")
+    )
+    # cached: the selection machinery consumes this three ways
+    # (histogram, below-boundary filter, boundary sliver); uncached,
+    # each branch would recompute the scoring shuffle AND the scalar
+    # bounds agg (6 scalar exchanges observed). O(docs) rows of 5
+    # columns; evicted at next query entry (__spark_entry__._isolated).
+    bucketed = (
+        scored.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_sbkt",
+            F.expr(
+                f"CAST(((_mx - score) * {_SCORE_BUCKETS}) div "
+                "greatest(_mx - _mn, 1) AS BIGINT)"
+            ),
+        )
+        .cache()
+    )
+    picked = select_first_by_hash(
+        bucketed,
+        group_cols=["source"],
+        quota=F.lit(CURATION_QUOTA),
+        order_cols=[F.col("score").desc(), F.col("doc_id")],
+        bucket_col="_sbkt",
+    )
+    return picked.select("source", "doc_id", "n_tokens", "score")

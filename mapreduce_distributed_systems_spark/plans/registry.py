@@ -110,7 +110,7 @@ def _load() -> None:
 # external driver row (all pytest-parity-certified only) — the head is
 # all 32 of them plus the 3 round-6 additions, code-changed-this-round
 # and streaming first, so CORRECTNESS_r06 gives every registered query
-# at least one driver row in its history. The tail is the 15
+# at least one driver row in its history. The tail is the 14
 # highest-value r3-stale refreshes (max cert age after this round: 3
 # rounds). Everything outside the
 # window stays covered by tests/test_parity.py, which runs the same
@@ -125,6 +125,7 @@ GATE_ORDER = (
     "corpus_decontamination_fuzzy",  # MinHash-LSH train/eval leakage
     "text_pii_scrub",                # regex PII redaction, dual-engine md5
     "quality_classifier_score",      # hashing-trick linear model inference
+    "curation_top_quality_per_source",  # per-group top-k by value, no funnel
     # -- never certified: the streaming four (riskiest surface to
     #    leave on internal-only certification; the reference's own bar
     #    is tester-enforced, kvraft/test_test.go:212-247) -------------
@@ -157,8 +158,9 @@ GATE_ORDER = (
     "text_denylist_scrub",
     "vocab_build_encode",
     "window_dedup_latest",
-    # -- refresh: newest row is r3 (15 of 26; the 10 remaining TPC-H
-    #    shapes + unpivot_status_priority queue for r7) ---------------
+    # -- refresh: newest row is r3 (14 of 26; the 10 remaining TPC-H
+    #    shapes + unpivot_status_priority + skew_salted_join queue for
+    #    r7) --------------------------------------------------------
     # reference-parity core (§2.B/C)
     "nocrash",
     "early_exit",
@@ -177,7 +179,6 @@ GATE_ORDER = (
     "corpus_bigram_topk",
     "events_range_join_concurrent",
     "events_weekly_retention",
-    "skew_salted_join",
 )
 
 # Round-7 rotation note: after the r6 window lands, EVERY registered
@@ -191,8 +192,8 @@ GATE_ORDER = (
 # q8_market_share, q9_product_profit, q12_ship_priority,
 # q13_customer_distribution, q15_top_supplier, q16_part_supplier_cnt,
 # q17_small_qty_revenue, q20_excess_suppliers, q21_waiting_suppliers
-# (10) and unpivot_status_priority (displaced by
-# quality_classifier_score), then (c) the oldest r4-certified rows
+# (10), unpivot_status_priority and skew_salted_join (displaced by the
+# round-6 additions), then (c) the oldest r4-certified rows
 # (kv_get_lookup, kv_snapshot_compaction, kv_snapshot_manifest_replay,
 # shard_migration_moves, shard_serve_during_migration, top_k_orders,
 # ann_ivf_kmeans, asof_purchase_view, ... — see QUERIES.md Certified

@@ -68,3 +68,53 @@ def test_classifier_plan_single_doc_shuffle(spark, sf_dir):
     assert "partial_count" in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_curation_exact_topk_per_source(spark, sf_dir):
+    """The histogram-threshold selection must equal the naive per-group
+    top-k computed independently on the driver."""
+    from mapreduce_distributed_systems_spark.operators.quality import (
+        CURATION_QUOTA,
+        classifier_score,
+    )
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    got = (
+        get_spec("curation_top_quality_per_source")
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    scored = classifier_score(
+        load_table(spark, sf_dir, "documents"), carry_cols=["source"]
+    ).collect()
+    by_src: dict = {}
+    for r in scored:
+        by_src.setdefault(r.source, []).append(r)
+    expect = set()
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (-r.score, r.doc_id))
+        expect.update((src, r.doc_id) for r in rows[:CURATION_QUOTA])
+    assert {(r.source, r.doc_id) for r in got} == expect
+
+
+def test_curation_plan_no_per_group_funnel(spark, sf_dir):
+    from tests.test_selection import _windows_bounded
+
+    plan = (
+        get_spec("curation_top_quality_per_source")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the scale contract of functions/selection.py: every Window input
+    # is the bounded histogram or a bucket sliver — never the corpus.
+    assert "_bbkt" in plan
+    assert _windows_bounded(plan)
+    # the scored+bucketed table is cached: its three consumers
+    # (histogram, below-boundary filter, boundary sliver) must read
+    # the cache, not recompute the scoring shuffle + the O(1)-row
+    # [min,max] scalar per branch. (SinglePartition appears only
+    # inside the cached relation's printed subplan — once per scan
+    # reference — so assert the cache, not a textual exchange count.)
+    assert "InMemoryTableScan" in plan
