@@ -115,3 +115,70 @@ def test_stratified_plan_has_no_corpus_window(spark, sf_dir):
     )
     assert "_bbkt" in plan
     assert _windows_bounded(plan)
+
+
+# ---------------------------------------------------------------- #
+# VALUE-bucket selection (round 6): the same machinery selecting by a
+# score-derived bucket instead of a hash prefix — randomized
+# differential vs the naive per-group window, with heavy ties and
+# skewed groups (the cases one fixed corpus cannot exercise).
+# ---------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_spark_for_hypothesis = None
+
+
+def _get_spark():
+    global _spark_for_hypothesis
+    if _spark_for_hypothesis is None:
+        from mapreduce_distributed_systems_spark.session import get_spark
+
+        _spark_for_hypothesis = get_spark("tests")
+    return _spark_for_hypothesis
+
+
+score_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # group
+        st.integers(min_value=-50, max_value=50),  # score (heavy ties)
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=score_rows, quota=st.integers(min_value=1, max_value=30))
+def test_value_bucket_selection_matches_naive_topk(rows, quota):
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(g, s, i) for i, (g, s) in enumerate(rows)],
+        "grp string, score long, id long",
+    )
+    mx = max(s for _, s in rows)
+    mn = min(s for _, s in rows)
+    span = max(mx - mn, 1)
+    bucketed = df.withColumn(
+        "_sbkt", F.expr(f"CAST((({mx} - score) * 65535) div {span} AS BIGINT)")
+    )
+    got = select_first_by_hash(
+        bucketed,
+        group_cols=["grp"],
+        quota=F.lit(quota),
+        order_cols=[F.col("score").desc(), F.col("id")],
+        bucket_col="_sbkt",
+    ).select("grp", "id")
+    by_grp: dict = {}
+    for i, (g, s) in enumerate(rows):
+        by_grp.setdefault(g, []).append((s, i))
+    want = set()
+    for g, pairs in by_grp.items():
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        want.update((g, i) for _, i in pairs[:quota])
+    assert {(r.grp, r.id) for r in got.collect()} == want
