@@ -252,29 +252,43 @@ CLS_BUCKETS = 4096  # hashing-trick feature space (2^12)
 _CLS_MIX = 2654435761  # Knuth multiplicative mix for the frozen weights
 _CLS_WMOD = 2001  # weights land in [-1000, 1000]
 
-CLS_ORACLE = f"""
-WITH feats AS (
-  SELECT doc_id,
+def _scored_cte(carry_cols: tuple[str, ...] = ()) -> str:
+    """The frozen-model scoring CTE chain (tokenize -> hash bucket ->
+    weight sum -> token-less-doc coalesce), shared by every oracle
+    that reads classifier scores — the SQL twin of classifier_score's
+    carry_cols, so the tokenizer/hash/weight formula lives ONCE.
+    Yields a `scored` CTE with (doc_id, *carry_cols, n_tokens, score);
+    score is already coalesced to 0 for token-less docs."""
+    carry = "".join(f", {c}" for c in carry_cols)
+    dcarry = "".join(f", d.{c}" for c in carry_cols)
+    return f"""feats AS (
+  SELECT doc_id{carry},
          ('0x' || substring(md5(tok), 1, 15))::BIGINT % {CLS_BUCKETS} AS b
   FROM (
-    SELECT doc_id,
+    SELECT doc_id{carry},
            unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS tok
     FROM documents
   )
   WHERE tok <> ''
-), scored AS (
-  SELECT doc_id,
+), agg AS (
+  SELECT doc_id{carry},
          CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(sum((b * {_CLS_MIX}) % {_CLS_WMOD} - {(_CLS_WMOD - 1) // 2})
               AS BIGINT) AS score
-  FROM feats GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-       CAST(coalesce(s.score, 0) AS BIGINT) AS score,
-       CASE WHEN coalesce(s.score, 0) > 0 THEN 'keep' ELSE 'drop' END
-         AS label
-FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+  FROM feats GROUP BY doc_id{carry}
+), scored AS (
+  SELECT d.doc_id{dcarry},
+         CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(a.score, 0) AS BIGINT) AS score
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+)"""
+
+
+CLS_ORACLE = f"""
+WITH {_scored_cte()}
+SELECT doc_id, n_tokens, score,
+       CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
 """
 
 
@@ -349,27 +363,7 @@ CURATION_QUOTA = 25  # docs kept per source
 _SCORE_BUCKETS = 65535  # bounded histogram domain for the threshold
 
 CURATION_ORACLE = f"""
-WITH feats AS (
-  SELECT doc_id, source,
-         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {CLS_BUCKETS} AS b
-  FROM (
-    SELECT doc_id, source,
-           unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS tok
-    FROM documents
-  )
-  WHERE tok <> ''
-), agg AS (
-  SELECT doc_id, source,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(sum((b * {_CLS_MIX}) % {_CLS_WMOD} - {(_CLS_WMOD - 1) // 2})
-              AS BIGINT) AS score
-  FROM feats GROUP BY doc_id, source
-), scored AS (
-  SELECT d.doc_id, d.source,
-         CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
-         CAST(coalesce(a.score, 0) AS BIGINT) AS score
-  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-)
+WITH {_scored_cte(("source",))}
 SELECT source, doc_id, n_tokens, score
 FROM (
   SELECT *, row_number() OVER (
@@ -398,7 +392,20 @@ WHERE rk <= {CURATION_QUOTA}
     "reducer at 100 TB; here every Window sees either the bounded "
     "histogram or one score-bucket's sliver. Equal scores always "
     "share a bucket (bucket is a pure function of score), so the "
-    "residual pick's (score DESC, doc_id) order is exact.",
+    "residual pick's (score DESC, doc_id) order is exact. Residual "
+    "caveat: bucket occupancy is DATA-dependent, unlike the uniform "
+    "md5-prefix buckets — a tie-degenerate distribution (most of one "
+    "source sharing a single score that straddles the quota boundary) "
+    "concentrates that tie mass in the one boundary bucket, and the "
+    "residual window then sorts the tie mass, not a 1/65536 sliver. "
+    "Results stay exact; the scale path for such distributions is one "
+    "more refinement level inside the boundary bucket — re-bucket its "
+    "rows by a second bounded key that extends the order (an "
+    "id-span-scaled doc_id bucket, since within a tie the order "
+    "degenerates to the doc_id tiebreak) and re-apply the same "
+    "threshold machinery. Integer scores at realistic token counts "
+    "keep buckets near-single-score, so the refinement is not wired "
+    "here.",
 )
 def curation_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_distributed_systems_spark.functions.selection import (

@@ -108,7 +108,7 @@ def _load() -> None:
 # ROTATES per round. Round-6 policy (VERDICT r5 item 1): the r5 window
 # went 50/50 green, leaving exactly 32 queries that have NEVER had an
 # external driver row (all pytest-parity-certified only) — the head is
-# all 32 of them plus the 3 round-6 additions, code-changed-this-round
+# all 32 of them plus the 4 round-6 additions, code-changed-this-round
 # and streaming first, so CORRECTNESS_r06 gives every registered query
 # at least one driver row in its history. The tail is the 14
 # highest-value r3-stale refreshes (max cert age after this round: 3

@@ -127,18 +127,6 @@ def test_stratified_plan_has_no_corpus_window(spark, sf_dir):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
-_spark_for_hypothesis = None
-
-
-def _get_spark():
-    global _spark_for_hypothesis
-    if _spark_for_hypothesis is None:
-        from mapreduce_distributed_systems_spark.session import get_spark
-
-        _spark_for_hypothesis = get_spark("tests")
-    return _spark_for_hypothesis
-
-
 score_rows = st.lists(
     st.tuples(
         st.sampled_from(["a", "b", "c"]),          # group
@@ -155,8 +143,9 @@ score_rows = st.lists(
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(rows=score_rows, quota=st.integers(min_value=1, max_value=30))
-def test_value_bucket_selection_matches_naive_topk(rows, quota):
-    spark = _get_spark()
+def test_value_bucket_selection_matches_naive_topk(spark, rows, quota):
+    # conftest's `spark` is session-scoped, which hypothesis allows
+    # (only function-scoped fixtures trip its health check)
     df = spark.createDataFrame(
         [(g, s, i) for i, (g, s) in enumerate(rows)],
         "grp string, score long, id long",
