@@ -103,102 +103,95 @@ def _load() -> None:
 
 
 # Driver-gate priority order. The driver's CORRECTNESS check covers a
-# prefix of queries() (50 entries observed in rounds 1-5), so ordering
+# prefix of queries() (50 entries observed in rounds 1-6), so ordering
 # decides which queries get the hard external oracle signal. The window
-# ROTATES per round. Round-6 policy (VERDICT r5 item 1): the r5 window
-# went 50/50 green, leaving exactly 32 queries that have NEVER had an
-# external driver row (all pytest-parity-certified only) — the head is
-# all 32 of them plus the 4 round-6 additions, code-changed-this-round
-# and streaming first, so CORRECTNESS_r06 gives every registered query
-# at least one driver row in its history. The tail is the 14
-# highest-value r3-stale refreshes (max cert age after this round: 3
-# rounds). Everything outside the
-# window stays covered by tests/test_parity.py, which runs the same
-# DuckDB oracles. Certified-by-round map: COVERAGE.md / QUERIES.md.
+# ROTATES per round. Round-7 policy (VERDICT r6 items 2/6): after r6,
+# every registered query has >=1 driver row, so the head is now purely
+# staleness- and change-driven: (a) queries whose operator code changed
+# after their newest green row (corpus_decontamination: planted-shift
+# became max(doc_id)+1 in r6 after its r5 row; plus the round-7 edits —
+# curation tie-mass refinement in quality.py/functions/selection.py,
+# PII-count semantics in text_prep.py, triangle cap-tag scoping in
+# graph.py), then (b) the 12 queries whose newest row is r3 (4 rounds
+# old at r7 close — past the 3-round refresh policy), then (c) 34 of
+# the 48 r4-certified rows, oldest-single-row and streaming-FAIL-
+# history first. The 14 deferred r4 names are listed in the rotation
+# note below and head the r8 window. Everything outside the window
+# stays covered by tests/test_parity.py, which runs the same DuckDB
+# oracles. Certified-by-round map: COVERAGE.md / QUERIES.md; the
+# enforced freshness invariant is tests/test_registry_gate.py (age>3
+# or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- never externally certified + code/oracle changed in r6 (4) --
-    "events_multi_grain_rollup",   # r6: grain label now grouping()-derived
-    "q11_important_stock",         # r6: integer-cents threshold compare
-    "sketch_bloom_membership",     # r6: probe set disjoint by negation
-    "graph_triangle_count",        # r6: hot-part cap + n_parts_dropped
-    # -- round-6 additions: first driver row ---------------------------
-    "corpus_decontamination_fuzzy",  # MinHash-LSH train/eval leakage
-    "text_pii_scrub",                # regex PII redaction, dual-engine md5
-    "quality_classifier_score",      # hashing-trick linear model inference
-    "curation_top_quality_per_source",  # per-group top-k by value, no funnel
-    # -- never certified: the streaming four (riskiest surface to
-    #    leave on internal-only certification; the reference's own bar
-    #    is tester-enforced, kvraft/test_test.go:212-247) -------------
-    "events_dedup_streaming",
-    "events_attribution_streaming",
-    "events_cms_streaming",
-    "shard_serve_streaming",
-    # -- never certified: remaining r5 additions + older (24) ---------
-    "graph_pagerank_bipartite",
-    "sketch_cms_heavyhitters",
-    "sketch_histogram_quantiles",
-    "kv_scd2_versions",
-    "doc_tfidf_topterms",
-    "quality_repetition_filters",
-    "data_quality_audit",
-    "zorder_key_events",
-    "training_epoch_shuffle",
-    "pipeline_training_prep",
-    "ann_recall_curve",
-    "events_daily_trend",
-    "events_winsorized_stats",
-    "events_anomaly_mad",
-    "events_gap_fill_hourly",
-    "events_rolling_7d_active_users",
-    "q2_min_cost_supplier",
-    "ann_cosine_filtered",
-    "dedup_soft_weights",
-    "sample_weighted_softdedup",
-    "source_unigram_divergence",
-    "text_denylist_scrub",
-    "vocab_build_encode",
-    "window_dedup_latest",
-    # -- refresh: newest row is r3 (14 of 26; the 10 remaining TPC-H
-    #    shapes + unpivot_status_priority + skew_salted_join queue for
-    #    r7) --------------------------------------------------------
-    # reference-parity core (§2.B/C)
-    "nocrash",
-    "early_exit",
-    "key2shard_distribution",
-    "map_ops",
-    # multimodal plumbing (codec gate documented in COVERAGE.md)
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # dedup / similarity
-    "dedup_exact_hash",
-    "dedup_exact_normalized",
-    "dedup_simhash",
-    "ann_cosine_int8",
-    # analytics breadth
-    "agg_percentiles",
-    "corpus_bigram_topk",
-    "events_range_join_concurrent",
-    "events_weekly_retention",
+    # -- (a) operator code changed after the newest green row (5) ----
+    "corpus_decontamination",        # r5 row; sampling.py planted-shift changed in r6
+    "curation_top_quality_per_source",  # r7: tie-mass refinement wired (selection.py)
+    "text_pii_scrub",                # r7: n_phones counted on email-scrubbed text
+    "graph_triangle_count",          # r7: cap scoping in tags/doc (ADVICE r6)
+    "quality_classifier_score",      # quality.py edited in r7 (benched; cheap insurance)
+    # -- (b) newest row is r3: 4 rounds old, past policy (12) --------
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_ship_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "unpivot_status_priority",
+    "skew_salted_join",
+    # -- (c) r4-certified refreshes: single-row / FAIL-history /
+    #    stateful surfaces first (34) --------------------------------
+    "kv_snapshot_manifest_replay",   # r4 only
+    "shard_serve_during_migration",  # r4 only
+    "events_sessionize_streaming",   # r3:FAIL r4:hash
+    "events_tumbling_streaming",     # r3:FAIL r4:hash
+    "ann_ivf_kmeans",                # r3:rows r4:hash
+    "shard_migration_moves",         # r2:rows r4:hash
+    "shard_rebalance_history",       # r2:rows r4:hash
+    "kv_get_lookup",
+    "kv_snapshot_compaction",
+    "asof_purchase_view",
+    "top_k_orders",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "inverted_index_bucketed",
+    "events_sessionize",
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    "events_json_props",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi_customers",
+    "join_anti_parts",
+    "agg_distinct_priority",
+    "agg_max_by",
+    "agg_stats_segment",
+    "grouping_sets_orders",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
 )
 
-# Round-7 rotation note: after the r6 window lands, EVERY registered
-# query has at least one external driver row. The r7 head should be
-# (a) any query whose code/oracle changes in round 6 after the gate
-# ran (check git log vs CORRECTNESS_r06.json) — known already:
-# corpus_decontamination (planted-id shift became max(doc_id)+1 after
-# its r5 row; outside the r6 window, so its external row is stale
-# until r7 re-certifies it), then (b) the r3-stale
-# remainder this window couldn't fit: q7_volume_shipping,
-# q8_market_share, q9_product_profit, q12_ship_priority,
-# q13_customer_distribution, q15_top_supplier, q16_part_supplier_cnt,
-# q17_small_qty_revenue, q20_excess_suppliers, q21_waiting_suppliers
-# (10), unpivot_status_priority and skew_salted_join (displaced by the
-# round-6 additions), then (c) the oldest r4-certified rows
-# (kv_get_lookup, kv_snapshot_compaction, kv_snapshot_manifest_replay,
-# shard_migration_moves, shard_serve_during_migration, top_k_orders,
-# ann_ivf_kmeans, asof_purchase_view, ... — see QUERIES.md Certified
-# column) so no green row ages past 3 rounds.
-
+# Round-8 rotation note: the 17 r4-certified names deferred past the
+# r7 window (they will be 4 rounds old at r8 close and MUST head the
+# r8 window per the enforced gate): set_union, set_intersect,
+# set_except, set_except_all, set_intersect_all, scalar_funcs,
+# string_funcs_ext, date_funcs_ext, pivot_status_by_priority,
+# rollup_status_priority, cube_returnflag_linestatus, array_ops,
+# window_lag_lead, window_range_30d, window_rank_top3,
+# window_running_total, window_value_picks — all mechanical
+# SQL-function shapes that test_parity re-proves every session.
+# (17 names; count the r8 head from cert_state.json, not this
+# comment.) Fill the remaining ~34 r8
+# slots with the oldest r5 rows (QUERIES.md Certified column) so no
+# green row ages past 3 rounds, and put any query whose fn/oracle
+# changes during r7/r8 at the very head.
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see
