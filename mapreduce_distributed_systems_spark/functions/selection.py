@@ -51,6 +51,53 @@ def hash_bucket(hash_col: Column, n_hex: int = BUCKET_HEX_CHARS) -> Column:
     return F.conv(F.substring(hash_col, 1, n_hex), 16, 10).cast("long")
 
 
+def _boundary_split(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    quota: Column | None = None,
+    quotas: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared threshold pass: per group, find the boundary bucket where
+    the cumulative histogram count crosses the group's quota. The quota
+    comes either from `quota` — a Column evaluated against one row per
+    group holding the group columns and `_n_grp` (the group's total,
+    derived from the BOUNDED histogram, not a second corpus pass) — or
+    from `quotas`, a precomputed DataFrame[*group_cols, _quota] (used
+    by the refinement levels, whose quotas are residuals from an outer
+    pass). Returns (keep_full, boundary): rows in buckets strictly
+    before the boundary (plus whole groups whose total < quota), and
+    the boundary-bucket rows tagged with `_residual` — how many to
+    still take from them."""
+    hist = df.groupBy(*group_cols, bucket_col).agg(F.count("*").alias("_c"))
+    wb = W.partitionBy(*group_cols).orderBy(bucket_col)
+    cum = hist.withColumn("_cum", F.sum("_c").over(wb))
+    if quotas is None:
+        totals = hist.groupBy(*group_cols).agg(F.sum("_c").alias("_n_grp"))
+        quotas = totals.withColumn("_quota", quota).select(*group_cols, "_quota")
+    # exactly one histogram row per group satisfies
+    # cum - c < quota <= cum: the boundary bucket
+    bound = (
+        cum.join(quotas, group_cols)
+        .where(
+            (F.col("_cum") - F.col("_c") < F.col("_quota"))
+            & (F.col("_cum") >= F.col("_quota"))
+        )
+        .select(
+            *group_cols,
+            F.col(bucket_col).alias("_bbkt"),
+            (F.col("_quota") - (F.col("_cum") - F.col("_c"))).alias("_residual"),
+        )
+    )
+    tagged = df.join(F.broadcast(bound), group_cols, "left")
+    # no boundary row => group total < quota => keep the whole group
+    keep_full = tagged.where(
+        F.col("_bbkt").isNull() | (F.col(bucket_col) < F.col("_bbkt"))
+    ).drop("_bbkt", "_residual")
+    boundary = tagged.where(F.col(bucket_col) == F.col("_bbkt")).drop("_bbkt")
+    return keep_full, boundary
+
+
 def select_first_by_hash(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -71,35 +118,118 @@ def select_first_by_hash(
     keep everything, matching `row_number() <= quota` semantics.
     """
     group_cols = list(group_cols)
-    hist = df.groupBy(*group_cols, bucket_col).agg(F.count("*").alias("_c"))
-    wb = W.partitionBy(*group_cols).orderBy(bucket_col)
-    cum = hist.withColumn("_cum", F.sum("_c").over(wb))
-    totals = hist.groupBy(*group_cols).agg(F.sum("_c").alias("_n_grp"))
-    quotas = totals.withColumn("_quota", quota).select(*group_cols, "_quota")
-    # exactly one histogram row per group satisfies
-    # cum - c < quota <= cum: the boundary bucket
-    bound = (
-        cum.join(quotas, group_cols)
-        .where(
-            (F.col("_cum") - F.col("_c") < F.col("_quota"))
-            & (F.col("_cum") >= F.col("_quota"))
-        )
-        .select(
-            *group_cols,
-            F.col(bucket_col).alias("_bbkt"),
-            (F.col("_quota") - (F.col("_cum") - F.col("_c"))).alias("_residual"),
-        )
-    )
-    tagged = df.join(F.broadcast(bound), group_cols, "left")
-    # no boundary row => group total < quota => keep the whole group
-    keep_full = tagged.where(
-        F.col("_bbkt").isNull() | (F.col(bucket_col) < F.col("_bbkt"))
-    )
-    boundary = tagged.where(F.col(bucket_col) == F.col("_bbkt"))
+    keep_full, boundary = _boundary_split(df, group_cols, bucket_col, quota=quota)
     wr = W.partitionBy(*group_cols).orderBy(*order_cols)
     picked = (
         boundary.withColumn("_rn", F.row_number().over(wr))
         .where(F.col("_rn") <= F.col("_residual"))
-        .drop("_rn")
+        .drop("_rn", "_residual")
     )
-    return keep_full.unionByName(picked).drop("_bbkt", "_residual")
+    return keep_full.unionByName(picked)
+
+
+# second-level id-bucket domain for the tie-mass refinement below
+ID_BUCKETS = 1 << 16
+
+
+def select_first_by_value(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    quota: Column,
+    value_col: str,
+    id_col: str,
+    bucket_col: str = "_bkt",
+    value_desc: bool = True,
+) -> DataFrame:
+    """Keep, per group, the first `quota` rows in (value, id) order —
+    value DESC by default, `id_col` ascending as the tiebreak — with
+    EVERY window in the plan bounded even when the value distribution
+    is tie-degenerate.
+
+    `df` must carry an integer `bucket_col` monotone in the value
+    order (e.g. a span-scaled score bucket). Unlike the md5-prefix
+    buckets of `select_first_by_hash`, value-derived bucket occupancy
+    is data-dependent: a distribution where most of one group shares a
+    single value straddling the quota boundary concentrates that tie
+    mass in ONE boundary bucket, and a single row_number window over
+    it would sort O(tie mass) rows in one task. This variant adds two
+    refinement levels so that never happens:
+
+    1. bucket-histogram threshold over `bucket_col` (bounded domain)
+       — identical to `select_first_by_hash`;
+    2. EXACT-value histogram inside the boundary bucket: per
+       (group, value) counts (map-side combined; the shuffled
+       histogram is #distinct-values-in-bucket rows, tiny in the
+       degenerate case by definition), cumulative in value order →
+       rows strictly better than the boundary value are kept outright;
+    3. the tie mass (rows AT the boundary value, where the order
+       degenerates to the id tiebreak) goes through the same
+       threshold machinery once more, bucketed by an id-span-scaled
+       id bucket (monotone in id; near-uniform occupancy for
+       arbitrary id distributions because the span is measured from
+       the data). The final row_number window sees an expected
+       tie_mass/65536 sliver.
+
+    Results are exactly `row_number() OVER (PARTITION BY group ORDER
+    BY value [DESC], id) <= quota` for any distribution.
+    """
+    group_cols = list(group_cols)
+    keep_full, sliver = _boundary_split(df, group_cols, bucket_col, quota=quota)
+
+    val_order = F.col(value_col).desc() if value_desc else F.col(value_col)
+    # level 2: exact-value histogram inside the boundary bucket.
+    # _residual is constant per group within the sliver (min = that
+    # constant); the shuffle carries one row per (group, value).
+    vhist = sliver.groupBy(*group_cols, value_col).agg(
+        F.count("*").alias("_vc"), F.min("_residual").alias("_res")
+    )
+    wv = W.partitionBy(*group_cols).orderBy(val_order)
+    vcum = vhist.withColumn("_vcum", F.sum("_vc").over(wv))
+    # residual >= 1 and <= the boundary bucket's count, so exactly one
+    # value row per group crosses it: the boundary value
+    vbound = (
+        vcum.where(
+            (F.col("_vcum") - F.col("_vc") < F.col("_res"))
+            & (F.col("_vcum") >= F.col("_res"))
+        )
+        .select(
+            *group_cols,
+            F.col(value_col).alias("_bval"),
+            (F.col("_res") - (F.col("_vcum") - F.col("_vc"))).alias("_vres"),
+        )
+    )
+    stagged = sliver.drop("_residual").join(F.broadcast(vbound), group_cols)
+    strictly_better = (
+        F.col(value_col) > F.col("_bval")
+        if value_desc
+        else F.col(value_col) < F.col("_bval")
+    )
+    better = stagged.where(strictly_better).drop("_bval", "_vres")
+    tie = stagged.where(F.col(value_col) == F.col("_bval")).drop("_bval")
+
+    # level 3: first `_vres` of the tie mass by id, through the same
+    # threshold machinery with an id-span-scaled bucket. The span is a
+    # broadcast scalar over the full input (one cheap agg), so the
+    # bucket domain is bounded and monotone in id for any id range.
+    id_span = df.agg(
+        F.min(id_col).alias("_imn"), F.max(id_col).alias("_imx")
+    )
+    tie_b = tie.crossJoin(F.broadcast(id_span)).withColumn(
+        "_ibkt",
+        F.expr(
+            f"CAST((({id_col} - _imn) * {ID_BUCKETS}) div "
+            "greatest(_imx - _imn, 1) AS BIGINT)"
+        ),
+    )
+    tie_quotas = vbound.select(*group_cols, F.col("_vres").alias("_quota"))
+    t_keep, t_boundary = _boundary_split(
+        tie_b.drop("_vres"), group_cols, "_ibkt", quotas=tie_quotas
+    )
+    wr = W.partitionBy(*group_cols).orderBy(id_col)
+    t_picked = (
+        t_boundary.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") <= F.col("_residual"))
+        .drop("_rn", "_residual")
+    )
+    tie_kept = t_keep.unionByName(t_picked).drop("_ibkt", "_imn", "_imx")
+    return keep_full.unionByName(better).unionByName(tie_kept)

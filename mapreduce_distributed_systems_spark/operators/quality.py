@@ -392,24 +392,24 @@ WHERE rk <= {CURATION_QUOTA}
     "reducer at 100 TB; here every Window sees either the bounded "
     "histogram or one score-bucket's sliver. Equal scores always "
     "share a bucket (bucket is a pure function of score), so the "
-    "residual pick's (score DESC, doc_id) order is exact. Residual "
-    "caveat: bucket occupancy is DATA-dependent, unlike the uniform "
-    "md5-prefix buckets — a tie-degenerate distribution (most of one "
-    "source sharing a single score that straddles the quota boundary) "
-    "concentrates that tie mass in the one boundary bucket, and the "
-    "residual window then sorts the tie mass, not a 1/65536 sliver. "
-    "Results stay exact; the scale path for such distributions is one "
-    "more refinement level inside the boundary bucket — re-bucket its "
-    "rows by a second bounded key that extends the order (an "
-    "id-span-scaled doc_id bucket, since within a tie the order "
-    "degenerates to the doc_id tiebreak) and re-apply the same "
-    "threshold machinery. Integer scores at realistic token counts "
-    "keep buckets near-single-score, so the refinement is not wired "
-    "here.",
+    "residual pick's (score DESC, doc_id) order is exact. Because "
+    "value-bucket occupancy is DATA-dependent (unlike uniform "
+    "md5-prefix buckets), a tie-degenerate distribution — most of one "
+    "source sharing a single score that straddles the quota boundary "
+    "— would concentrate that tie mass in the one boundary bucket; "
+    "select_first_by_value therefore refines INSIDE the boundary "
+    "bucket: an exact-score histogram (map-side combined, one shuffled "
+    "row per distinct score) keeps strictly-better rows outright, and "
+    "the remaining tie mass — where the order degenerates to the "
+    "doc_id tiebreak — goes through the threshold machinery once more "
+    "on an id-span-scaled doc_id bucket, so the final row_number "
+    "window sees an expected tie_mass/65536 sliver even for a "
+    "constant-score corpus (property-tested in tests/test_selection.py "
+    "against the naive window).",
 )
 def curation_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_distributed_systems_spark.functions.selection import (
-        select_first_by_hash,
+        select_first_by_value,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -435,11 +435,13 @@ def curation_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .cache()
     )
-    picked = select_first_by_hash(
+    picked = select_first_by_value(
         bucketed,
         group_cols=["source"],
         quota=F.lit(CURATION_QUOTA),
-        order_cols=[F.col("score").desc(), F.col("doc_id")],
+        value_col="score",
+        id_col="doc_id",
         bucket_col="_sbkt",
+        value_desc=True,
     )
     return picked.select("source", "doc_id", "n_tokens", "score")

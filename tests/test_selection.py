@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from mapreduce_distributed_systems_spark.functions.selection import (
     hash_bucket,
     select_first_by_hash,
+    select_first_by_value,
 )
 from mapreduce_distributed_systems_spark.plans.registry import get_spec
 
@@ -171,3 +172,68 @@ def test_value_bucket_selection_matches_naive_topk(spark, rows, quota):
         pairs.sort(key=lambda p: (-p[0], p[1]))
         want.update((g, i) for _, i in pairs[:quota])
     assert {(r.grp, r.id) for r in got.collect()} == want
+    # the refined variant (round 7: bounded windows even under
+    # tie-degenerate scores) must agree on every generated case too
+    got_refined = select_first_by_value(
+        bucketed,
+        group_cols=["grp"],
+        quota=F.lit(quota),
+        value_col="score",
+        id_col="id",
+        bucket_col="_sbkt",
+        value_desc=True,
+    ).select("grp", "id")
+    assert {(r.grp, r.id) for r in got_refined.collect()} == want
+
+
+def test_value_selection_constant_score_corpus(spark):
+    """The adversarial case the r6 caveat admitted: EVERY row of one
+    group shares a single score, so the whole group lands in one
+    boundary score-bucket and the order degenerates to the id
+    tiebreak. The refined selection must (a) return exactly the
+    lowest-id `quota` rows, and (b) never put the tie mass through a
+    single row_number window — its final window input is gated by the
+    level-3 id-bucket boundary filter (_bbkt over _ibkt), which the
+    plan test below pins."""
+    n, quota = 5000, 37
+    df = spark.range(n).select(
+        F.lit("only").alias("grp"),
+        F.lit(7).cast("long").alias("score"),
+        # non-contiguous, shuffled ids: exercise the span-scaled bucket
+        ((F.col("id") * 2654435761) % 999999937).alias("id"),
+    )
+    bucketed = df.withColumn("_sbkt", F.lit(0).cast("long"))
+    got = select_first_by_value(
+        bucketed,
+        group_cols=["grp"],
+        quota=F.lit(quota),
+        value_col="score",
+        id_col="id",
+        bucket_col="_sbkt",
+    )
+    ids = sorted(r.id for r in got.select("id").collect())
+    want = sorted(
+        (i * 2654435761) % 999999937 for i in range(n)
+    )[:quota]
+    assert ids == want
+    # level-3 machinery is actually in the plan (id-bucket boundary)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_ibkt" in plan
+
+
+def test_curation_plan_windows_bounded(spark, sf_dir):
+    """curation_top_quality_per_source (quality.py) now routes through
+    select_first_by_value: every Window in the executed plan must sit
+    above either a histogram aggregate or a boundary filter — no
+    window over the raw scored corpus, even in the tie-refinement
+    branches."""
+    plan = (
+        get_spec("curation_top_quality_per_source")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_bbkt" in plan
+    assert "_ibkt" in plan  # tie-mass refinement wired, not just documented
+    assert _windows_bounded(plan)
