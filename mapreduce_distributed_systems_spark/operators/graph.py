@@ -214,9 +214,14 @@ FROM tri
 @register(
     "graph_triangle_count",
     oracle=TRIANGLE_ORACLE,
-    tags=("graph", "exact-arithmetic"),
+    tags=("graph", "exact-arithmetic", "capped"),
     doc=f"Triangle count of the supplier co-purchase graph (suppliers "
-    "adjacent iff they share a part). Degree-oriented enumeration: "
+    "adjacent iff they share a part) — EXACT over the capped "
+    "subgraph: parts whose fan-out exceeds the hot-part cap are "
+    "excluded from edge formation and counted in n_parts_dropped, so "
+    "the arithmetic is integer-exact but the count is scoped to the "
+    "kept parts (identical to uncapped at the synthetic SFs, "
+    "truncated-but-accounted at scale). Degree-oriented enumeration: "
     "edges point low-degree -> high-degree, out-wedges join against "
     "oriented edges — the out-degree bound O(sqrt(|E|)) per wedge "
     "center is what keeps hubs from exploding the join, which is why "

@@ -258,7 +258,14 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a redaction path that never fires would certify vacuously).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+?[0-9][0-9 -]{7,}[0-9]"
-_PII_PLANT = " contact alice.k@example.com or +1 555 123 4567 now"
+# the second address has a digit-run local part that ALSO matches the
+# phone shape in raw text: it keeps the sequential-count contract hot
+# (emails are redacted before phones are counted, so it contributes to
+# n_emails only — the overlap ADVICE r6 flagged)
+_PII_PLANT = (
+    " contact alice.k@example.com or 123456789@example.org"
+    " or +1 555 123 4567 now"
+)
 _PII_MOD = 13  # docs with doc_id % 13 == 0 get the planted PII tail
 
 PII_ORACLE = f"""
@@ -269,13 +276,17 @@ WITH corpus AS (
               ELSE text END AS text
   FROM documents
 ),
-s AS (
+e AS (
   SELECT doc_id, lang, source,
          len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
-         len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
-         regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
-                        '{PII_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+         regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g') AS after_email
   FROM corpus
+),
+s AS (
+  SELECT doc_id, lang, source, n_emails,
+         len(regexp_extract_all(after_email, '{PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(after_email, '{PII_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+  FROM e
 )
 SELECT doc_id, lang, source,
        CAST(n_emails AS BIGINT) AS n_emails,
@@ -295,8 +306,13 @@ FROM s
     "document, emitting counts + scrubbed length + scrubbed-content "
     "md5. Patterns live in the Java-regex/RE2 common subset so the "
     "md5 certifies identical match SPANS across engines — the real "
-    "hazard of dual-engine regex redaction. Same narrow map-only "
-    "plan as text_denylist_scrub: no exchange, scan-speed at 100 TB. "
+    "hazard of dual-engine regex redaction. Redaction and counting "
+    "are both SEQUENTIAL: emails first, then phones on the "
+    "email-scrubbed text, so a digit-bearing email local part (e.g. "
+    "123456789@x.com) is one email, not an email plus a phone, and "
+    "n_phones always equals the number of [PHONE] insertions. Same "
+    "narrow map-only plan as text_denylist_scrub: no exchange, "
+    "scan-speed at 100 TB. "
     "PII is planted into a deterministic doc_id slice because the "
     "synthetic corpus has none (a never-firing redaction certifies "
     "vacuously).",
@@ -313,20 +329,26 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    # scrub ONCE into a projection (no CSE across output fields);
-    # email replacement runs first in BOTH engines — replacement order
-    # is part of the cross-engine contract
-    s = docs.select(
+    # sequential scrub: emails first, then phones COUNTED AND replaced
+    # on the email-scrubbed intermediate, in BOTH engines — so counts
+    # always equal the number of tokens inserted and a digit-bearing
+    # email local part is never double-counted as a phone
+    after_email = docs.select(
         "doc_id",
         "lang",
         "source",
         F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count("text", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"),
-            PII_PHONE_RE,
-            "[PHONE]",
-        ).alias("scrubbed"),
+        F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]").alias("after_email"),
+    )
+    s = after_email.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_emails",
+        F.regexp_count("after_email", F.lit(PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace("after_email", PII_PHONE_RE, "[PHONE]").alias("scrubbed"),
     )
     return s.select(
         "doc_id",

@@ -45,9 +45,13 @@ def test_pii_scrub_redacts_planted_pii(spark, sf_dir):
     clean = out.where(F.col("doc_id") % _PII_MOD != 0)
     n_hit = hit.count()
     assert n_hit > 0
-    # every planted doc has exactly the planted email + phone; no
-    # false positives on the letters-only synthetic corpus
-    assert hit.where((F.col("n_emails") == 1) & (F.col("n_phones") == 1)).count() == n_hit
+    # every planted doc has exactly the two planted emails + ONE phone:
+    # the digit-run local part (123456789@example.org) matches the
+    # phone shape in raw text but must be consumed by the email pass
+    # first — n_phones == 2 here means the counts regressed to
+    # raw-text spans (the ADVICE r6 overlap). No false positives on
+    # the letters-only synthetic corpus.
+    assert hit.where((F.col("n_emails") == 2) & (F.col("n_phones") == 1)).count() == n_hit
     assert clean.where((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).count() == 0
 
 
