@@ -16,7 +16,10 @@ import json
 import os
 import re
 
-from mapreduce_distributed_systems_spark.plans.registry import all_specs
+from mapreduce_distributed_systems_spark.plans.registry import (
+    all_specs,
+    fn_fingerprint,
+)
 
 # Repo root: two levels up from this file (plans/ -> package -> repo).
 _REPO_ROOT = os.path.dirname(
@@ -87,8 +90,57 @@ def render() -> str:
     return "\n".join(lines) + "\n"
 
 
+_CERT_STATE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "cert_state.json")
+
+
+def update_cert_state() -> dict[str, dict]:
+    """Maintain plans/cert_state.json: per query, the newest round with
+    a green driver row (hash or rows verdict) and the fn_fingerprint of
+    the query AT THE TIME that round was recorded. The fingerprint only
+    updates when the newest green round advances — so a mid-round code
+    edit leaves the recorded fingerprint pointing at the certified
+    definition, and the gate test can demand re-certification for any
+    query whose tree fingerprint drifted from it.
+
+    Bootstrap caveat (round 7): the file is first created mid-round 7,
+    so recorded fingerprints are the round-7 tree's, not the
+    historical certification-time ones. Every known pre-bootstrap
+    drift (corpus_decontamination's r6 planted-shift change, plus the
+    round-7 edits to the curation/PII queries) is already queued at
+    the head of the r7 gate window, which restores consistency the
+    first time the r7 driver runs. From then on, regenerating at round
+    start BEFORE any code edit keeps recorded fingerprints equal to
+    the certified definitions."""
+    state: dict[str, dict] = {}
+    if os.path.exists(_CERT_STATE):
+        with open(_CERT_STATE) as f:
+            state = json.load(f)
+    certs, _ = _certification()
+    specs = all_specs()
+    for name, spec in specs.items():
+        green = [
+            int(v.split(":")[0][1:])
+            for v in certs.get(name, [])
+            if not v.endswith(":FAIL")
+        ]
+        if not green:
+            continue
+        newest = max(green)
+        prev = state.get(name)
+        if prev is None or newest > prev["round"]:
+            state[name] = {"round": newest, "fingerprint": fn_fingerprint(spec)}
+    # drop entries for queries no longer registered
+    state = {k: v for k, v in state.items() if k in specs}
+    with open(_CERT_STATE, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+    return state
+
+
 if __name__ == "__main__":
     out = os.path.join(_REPO_ROOT, "QUERIES.md")
     with open(out, "w") as f:
         f.write(render())
     print(f"{out} regenerated")
+    update_cert_state()
+    print(f"{_CERT_STATE} updated")

@@ -218,3 +218,24 @@ def bench_specs() -> dict[str, QuerySpec]:
 def get_spec(name: str) -> QuerySpec:
     _load()
     return _REGISTRY[name]
+
+
+def fn_fingerprint(spec: QuerySpec) -> str:
+    """Stable fingerprint of a query's observable definition: the
+    source of its callable plus its oracle SQL. cert_state.json
+    (written by plans/dump_queries at round close) records this next
+    to each query's newest green driver round; when the tree's
+    fingerprint no longer matches the recorded one, the query's
+    external certification no longer covers the code and
+    tests/test_registry_gate.py requires it back inside the gate
+    window. Function-source granularity (not whole-module) keeps
+    doc-only edits elsewhere in a module from forcing re-certs; shared
+    helpers a query calls are outside the fingerprint and covered by
+    test_parity.py every session."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(spec.fn)
+    return hashlib.sha256(
+        (src + "\x00" + (spec.oracle or "")).encode()
+    ).hexdigest()

@@ -92,6 +92,68 @@ def test_queries_doc_covers_newest_correctness_round():
     )
 
 
+def _newest_round() -> int:
+    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    assert paths, "no CORRECTNESS files — driver has not run yet?"
+    return int(os.path.basename(paths[-1])[len("CORRECTNESS_r"):].split(".")[0])
+
+
+def _cert_state() -> dict:
+    import mapreduce_distributed_systems_spark.plans.dump_queries as dq
+
+    assert os.path.exists(dq._CERT_STATE), (
+        "plans/cert_state.json missing — run "
+        "python -m mapreduce_distributed_systems_spark.plans.dump_queries"
+    )
+    with open(dq._CERT_STATE) as f:
+        return json.load(f)
+
+
+def test_stale_certifications_queued_in_window():
+    """Enforced staleness invariant (VERDICT r6 item 6): a query whose
+    newest green driver row is MORE than 3 rounds old must sit inside
+    the gate window so the current round refreshes it. (Exactly-3 is
+    the planning trigger handled by the rotation notes; >3 is the hard
+    floor — with 162 queries and a 50-slot window, a full refresh cycle
+    needs 3.3 rounds, so demanding <=3 for everyone would be
+    infeasible by arithmetic.)"""
+    current = _newest_round()
+    window = set(list(all_specs())[:DRIVER_GATE_WINDOW])
+    overdue = {
+        name
+        for name, row in _cert_state().items()
+        if current - row["round"] > 3 and name not in window
+    }
+    assert overdue == set(), (
+        f"queries with no green driver row in the last 3 rounds and not "
+        f"queued for one: {sorted(overdue)}"
+    )
+
+
+def test_changed_queries_queued_in_window():
+    """A query whose fn source or oracle SQL changed since its newest
+    green driver row is running ahead of its external certification —
+    it must sit inside the gate window so the change gets a driver row
+    this round. Fingerprints are recorded per certification round in
+    plans/cert_state.json (see dump_queries.update_cert_state)."""
+    from mapreduce_distributed_systems_spark.plans.registry import (
+        fn_fingerprint,
+    )
+
+    specs = all_specs()
+    window = set(list(specs)[:DRIVER_GATE_WINDOW])
+    drifted = {
+        name
+        for name, row in _cert_state().items()
+        if fn_fingerprint(specs[name]) != row["fingerprint"]
+        and name not in window
+    }
+    assert drifted == set(), (
+        f"queries whose definition changed after their newest driver row "
+        f"and are not queued for re-certification: {sorted(drifted)}"
+    )
+
+
 def test_reordering_preserves_full_registry():
     specs = all_specs()
     assert len(specs) == len(set(specs)), "duplicate names after reorder"
