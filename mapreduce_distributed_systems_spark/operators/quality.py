@@ -378,6 +378,7 @@ WHERE rk <= {CURATION_QUOTA}
     "curation_top_quality_per_source",
     oracle=CURATION_ORACLE,
     tags=("quality", "classifier", "curation", "sampling"),
+    bench=True,  # round-7: headline set tracks the curation stage (VERDICT r6 item 4)
     doc="Model-gated curation: the N highest-classifier-score docs "
     "per source (ties broken by doc_id) — the 'keep the best slice "
     "of every domain' corpus-curation step. The oracle is the naive "

@@ -450,6 +450,7 @@ FROM pairs GROUP BY 1, 2
 @register(
     "corpus_decontamination_fuzzy",
     oracle=_fuzzy_oracle(),
+    bench=True,  # round-7: headline set tracks the fuzzy decon stage (VERDICT r6 item 4)
     tags=("sampling", "pipeline", "dedup", "decontamination", "lsh"),
     doc="Near-duplicate train/eval decontamination: an eval document "
     "is flagged when MinHash-LSH banding pairs it with a training "

@@ -301,6 +301,7 @@ FROM s
     "text_pii_scrub",
     oracle=PII_ORACLE,
     tags=("text", "quality", "redaction", "pii"),
+    bench=True,  # round-7: headline set tracks the PII stage (VERDICT r6 item 4)
     doc="Structural-PII redaction: count and replace email addresses "
     "([EMAIL]) and phone-number-shaped digit runs ([PHONE]) per "
     "document, emitting counts + scrubbed length + scrubbed-content "

@@ -231,11 +231,18 @@ def fn_fingerprint(spec: QuerySpec) -> str:
     window. Function-source granularity (not whole-module) keeps
     doc-only edits elsewhere in a module from forcing re-certs; shared
     helpers a query calls are outside the fingerprint and covered by
-    test_parity.py every session."""
+    test_parity.py every session. The @register decorator lines above
+    the def are stripped: bench flags, tags, and doc strings do not
+    change results, and flipping them must not demand a driver slot
+    (the oracle, which does, is hashed separately)."""
     import hashlib
     import inspect
 
-    src = inspect.getsource(spec.fn)
+    src_lines = inspect.getsource(spec.fn).splitlines(keepends=True)
+    first_def = next(
+        i for i, ln in enumerate(src_lines) if ln.lstrip().startswith("def ")
+    )
+    src = "".join(src_lines[first_def:])
     return hashlib.sha256(
         (src + "\x00" + (spec.oracle or "")).encode()
     ).hexdigest()
