@@ -10,17 +10,20 @@ Each query is executed through a `noop` sink so the full physical
 plan runs (scan -> transforms -> exchange -> agg) without paying a
 collect or a real write.
 
-Measurement protocol (round-6 fix, VERDICT r5 item 2): each query's
-wall-clock is the PER-QUERY MEDIAN over BENCH_PASSES full passes, with
-the execution order ROTATED by a third between passes. Rounds 3-5
-documented a first-slot effect — whichever query ran first in the
-session read 5.7-6.8 s regardless of identity, and an untimed warmup
-did NOT remove it (BENCH_NOTES.md "first-slot"), which made r5's
-pipeline_clean_corpus look 2.06x slower purely because the gate
-rotation moved it into slot 1. Under rotation the inflated slot lands
-on a DIFFERENT query each pass, so the median discards it; no query's
-median can be slot-1-contaminated unless it ran first in >= 2 of 3
-passes, which rotation by len/3 makes impossible for len >= 3.
+Measurement protocol (round-7 fix, VERDICT r6 item 3): each query runs
+in its OWN fresh SparkSession — one untimed cold run (plan compile +
+first execution; io bytes are captured here, they are a function of
+the plan, not the run), then BENCH_PASSES timed warm runs whose MEDIAN
+is the reported wall. This replaces the round-6 rotated-suite medians,
+which fixed slot-1 contamination (VERDICT r5 item 2) but left a
+subtler artifact the r6 bench surfaced: by pass 3 a suite session has
+executed ~90 plans, and four shuffle-heavy queries inflated 1.4-1.8x
+vs their own fresh-session warm medians with byte-identical io and
+pinned plans (BENCH_NOTES.md round-7 drift table). Per-query isolation
+makes every number a pure function of the plan: no slot effects, no
+session-age drift, no sensitivity to suite composition when queries
+are added. Session startup is untimed; in-process stop/recreate costs
+~2 s per query.
 
 Besides wall-clock, each query reports input / shuffle-read /
 shuffle-write BYTE deltas from the app status store — the quantities
@@ -60,15 +63,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench")
     specs = bench_specs()
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the plans, not first-touch JIT/IO
-    for name in ("region", "nation"):
-        spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
-
-    def executor_totals() -> tuple[int, int, int]:
+    def executor_totals(spark) -> tuple[int, int, int]:
         """(input, shuffle_read, shuffle_write) bytes across executors."""
         inp = sr = sw = 0
         it = spark._jsc.sc().statusStore().executorList(False).iterator()
@@ -81,36 +78,47 @@ def main() -> None:
 
     names = list(specs)
     passes: dict[str, list[float]] = {n: [] for n in names}
+    cold: dict[str, float] = {}
     io: dict[str, dict[str, int]] = {}
-    # floor at 3: the no-slot-contamination guarantee (per-query median
-    # with rotation) needs >= 3 passes — fewer would crash the median
-    # (0 passes) or average one inflated first-slot wall into the
-    # result (2 passes). A below-floor request is clamped, not honored.
+    # floor at 3 warm runs so the median is a real central tendency
     n_passes = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
-    for p in range(n_passes):
-        # rotate by a third per pass: the first-slot inflation lands on
-        # a different query each time, so the per-query median drops it
-        off = (p * len(names)) // n_passes
-        order = names[off:] + names[:off]
-        for name in order:
-            df = specs[name].fn(spark, sf_dir)
-            i0, r0, w0 = executor_totals()
+    spark = None
+    for name in names:
+        # one fresh session per query: no session-age drift, no slot
+        # effects, no cross-query JIT/cache interactions
+        if spark is not None:
+            spark.stop()
+        spark = get_spark(app_name=f"bench_{name}")
+        # touch parquet footers so the cold run measures the plan's
+        # first execution, not first-touch file IO
+        for t in ("region", "nation"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        # timed window = fn build + execution: some queries run bounded
+        # actions at build time (kmeans centroid collects, cache
+        # materialization for AQE subquery reuse) — that is real work
+        # the wall must include, or moving work into fn() would game
+        # the bench
+        i0, r0, w0 = executor_totals(spark)
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 4)
+        time.sleep(0.1)  # let the async status store drain
+        i1, r1, w1 = executor_totals(spark)
+        io[name] = {
+            "input_bytes": i1 - i0,
+            "shuffle_read_bytes": r1 - r0,
+            "shuffle_write_bytes": w1 - w0,
+        }
+        spark.catalog.clearCache()
+        for _ in range(n_passes):
             t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             passes[name].append(round(time.perf_counter() - t0, 4))
-            if p == 0:
-                time.sleep(0.1)  # let the async status store drain
-                i1, r1, w1 = executor_totals()
-                io[name] = {
-                    "input_bytes": i1 - i0,
-                    "shuffle_read_bytes": r1 - r0,
-                    "shuffle_write_bytes": w1 - w0,
-                }
-            # Queries may cache bounded intermediates (signature tables,
-            # IVF assignments). Evict between queries so each measurement
-            # is cache-cold and a multi-pass session never accumulates
-            # blocks that pressure later queries' execution memory.
+            # evict bounded caches so each run is cache-cold
             spark.catalog.clearCache()
+    spark.stop()
 
     timings = {n: round(statistics.median(passes[n]), 4) for n in names}
     total = round(sum(timings.values()), 4)

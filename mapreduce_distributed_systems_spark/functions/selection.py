@@ -51,6 +51,85 @@ def hash_bucket(hash_col: Column, n_hex: int = BUCKET_HEX_CHARS) -> Column:
     return F.conv(F.substring(hash_col, 1, n_hex), 16, 10).cast("long")
 
 
+def _boundary_table(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    quota: Column | None = None,
+    quotas: DataFrame | None = None,
+) -> DataFrame:
+    """Shared threshold pass: per group, the boundary bucket where the
+    cumulative histogram count crosses the group's quota. The quota
+    comes either from `quota` — a Column evaluated against one row per
+    group holding the group columns and `_n_grp` (the group's total,
+    derived from the BOUNDED histogram, not a second corpus pass) — or
+    from `quotas`, a precomputed DataFrame[*group_cols, _quota] (used
+    by the refinement levels, whose quotas are residuals from an outer
+    pass). Returns one row per group that HAS a boundary (groups whose
+    total < quota are absent — callers keep those whole via the
+    null-check after a left broadcast join): `_bbkt` the boundary
+    bucket and `_residual` — how many rows to still take from it.
+
+    Stage economy (round-7 bench lesson): the first cut ran a window
+    over the histogram plus a quotas join — three exchanges per
+    boundary pass, and this helper runs up to three times per refined
+    selection, so fixed per-stage latency dominated small-SF walls.
+    Now the per-group histogram is packed into ONE sorted array
+    (collect_list is bounded by the bucket domain — the same
+    <= 65536-entries-per-group bound the window formulation had) and
+    the boundary is found by an F.aggregate walk over it: JVM-side
+    higher-order function, no window exchange, quota evaluated inline.
+    Two map-side-combined shuffles per pass, nothing else."""
+    hist = df.groupBy(*group_cols, bucket_col).agg(F.count("*").alias("_c"))
+    packed = hist.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(bucket_col).alias("b"), F.col("_c").alias("c"))
+            )
+        ).alias("_h"),
+        F.sum("_c").alias("_n_grp"),
+    )
+    if quotas is None:
+        packed = packed.withColumn("_quota", quota)
+    else:
+        packed = packed.join(quotas, group_cols)
+    nolong = F.lit(None).cast("long")
+    zero = F.lit(0).cast("long")
+    # walk the sorted (bucket, count) array: the boundary is the first
+    # bucket where the running count reaches the quota; residual =
+    # quota - count-before-it. Exactly the old windowed crossing
+    # condition (cum - c < quota <= cum), found without an exchange.
+    walk = F.aggregate(
+        "_h",
+        F.struct(
+            zero.alias("cum"), nolong.alias("bbkt"), zero.alias("res")
+        ),
+        lambda acc, x: F.when(acc.bbkt.isNotNull(), acc).otherwise(
+            F.struct(
+                (acc.cum + x.c).alias("cum"),
+                F.when(acc.cum + x.c >= F.col("_quota"), x.b)
+                .otherwise(nolong)
+                .alias("bbkt"),
+                F.when(
+                    acc.cum + x.c >= F.col("_quota"),
+                    F.col("_quota") - acc.cum,
+                )
+                .otherwise(zero)
+                .alias("res"),
+            )
+        ),
+    )
+    return (
+        packed.withColumn("_w", walk)
+        .where(F.col("_w.bbkt").isNotNull())
+        .select(
+            *group_cols,
+            F.col("_w.bbkt").alias("_bbkt"),
+            F.col("_w.res").alias("_residual"),
+        )
+    )
+
+
 def _boundary_split(
     df: DataFrame,
     group_cols: list[str],
@@ -58,37 +137,10 @@ def _boundary_split(
     quota: Column | None = None,
     quotas: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared threshold pass: per group, find the boundary bucket where
-    the cumulative histogram count crosses the group's quota. The quota
-    comes either from `quota` — a Column evaluated against one row per
-    group holding the group columns and `_n_grp` (the group's total,
-    derived from the BOUNDED histogram, not a second corpus pass) — or
-    from `quotas`, a precomputed DataFrame[*group_cols, _quota] (used
-    by the refinement levels, whose quotas are residuals from an outer
-    pass). Returns (keep_full, boundary): rows in buckets strictly
-    before the boundary (plus whole groups whose total < quota), and
-    the boundary-bucket rows tagged with `_residual` — how many to
-    still take from them."""
-    hist = df.groupBy(*group_cols, bucket_col).agg(F.count("*").alias("_c"))
-    wb = W.partitionBy(*group_cols).orderBy(bucket_col)
-    cum = hist.withColumn("_cum", F.sum("_c").over(wb))
-    if quotas is None:
-        totals = hist.groupBy(*group_cols).agg(F.sum("_c").alias("_n_grp"))
-        quotas = totals.withColumn("_quota", quota).select(*group_cols, "_quota")
-    # exactly one histogram row per group satisfies
-    # cum - c < quota <= cum: the boundary bucket
-    bound = (
-        cum.join(quotas, group_cols)
-        .where(
-            (F.col("_cum") - F.col("_c") < F.col("_quota"))
-            & (F.col("_cum") >= F.col("_quota"))
-        )
-        .select(
-            *group_cols,
-            F.col(bucket_col).alias("_bbkt"),
-            (F.col("_quota") - (F.col("_cum") - F.col("_c"))).alias("_residual"),
-        )
-    )
+    """(keep_full, boundary) split over `_boundary_table`: rows in
+    buckets strictly before the boundary (plus whole groups whose total
+    < quota), and the boundary-bucket rows tagged with `_residual`."""
+    bound = _boundary_table(df, group_cols, bucket_col, quota, quotas)
     tagged = df.join(F.broadcast(bound), group_cols, "left")
     # no boundary row => group total < quota => keep the whole group
     keep_full = tagged.where(
@@ -170,23 +222,37 @@ def select_first_by_value(
        the data). The final row_number window sees an expected
        tie_mass/65536 sliver.
 
+    Plan economy (round-7 bench lesson): the first cut of this
+    function composed `_boundary_split` per level, so each output
+    branch re-executed the level-2 histogram subtree — 4x the stage
+    count for identical results (7.8 s vs 1.4 s on 5 k rows, pure
+    fixed overhead). This version broadcasts BOTH boundary tables
+    onto one tagged frame, so keep/better are a single narrow filter,
+    and caches the O(|groups|)-row value-boundary table (the caller's
+    clearCache evicts it).
+
     Results are exactly `row_number() OVER (PARTITION BY group ORDER
     BY value [DESC], id) <= quota` for any distribution.
     """
     group_cols = list(group_cols)
-    keep_full, sliver = _boundary_split(df, group_cols, bucket_col, quota=quota)
+    bound = _boundary_table(df, group_cols, bucket_col, quota=quota)
 
     val_order = F.col(value_col).desc() if value_desc else F.col(value_col)
     # level 2: exact-value histogram inside the boundary bucket.
     # _residual is constant per group within the sliver (min = that
     # constant); the shuffle carries one row per (group, value).
+    sliver = df.join(F.broadcast(bound), group_cols).where(
+        F.col(bucket_col) == F.col("_bbkt")
+    )
     vhist = sliver.groupBy(*group_cols, value_col).agg(
         F.count("*").alias("_vc"), F.min("_residual").alias("_res")
     )
     wv = W.partitionBy(*group_cols).orderBy(val_order)
     vcum = vhist.withColumn("_vcum", F.sum("_vc").over(wv))
     # residual >= 1 and <= the boundary bucket's count, so exactly one
-    # value row per group crosses it: the boundary value
+    # value row per group crosses it: the boundary value. O(|groups|)
+    # rows; cached because it feeds two broadcast builds (the tagged
+    # frame and the level-3 quotas).
     vbound = (
         vcum.where(
             (F.col("_vcum") - F.col("_vc") < F.col("_res"))
@@ -197,15 +263,31 @@ def select_first_by_value(
             F.col(value_col).alias("_bval"),
             (F.col("_res") - (F.col("_vcum") - F.col("_vc"))).alias("_vres"),
         )
+        .cache()
     )
-    stagged = sliver.drop("_residual").join(F.broadcast(vbound), group_cols)
+
+    # one tagged frame carries both boundary tables; every output
+    # branch below is a narrow filter over it (no per-branch shuffles)
+    tagged = (
+        df.join(F.broadcast(bound.drop("_residual")), group_cols, "left")
+        .join(F.broadcast(vbound.drop("_vres")), group_cols, "left")
+    )
     strictly_better = (
         F.col(value_col) > F.col("_bval")
         if value_desc
         else F.col(value_col) < F.col("_bval")
     )
-    better = stagged.where(strictly_better).drop("_bval", "_vres")
-    tie = stagged.where(F.col(value_col) == F.col("_bval")).drop("_bval")
+    # whole groups under quota, buckets before the boundary, and
+    # boundary-bucket rows strictly better than the boundary value
+    keep = tagged.where(
+        F.col("_bbkt").isNull()
+        | (F.col(bucket_col) < F.col("_bbkt"))
+        | ((F.col(bucket_col) == F.col("_bbkt")) & strictly_better)
+    ).drop("_bbkt", "_bval")
+    tie = tagged.where(
+        (F.col(bucket_col) == F.col("_bbkt"))
+        & (F.col(value_col) == F.col("_bval"))
+    ).drop("_bbkt", "_bval")
 
     # level 3: first `_vres` of the tie mass by id, through the same
     # threshold machinery with an id-span-scaled bucket. The span is a
@@ -222,14 +304,17 @@ def select_first_by_value(
         ),
     )
     tie_quotas = vbound.select(*group_cols, F.col("_vres").alias("_quota"))
-    t_keep, t_boundary = _boundary_split(
-        tie_b.drop("_vres"), group_cols, "_ibkt", quotas=tie_quotas
-    )
+    t_bound = _boundary_table(tie_b, group_cols, "_ibkt", quotas=tie_quotas)
+    t_tagged = tie_b.join(F.broadcast(t_bound), group_cols, "left")
+    t_keep = t_tagged.where(
+        F.col("_bbkt").isNull() | (F.col("_ibkt") < F.col("_bbkt"))
+    ).drop("_bbkt", "_residual")
     wr = W.partitionBy(*group_cols).orderBy(id_col)
     t_picked = (
-        t_boundary.withColumn("_rn", F.row_number().over(wr))
+        t_tagged.where(F.col("_ibkt") == F.col("_bbkt"))
+        .withColumn("_rn", F.row_number().over(wr))
         .where(F.col("_rn") <= F.col("_residual"))
-        .drop("_rn", "_residual")
+        .drop("_rn", "_bbkt", "_residual")
     )
     tie_kept = t_keep.unionByName(t_picked).drop("_ibkt", "_imn", "_imx")
-    return keep_full.unionByName(better).unionByName(tie_kept)
+    return keep.unionByName(tie_kept)

@@ -414,27 +414,35 @@ def curation_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = classifier_score(docs, carry_cols=["source"]).select(
-        "source", "doc_id", "n_tokens", "score"
+    # cached at the SCORED stage, not the bucketed one: the scalar
+    # `bounds` agg runs BEFORE bucketing exists (the bucket needs it),
+    # so caching only `bucketed` left bounds re-running the whole
+    # scoring shuffle (round-7 profile: one extra full scoring pass).
+    # Every selection-machinery consumer (histogram, tagged filters,
+    # sliver, id-span agg) now derives from this cache with a cheap
+    # broadcast-join projection. O(docs) rows of 4 columns; evicted at
+    # next query entry (__spark_entry__._isolated).
+    scored = (
+        classifier_score(docs, carry_cols=["source"])
+        .select("source", "doc_id", "n_tokens", "score")
+        .cache()
     )
+    # materialize the cache NOW (one count action, like the bounded
+    # kmeans-centroid collects): AQE launches the selection machinery's
+    # broadcast subqueries concurrently, and a lazily-populated cache
+    # makes each of them race to recompute the scoring shuffle before
+    # any finishes populating it (round-7 profile: ~10 concurrent
+    # re-executions of the scoring subtree, 92 jobs for one query)
+    scored.count()
     bounds = scored.agg(
         F.max("score").alias("_mx"), F.min("score").alias("_mn")
     )
-    # cached: the selection machinery consumes this three ways
-    # (histogram, below-boundary filter, boundary sliver); uncached,
-    # each branch would recompute the scoring shuffle AND the scalar
-    # bounds agg (6 scalar exchanges observed). O(docs) rows of 5
-    # columns; evicted at next query entry (__spark_entry__._isolated).
-    bucketed = (
-        scored.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "_sbkt",
-            F.expr(
-                f"CAST(((_mx - score) * {_SCORE_BUCKETS}) div "
-                "greatest(_mx - _mn, 1) AS BIGINT)"
-            ),
-        )
-        .cache()
+    bucketed = scored.crossJoin(F.broadcast(bounds)).withColumn(
+        "_sbkt",
+        F.expr(
+            f"CAST(((_mx - score) * {_SCORE_BUCKETS}) div "
+            "greatest(_mx - _mn, 1) AS BIGINT)"
+        ),
     )
     picked = select_first_by_value(
         bucketed,

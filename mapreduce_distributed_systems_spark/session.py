@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) if cpus.isdigit() else 32, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce by SIZE (advisory 64 MB), not down-to-parallelism:
+        # with the default parallelismFirst=true every tiny shuffle
+        # keeps defaultParallelism partitions, so bounded histogram /
+        # boundary stages schedule 33 tasks for kilobytes (round-7
+        # profile: 87 such jobs in one refined-selection query). On a
+        # real cluster size-based coalescing is also what the Spark
+        # tuning guide recommends once AQE owns partition counts.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
