@@ -1,0 +1,270 @@
+"""Statistical-LM quality scoring and paragraph-level dedup — the two
+corpus-cleaning stages between the hashing-trick classifier
+(quality.py) and the document-level dedups (dedup.py):
+
+- `quality_ngram_lm_score`: CCNet-style language-model scoring. CCNet
+  (Wenzek et al. 2019, arXiv:1911.00359) ranks documents by the
+  perplexity of a small LM trained on trusted text and keeps the
+  low-perplexity head/middle. The exactly-reproducible core of that
+  stage is the LM inference itself: here a corpus-fit add-one-smoothed
+  unigram LM, scored as mean negative log-likelihood per token. The
+  reference's per-key reduce (mr/worker.go:135-137) is the same
+  count-aggregate shape; the LM table is the wc output re-used as a
+  model.
+
+- `dedup_paragraph_rewrite`: Dolma-style paragraph dedup (Soldaini et
+  al. 2024, arXiv:2402.00159): drop every paragraph instance except
+  the globally-first occurrence and REWRITE the documents — the
+  boilerplate-removal stage (nav bars, subscribe blocks) that
+  document-level dedup cannot touch. Paragraph = consecutive
+  {PARA_TOKENS}-token chunk of the reference tokenizer's stream (the
+  synthetic corpus has no newlines to split on, so chunking stands in
+  for paragraph boundaries, like operators/text_analysis.py's
+  chunk_documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+_TOKS_DUCK = (
+    "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+)
+
+# keep threshold for the unigram-LM mean NLL (nats/token). The corpus
+# unigram entropy sits near ln(vocab_eff) ~ 3.4-3.7 for the synthetic
+# word-soup; docs above the threshold skew toward rare-token noise —
+# the CCNet "tail" bucket. Compared on the ROUNDED score in both
+# engines, per the float discipline.
+LM_NLL_KEEP_MAX = 3.55
+
+LM_SCORE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+scal AS (
+  SELECT count(*) AS n_total, count(DISTINCT term) AS v FROM tok
+)
+SELECT tf.doc_id,
+       CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+       round(sum(tf.c * ln((s.n_total + s.v) / (cnt.n + 1.0)))
+             / sum(tf.c), 6) AS nll,
+       (round(sum(tf.c * ln((s.n_total + s.v) / (cnt.n + 1.0)))
+              / sum(tf.c), 6) <= {LM_NLL_KEEP_MAX}) AS keep
+FROM tf JOIN cnt USING (term) CROSS JOIN scal s
+GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "quality_ngram_lm_score",
+    oracle=LM_SCORE_ORACLE,
+    tags=("quality", "lm", "text", "classifier"),
+    doc="CCNet-shaped statistical-LM quality scoring: fit an add-one-"
+    "smoothed unigram LM on the corpus itself (term-count aggregate = "
+    "the wc reduce re-used as a model), then score every document by "
+    "mean negative log-likelihood per token and emit the keep verdict "
+    "against a fixed nats/token threshold. Plan: tokenize fused into "
+    "the scan, one (doc,term) and one (term) map-side-combined "
+    "aggregate, a term-keyed join of doc-term counts against the "
+    "vocabulary-sized LM table (broadcast when the vocabulary fits, "
+    "shuffle join keyed on term otherwise — per-term cardinality is "
+    "corpus-bounded, no hot key), N and V as one broadcast scalar. A "
+    "trained external LM would broadcast its table into exactly this "
+    "plan. Scores round to 6 decimals in BOTH engines before the "
+    "compare (the TF-IDF float discipline).",
+)
+def quality_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    cnt = tok.groupBy("term").agg(F.count("*").alias("n"))
+    scal = tok.agg(
+        F.count("*").alias("n_total"),
+        F.count_distinct("term").alias("v"),
+    )
+    nll = F.round(
+        F.sum(
+            F.col("c")
+            * F.log((F.col("n_total") + F.col("v")) / (F.col("n") + F.lit(1.0)))
+        )
+        / F.sum("c"),
+        6,
+    )
+    return (
+        tf.join(cnt, "term")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            nll.alias("nll"),
+            (nll <= F.lit(LM_NLL_KEEP_MAX)).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup with document rewrite
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 25
+PARA_PLANT_MOD = 11
+# exactly PARA_TOKENS letter-tokens: the boilerplate "subscribe block"
+# PREPENDED to a doc_id slice so the duplicated paragraph aligns to
+# chunk 0 in every planted doc (appending would misalign it, since doc
+# lengths differ mod PARA_TOKENS). The synthetic corpus has no natural
+# cross-doc 25-token repeats, so without the plant the rewrite branch
+# would certify vacuously (the PII/denylist plant pattern).
+PARA_BOILERPLATE = (
+    "subscribe to our newsletter and follow us for daily updates about "
+    "new products special offers and community news delivered straight "
+    "to your inbox every morning"
+)
+# packed first-occurrence key: doc_id * POS_PACK + pos is ordered like
+# (doc_id, pos) while pos < POS_PACK — i.e. docs under 2.5M tokens —
+# and both engines use the same packing so the min is identical. A
+# corpus of longer documents raises POS_PACK in code, like the LSH
+# banding width.
+POS_PACK = 100_000
+
+PARA_REWRITE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PARA_PLANT_MOD} = 0
+              THEN '{PARA_BOILERPLATE} ' || text
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM base
+),
+ch AS (
+  SELECT doc_id, s.pos AS pos, s.chunk AS chunk
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(ceil(len(toks) / {PARA_TOKENS}.0) AS BIGINT)),
+             i -> struct_pack(
+               pos := i,
+               chunk := array_to_string(
+                 toks[(i * {PARA_TOKENS} + 1):((i + 1) * {PARA_TOKENS})],
+                 ' ')))) AS s
+    FROM t
+  )
+),
+firsts AS (
+  SELECT md5(chunk) AS h, min(doc_id * {POS_PACK} + pos) AS first_pk
+  FROM ch GROUP BY 1
+),
+tagged AS (
+  SELECT ch.doc_id, ch.pos, ch.chunk,
+         (ch.doc_id * {POS_PACK} + ch.pos = f.first_pk) AS keep
+  FROM ch JOIN firsts f ON md5(ch.chunk) = f.h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(
+         list_transform(
+           list_sort(coalesce(
+             list(struct_pack(pos := pos, chunk := chunk))
+               FILTER (WHERE keep), [])),
+           s -> s.chunk), ' '), '')) AS rebuilt_md5
+FROM tagged
+GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_paragraph_rewrite",
+    oracle=PARA_REWRITE_ORACLE,
+    tags=("dedup", "text", "pipeline", "rewrite"),
+    doc=f"Dolma-style paragraph dedup with document REWRITE: every "
+    f"{PARA_TOKENS}-token paragraph keeps only its globally-first "
+    "occurrence (min (doc_id, pos), packed identically in both "
+    "engines), duplicate instances are dropped, and each document is "
+    "rebuilt from its kept paragraphs (md5-certified) — the "
+    "boilerplate-removal stage document-level dedup cannot express. "
+    "Plan: chunking is pure array expressions fused into the scan; "
+    "first-occurrence is a map-side-combined min over md5(paragraph) "
+    "(never the text; a boilerplate paragraph repeated across the "
+    "corpus makes a HOT hash key, which the algebraic min absorbs "
+    "map-side); the instance-tagging join back on the hash is the one "
+    "skew-prone exchange — AQE skew-join splits the hot hash's "
+    "partition at runtime (session.py enables it), the documented "
+    "production mitigation; the per-doc rebuild groups by doc_id "
+    "(never hot) with a bounded sort_array, no window. Short "
+    "duplicate documents already collide naturally (their whole text "
+    "is one partial chunk), and a boilerplate paragraph is ALSO "
+    "planted into a doc_id slice so the aligned hot-paragraph case "
+    "is always exercised (the PII plant pattern; "
+    "tests/test_lm_quality.py pins both branches hot).",
+)
+def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % PARA_PLANT_MOD == 0,
+            F.concat(F.lit(PARA_BOILERPLATE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # token-empty docs produce zero chunks in the oracle (range(0,0));
+    # Spark's sequence(0, -1) would instead count DOWN, so filter them
+    # out explicitly (none exist in this corpus — min doc length 48)
+    toks = base.select("doc_id", words("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_ch = F.ceil(F.size("toks") / F.lit(float(PARA_TOKENS))).cast("long")
+    ch = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_ch - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        (i * PARA_TOKENS + 1).cast("int"),
+                        PARA_TOKENS,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "chunk",
+        F.md5("chunk").alias("h"),
+        (F.col("doc_id") * POS_PACK + F.col("pos")).alias("pk"),
+    )
+    firsts = ch.groupBy("h").agg(F.min("pk").alias("first_pk"))
+    tagged = ch.join(firsts, "h").withColumn(
+        "keep", F.col("pk") == F.col("first_pk")
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("pos"), F.col("chunk"))
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            )
+        ).alias("rebuilt_md5"),
+    )

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.packing",
     "mapreduce_distributed_systems_spark.operators.layout",
     "mapreduce_distributed_systems_spark.operators.quality",
+    "mapreduce_distributed_systems_spark.operators.lm_quality",
     "mapreduce_distributed_systems_spark.operators.components",
     "mapreduce_distributed_systems_spark.operators.graph",
     "mapreduce_distributed_systems_spark.operators.sketches",
@@ -122,6 +123,9 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
+    # -- round-7 additions: first driver row (2) ---------------------
+    "quality_ngram_lm_score",
+    "dedup_paragraph_rewrite",
     # -- (a) operator code changed after the newest green row (5) ----
     "corpus_decontamination",        # r5 row; sampling.py planted-shift changed in r6
     "curation_top_quality_per_source",  # r7: tie-mass refinement wired (selection.py)
@@ -174,21 +178,20 @@ GATE_ORDER = (
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
 )
 
-# Round-8 rotation note: the 17 r4-certified names deferred past the
+# Round-8 rotation note: the 19 r4-certified names deferred past the
 # r7 window (they will be 4 rounds old at r8 close and MUST head the
 # r8 window per the enforced gate): set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
 # string_funcs_ext, date_funcs_ext, pivot_status_by_priority,
 # rollup_status_priority, cube_returnflag_linestatus, array_ops,
 # window_lag_lead, window_range_30d, window_rank_top3,
-# window_running_total, window_value_picks — all mechanical
-# SQL-function shapes that test_parity re-proves every session.
-# (17 names; count the r8 head from cert_state.json, not this
-# comment.) Fill the remaining ~34 r8
+# window_running_total, window_value_picks, q19_discounted_revenue,
+# q22_sales_opportunity (the last two displaced by the round-7
+# lm_quality additions) — all shapes test_parity re-proves every
+# session. (19 names; count the r8 head from cert_state.json, not
+# this comment.) Fill the remaining ~34 r8
 # slots with the oldest r5 rows (QUERIES.md Certified column) so no
 # green row ages past 3 rounds, and put any query whose fn/oracle
 # changes during r7/r8 at the very head.

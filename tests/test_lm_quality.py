@@ -1,0 +1,75 @@
+"""Non-vacuity and plan guards for the round-7 lm_quality operators
+(the PII/decon plant-pin pattern: a hash match alone cannot tell
+whether the interesting branch fired)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+
+def test_lm_score_splits_corpus_and_is_smoothed(spark, sf_dir):
+    from mapreduce_distributed_systems_spark.operators.lm_quality import (
+        LM_NLL_KEEP_MAX,
+    )
+
+    rows = get_spec("quality_ngram_lm_score").fn(spark, sf_dir).collect()
+    assert rows
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    # the threshold must actually split the corpus, or the verdict
+    # column certifies a constant
+    assert kept and dropped, (
+        f"LM_NLL_KEEP_MAX={LM_NLL_KEEP_MAX} does not split: "
+        f"{len(kept)} kept / {len(dropped)} dropped"
+    )
+    # add-one smoothing keeps every score finite and positive
+    assert all(0 < r.nll < 20 for r in rows)
+    # keep is exactly the thresholded rounded score (no second
+    # unrounded comparison hiding in the plan)
+    assert all((r.nll <= LM_NLL_KEEP_MAX) == r.keep for r in rows)
+
+
+def test_paragraph_rewrite_drops_planted_boilerplate(spark, sf_dir):
+    from mapreduce_distributed_systems_spark.operators.lm_quality import (
+        PARA_PLANT_MOD,
+    )
+
+    out = get_spec("dedup_paragraph_rewrite").fn(spark, sf_dir)
+    rows = out.collect()
+    planted = [r for r in rows if r.doc_id % PARA_PLANT_MOD == 0]
+    unplanted = [r for r in rows if r.doc_id % PARA_PLANT_MOD != 0]
+    assert planted and unplanted
+    # exactly ONE planted doc keeps the boilerplate paragraph (the
+    # globally-first occurrence); every other planted doc loses >= 1
+    with_all = [r for r in planted if r.n_kept == r.n_paras]
+    assert len(with_all) == 1, (
+        f"{len(with_all)} planted docs kept every paragraph — the "
+        "first-occurrence rule should spare exactly one"
+    )
+    # exact-duplicate documents legitimately lose EVERY paragraph
+    # (their whole content first-occurred elsewhere) and rewrite to
+    # the empty string — pinned, not papered over
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in rows:
+        assert r.rebuilt_md5 is not None
+        if r.n_kept == 0:
+            assert r.rebuilt_md5 == empty_md5
+
+
+def test_paragraph_rewrite_min_is_map_side_combined(spark, sf_dir):
+    """The hot boilerplate hash must be absorbed by a partial (map
+    side) aggregate before the exchange — the plan needs a partial_min
+    below the shuffle, or a repeated paragraph funnels its instance
+    count through one reducer at scale."""
+    plan = (
+        get_spec("dedup_paragraph_rewrite")
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in plan
