@@ -135,6 +135,32 @@ def _init_centroids_int8(q8: DataFrame, k: int) -> np.ndarray:
     return np.array([r.qv for r in seeds], dtype=np.int64)
 
 
+# rows per argmin slab inside an Arrow batch: peak numpy memory is
+# ASSIGN_CHUNK x k x 8 bytes (the distance matrix), NOT batch x k x
+# dim — the difference-tensor formulation this replaces allocated
+# batch x k x dim x 8 (41 GB/worker at k=800, dim=64, batch=10k: the
+# round-7 100x probe OOM). 1024 rows x k=100k cells would still be
+# only 0.8 GB.
+ASSIGN_CHUNK = 1024
+
+
+def _argmin_cells_int64(m: np.ndarray, bc: np.ndarray) -> np.ndarray:
+    """argmin_c ||m_i - bc_c||^2 over int64 inputs, EXACTLY: the
+    expansion |q|^2 + |c|^2 - 2 q.c is integer arithmetic (BLAS-free
+    int64 matmul), so distances — and tie-breaking to the lower cell,
+    argmin's first minimum — are bit-identical to the difference-sum
+    formulation the SQL oracles replay. |q| <= 127, dim <= thousands:
+    no int64 overflow."""
+    c2 = (bc * bc).sum(axis=1)  # (k,)
+    out = np.empty(m.shape[0], dtype=np.int32)
+    for lo in range(0, m.shape[0], ASSIGN_CHUNK):
+        chunk = m[lo : lo + ASSIGN_CHUNK]
+        q2 = (chunk * chunk).sum(axis=1)  # (c,)
+        d2 = q2[:, None] + c2[None, :] - 2 * (chunk @ bc.T)
+        out[lo : lo + ASSIGN_CHUNK] = d2.argmin(axis=1).astype(np.int32)
+    return out
+
+
 def assign_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
     """Narrow pass: argmin_c sum_d (q_d - c_d)^2 in int64 (exact),
     ties -> lower cell (argmin returns the first minimum)."""
@@ -145,40 +171,73 @@ def assign_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
     def assign_batch(batches):
         for pdf in batches:
             m = np.array(list(pdf["qv"]), dtype=np.int64)
-            d2 = ((m[:, None, :] - bc[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": d2.argmin(axis=1).astype("int32")}
+                {"vec_id": pdf["vec_id"], "cell": _argmin_cells_int64(m, bc)}
             )
 
     return q8.mapInPandas(assign_batch, schema="vec_id long, cell int")
 
 
+def assign_carry_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
+    """assign_int8 carrying qv through, so consumers that need the
+    vectors co-located with the cell (the IVF pair stage) get them
+    from ONE narrow python pass instead of a corpus-sized join back
+    to q8 (the round-7 100x profile showed that join re-running the
+    quantize+assign subtree per side)."""
+    import pandas as pd
+
+    bc = cents
+
+    def assign_batch(batches):
+        for pdf in batches:
+            m = np.array(list(pdf["qv"]), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": _argmin_cells_int64(m, bc),
+                    "qv": pdf["qv"],
+                }
+            )
+
+    return q8.mapInPandas(
+        assign_batch, schema="vec_id long, cell int, qv array<bigint>"
+    )
+
+
 # Quantizer-training sample bound. Real IVF never trains on the full
-# corpus — FAISS's guidance is O(100s) of vectors per centroid — so
-# above the cap the fit runs on the FIT_SAMPLE_CAP smallest
-# md5(vec_id) vectors: content-addressed (engine-replayable, no RNG),
-# a superset of the md5-seeded init, and a TakeOrdered — never a full
-# sort. Fit cost becomes corpus-size-INDEPENDENT; the final
-# full-corpus assignment is the only pass that scales. Every
-# driver/bench SF has <= FIT_SAMPLE_CAP vectors, so the static SQL
-# oracles (which replay a full-corpus fit) pin exactly this code
-# path; the scale probe engages the lever.
+# corpus — FAISS's guidance is O(100s) of vectors per centroid, and it
+# WARNS below ~39/centroid — so above the cap the fit runs on the
+# sample-cap smallest md5(vec_id) vectors: content-addressed
+# (engine-replayable, no RNG), a superset of the md5-seeded init, and
+# a TakeOrdered — never a full sort. The cap scales with k
+# (FIT_PER_CELL samples per centroid, floored at the historical
+# FIT_SAMPLE_CAP): a FIXED cap under a corpus-scaled k starves the
+# fit — the round-7 100x probe trained k=800 on 2000 points
+# (2.5/centroid), the quantizer collapsed (p50 cell = 6, max = 7944),
+# and in-cell pair work blew up 12x the balanced estimate. Fit cost is
+# O(FIT_PER_CELL x k^2) per iteration — k/TARGET_CELL of the one
+# full-corpus assignment pass, bounded and subordinate to it. Every
+# driver/bench SF has <= cap vectors, so the static SQL oracles
+# (which replay a full-corpus fit) pin exactly this code path; the
+# scale probe engages the lever.
 FIT_SAMPLE_CAP = 2000
+FIT_PER_CELL = 64
 
 
-def _fit_sample_int8(q8: DataFrame, n: int | None) -> DataFrame:
+def _fit_sample_int8(q8: DataFrame, n: int | None, k: int = K) -> DataFrame:
     if n is None:
         n = q8.count()
-    if n <= FIT_SAMPLE_CAP:
+    cap = max(FIT_SAMPLE_CAP, FIT_PER_CELL * k)
+    if n <= cap:
         return q8
     # cached: the sample subplan is a full-corpus quantize + TakeOrdered
     # and feeds the dim probe, the init collect, and every Lloyd round —
     # uncached it would re-scan the corpus per consumer. Bounded at
-    # FIT_SAMPLE_CAP rows; evicted at the next query's entry.
+    # cap rows; evicted at the next query's entry.
     return (
         q8.select("vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h", "vec_id")
-        .limit(FIT_SAMPLE_CAP)
+        .limit(cap)
         .select("vec_id", "qv")
         .cache()
     )
@@ -195,9 +254,8 @@ def _assign_stats_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
     def assign_batch(batches):
         for pdf in batches:
             m = np.array(list(pdf["qv"]), dtype=np.int64)
-            d2 = ((m[:, None, :] - bc[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
-                {"cell": d2.argmin(axis=1).astype("int32"), "qv": pdf["qv"]}
+                {"cell": _argmin_cells_int64(m, bc), "qv": pdf["qv"]}
             )
 
     return q8.mapInPandas(assign_batch, schema="cell int, qv array<bigint>")
@@ -216,7 +274,7 @@ def kmeans_fit_int8(
     as the float kmeans_fit above and MLlib's iteration). Centroid
     update is floor(sum / n) — floor division, exact in int64,
     mirrored exactly by the SQL oracle."""
-    fit = _fit_sample_int8(q8, n)
+    fit = _fit_sample_int8(q8, n, k=k)
     dim = len(fit.select("qv").head()["qv"])
     cents = _init_centroids_int8(fit, k)
     for _ in range(n_iter):

@@ -835,44 +835,80 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q8 = quantize_int8(emb)
+    # the full-corpus assignment is O(n x k) integer argmin work over
+    # COMPACT input (int8 vectors compress ~60x vs the work per row),
+    # so the parquet-bytes partitioning starves it: at the 100x probe
+    # the ~80 MB scan planned 2 partitions and 10B numpy ops ran on 2
+    # cores. Round-robin repartition to defaultParallelism before the
+    # mapInPandas — one cheap shuffle of the quantized vectors buys
+    # full-width Arrow batches for the compute-bound pass.
+    q8 = quantize_int8(emb).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # metadata-cheap parquet row count drives the cell-count formula
     # and the fit-sample lever (n passed through: no second count)
     n = emb.count()
     k = ivf_k_for(n)
     cents = kmeans_fit_int8(q8, k=k, n_iter=IVF_KMEANS_ITER, n=n)
-    from mapreduce_distributed_systems_spark.functions.vector import (
-        int_dot,
-        int_norm,
+
+    from mapreduce_distributed_systems_spark.operators.kmeans import (
+        assign_carry_int8,
     )
 
-    # per-vector norms computed ONCE before the pair fan-out (the pair
-    # join multiplies row count by cell size, so per-pair work must be
-    # one dot product, not dot + two recomputed norms)
-    q8a = q8.join(assign_int8(q8, cents).select("vec_id", "cell"), "vec_id")
-    # cached: both pair-join sides read the assigned+normed table; an
-    # IVF index is a MATERIALIZED artifact in production (you build
-    # assignments once and store them), so recomputing the k-distance
-    # assignment per join side would misrepresent the operator's cost
-    q8n = q8a.withColumn("nrm", int_norm("qv")).cache()
-    a = q8n.select(
-        F.col("cell"), F.col("vec_id").alias("vec_a"),
-        F.col("qv").alias("qa"), F.col("nrm").alias("na"),
+    # ONE python pass assigns cells and carries qv through (no
+    # corpus-sized join back), cached because the pair stage and its
+    # exchange planning both read it — an IVF index is a MATERIALIZED
+    # artifact in production, so re-running the O(n x k) assignment
+    # per consumer would misrepresent the operator's cost. Then an
+    # explicit cell-keyed repartition feeds applyInPandas: the
+    # partitioning already satisfies the groupBy requirement (the
+    # exchange is elided) and the explicit width is exempt from AQE
+    # size-based coalescing, which at the 100x probe had squeezed the
+    # pair stage to ONE task (332 s on one core) because the shuffled
+    # BYTES are small while the per-row python work is not.
+    assigned = assign_carry_int8(q8, cents).cache()
+    assigned_p = assigned.repartition(
+        spark.sparkContext.defaultParallelism, F.col("cell")
     )
-    b = q8n.select(
-        F.col("cell"), F.col("vec_id").alias("vec_b"),
-        F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, ["cell"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            (int_dot("qa", "qb").cast("double") / (F.col("na") * F.col("nb"))).alias(
-                "cos_q8"
-            ),
+
+    # Pair scoring is a per-cell Gram matrix, not a per-pair expression
+    # join. The round-7 100x probe showed the self-join formulation
+    # (int_dot = zip_with + aggregate evaluated once PER PAIR) costing
+    # ~10 us/pair in codegen — 25M in-cell pairs put a 300 s floor on
+    # the query while the equivalent int64 matmul is ~3 s of BLAS-shape
+    # work. applyInPandas groups one cell per pandas frame (cell size
+    # is held ~IVF_TARGET_CELL by ivf_k_for, so the Gram matrix is
+    # ~250x250); integer dot products are EXACT in int64 matmul and
+    # the float cosine applies the same sqrt/multiply/divide ops to
+    # the same exact integers, so results — and the DuckDB oracle
+    # hash — are bit-identical to the expression-join formulation.
+    import numpy as np
+    import pandas as pd
+
+    def pair_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_q8": pd.Series(dtype="float64")}
+            )
+        m = np.array(list(pdf["qv"]), dtype=np.int64)
+        dots = m @ m.T  # exact int64 Gram matrix
+        nrm = np.sqrt(np.diag(dots).astype(np.float64))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = dots[iu, ju].astype(np.float64) / (nrm[iu] * nrm[ju])
+        a, b = ids[iu], ids[ju]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cos_q8": cos,
+            }
         )
+
+    pairs = assigned_p.groupBy("cell").applyInPandas(
+        pair_cell, schema="vec_a long, vec_b long, cos_q8 double"
     )
     return pairs.where(F.round("cos_q8", 6) >= EMB_IVF_COSINE_THRESHOLD).select(
         "vec_a", "vec_b", F.round("cos_q8", 4).alias("cos_q8")

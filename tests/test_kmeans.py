@@ -55,11 +55,16 @@ def test_int8_fit_sample_lever(spark, sf_dir):
     assert _fit_sample_int8(q8, n) is q8  # ...where the lever is identity
 
     # force the lever with a shrunken cap: sample is exactly-cap,
-    # deterministic, and the fit over it is reproducible
+    # deterministic, and the fit over it is reproducible. The cap is
+    # max(FIT_SAMPLE_CAP, FIT_PER_CELL * k) since round 7 (a fixed cap
+    # under a corpus-scaled k starved the quantizer), so both knobs
+    # shrink for the test.
     import mapreduce_distributed_systems_spark.operators.kmeans as km
 
     old = km.FIT_SAMPLE_CAP
+    old_pc = km.FIT_PER_CELL
     km.FIT_SAMPLE_CAP = 100
+    km.FIT_PER_CELL = 4
     try:
         s = _fit_sample_int8(q8, n)
         ids1 = sorted(r.vec_id for r in s.select("vec_id").collect())
@@ -75,3 +80,4 @@ def test_int8_fit_sample_lever(spark, sf_dir):
         assert np.array_equal(seeds, full_seeds)
     finally:
         km.FIT_SAMPLE_CAP = old
+        km.FIT_PER_CELL = old_pc

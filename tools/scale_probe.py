@@ -67,6 +67,26 @@ def scaled_copy(df, name: str, copy_idx: int):
         out = out.withColumn(
             "text", F.concat(F.col("text"), F.lit(f" copyvariant{copy_idx}"))
         )
+    if name == "embeddings":
+        # rotate each copy's vector by copy_idx positions: norm- and
+        # near-dup-structure-preserving WITHIN a copy, decorrelated
+        # ACROSS copies. Without this, every vector has mult-1 exact
+        # duplicates, the IVF cells hold mult x the intended density,
+        # and the pair join measures a dup-saturated workload instead
+        # of a scaled one (round-7: the unrotated x100 leg OOM-killed
+        # the JVM — ~10,000x pairs, not 100x; same reasoning as the
+        # per-copy text suffix above)
+        d = F.size("embedding")
+        r = F.lit(copy_idx) % d
+        out = out.withColumn(
+            "embedding",
+            F.when(r == 0, F.col("embedding")).otherwise(
+                F.concat(
+                    F.slice(F.col("embedding"), r + 1, d - r),
+                    F.slice(F.col("embedding"), F.lit(1), r),
+                )
+            ),
+        )
     return out
 
 
