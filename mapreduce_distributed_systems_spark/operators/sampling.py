@@ -260,6 +260,91 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_SPLIT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         '  ' || upper(text) || '   '
+  FROM documents WHERE doc_id % 7 = 0
+),
+labeled AS (
+  SELECT doc_id,
+         {_NORM_HASH_DUCK} AS content_hash,
+         CASE WHEN {_BUCKET_DUCK} < 58982 THEN 'train'
+              WHEN {_BUCKET_DUCK} < 62259 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM corpus
+),
+flags AS (
+  SELECT content_hash,
+         bool_or(split = 'train') AND bool_or(split <> 'train') AS leaked
+  FROM labeled GROUP BY content_hash
+)
+SELECT l.doc_id, l.split, f.leaked,
+       CASE WHEN l.split = 'train' AND f.leaked
+            THEN 'quarantine' ELSE 'keep' END AS disposition
+FROM labeled l JOIN flags f USING (content_hash)
+"""
+
+
+@register(
+    "pipeline_decontaminated_split",
+    oracle=DECON_SPLIT_ORACLE,
+    tags=("sampling", "pipeline", "decontamination", "composition"),
+    doc="The shippable training-prep artifact the decontamination CHECK "
+    "feeds: one row per document with its deterministic 90/5/5 split, "
+    "a `leaked` flag (normalized content hash present on BOTH sides "
+    "of the train/eval boundary), and the disposition — train docs "
+    "matching any eval doc are QUARANTINED (train is decontaminated "
+    "against the benchmark; the benchmark itself stays fixed). "
+    "Composition of dataset_split_assign + corpus_decontamination "
+    "semantics with the same planted normalized variants (the "
+    "contamination branch never certifies vacuously). Plan: map-only "
+    "hash+bucket labeling, ONE map-side-combined groupBy(content_hash) "
+    "computing per-hash side flags (bounded payload: two booleans), "
+    "and a hash-keyed join back — no pair fan-out at all, unlike the "
+    "reporting query, so the artifact path is strictly cheaper than "
+    "the audit path at 100 TB.",
+)
+def pipeline_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = docs.agg((F.max("doc_id") + F.lit(1)).alias("_s"))
+    planted = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("doc_id") + F.col("_s")).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(planted)
+    b = F.expr(_BUCKET_SPARK)
+    labeled = corpus.select(
+        "doc_id",
+        F.expr(_NORM_HASH_SPARK).alias("content_hash"),
+        F.when(b < 58982, "train")
+        .when(b < 62259, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    flags = labeled.groupBy("content_hash").agg(
+        (
+            F.max((F.col("split") == "train").cast("int"))
+            + F.max((F.col("split") != "train").cast("int"))
+            == 2
+        ).alias("leaked")
+    )
+    return labeled.join(flags, "content_hash").select(
+        "doc_id",
+        "split",
+        "leaked",
+        F.when((F.col("split") == "train") & F.col("leaked"), "quarantine")
+        .otherwise("keep")
+        .alias("disposition"),
+    )
+
+
 # N-gram (passage-level) decontamination — the industry-standard
 # variant: an eval document is contaminated if any of its exact
 # character windows appears in a training document (catches eval text

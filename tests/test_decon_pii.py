@@ -55,6 +55,26 @@ def test_pii_scrub_redacts_planted_pii(spark, sf_dir):
     assert clean.where((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).count() == 0
 
 
+def test_decontaminated_split_quarantines_train_only(spark, sf_dir):
+    """The artifact query (round 7): leaked hashes must exist (the
+    planted variants guarantee the branch), every quarantined row must
+    be a leaked TRAIN row, and no eval row is ever quarantined (the
+    benchmark stays fixed; train is what gets cleaned)."""
+    rows = get_spec("pipeline_decontaminated_split").fn(spark, sf_dir).collect()
+    assert rows
+    leaked = [r for r in rows if r.leaked]
+    quarantined = [r for r in rows if r.disposition == "quarantine"]
+    assert leaked and quarantined, "contamination branch is vacuous"
+    assert all(r.split == "train" and r.leaked for r in quarantined)
+    assert all(
+        r.disposition == "keep" for r in rows if r.split != "train"
+    )
+    # every leaked hash has both sides represented: each leaked train
+    # row implies >= 1 leaked eval row and vice versa
+    assert any(r.split != "train" for r in leaked)
+    assert any(r.split == "train" for r in leaked)
+
+
 def test_pii_scrub_replacement_spans(spark):
     """Pin the exact redacted string for a handcrafted doc so the
     regex COMMON-SUBSET contract (greedy, leftmost, no alternation)
