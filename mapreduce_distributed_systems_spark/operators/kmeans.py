@@ -161,18 +161,149 @@ def _argmin_cells_int64(m: np.ndarray, bc: np.ndarray) -> np.ndarray:
     return out
 
 
+# --------------------------------------------------------------------------
+# Two-level (coarse-quantizer) assignment — the next-decade scale lever
+# for the IVF family (ROADMAP round-7 backlog #0). With k = ivf_k_for(n)
+# ~ n / IVF_TARGET_CELL, the flat assignment pass is O(n x k x d) =
+# O(n^2 d / TARGET_CELL): linear-per-vector only while k is small. At
+# 10^7+ vectors (k > ~40k) the per-vector scan of every centroid is the
+# dominant cost. The standard fix (FAISS IMI / hierarchical k-means) is
+# a coarse quantizer OVER THE CENTROIDS: group the k fine centroids
+# into g ~ sqrt(k) coarse groups, route each vector to its w nearest
+# coarse groups, and argmin only over those groups' members —
+# O(n x d x (g + w·k/g)) = O(n x d x sqrt(k) x (1 + w)) per pass.
+#
+# GATED ON k: at or below TWO_LEVEL_MIN_K cells the dispatch keeps the
+# exact single-level argmin, so every certified driver/bench SF
+# (k <= 8 via ivf_k_for at <= 2000 vectors) and every current scale
+# probe (k = 800 at the 100x leg) is bit-identical to before — the
+# static SQL oracles continue to pin the exact path. Above the gate the
+# assignment is approximate in the usual IVF sense (a vector whose true
+# nearest centroid lives in an unprobed coarse group is routed to its
+# best probed cell); for the dedup/ANN consumers that only changes
+# which cell blocks a vector lands in, trading a bounded recall loss
+# for the sqrt(k) scan. With w = g (probe everything) the result is
+# exactly the flat argmin — tests/test_kmeans.py pins that identity and
+# the default-w agreement floor; tools/probe_two_level.py measures the
+# speedup at a post-gate k.
+# --------------------------------------------------------------------------
+
+TWO_LEVEL_MIN_K = 4096  # <=: exact flat argmin (all certified paths)
+COARSE_PROBE_W = 8  # coarse groups probed per vector above the gate
+
+
+def _coarse_fit(bc: np.ndarray, g: int, n_iter: int = 3) -> tuple:
+    """Driver-side Lloyd over the k fine centroids themselves → g coarse
+    centroids + per-group member lists (empty groups dropped). All
+    numpy, O(k x g x d) per iteration = O(k^1.5 d): subordinate to one
+    corpus pass. Deterministic, no RNG: init picks g evenly spaced rows
+    of the lexicographic row-sort of the centroid matrix."""
+    order = np.lexsort(bc.T[::-1])
+    pick = order[np.linspace(0, len(bc) - 1, g).astype(np.int64)]
+    cc = bc[pick].astype(np.int64)
+    for _ in range(n_iter):
+        a = _argmin_cells_int64(bc, cc)
+        new = cc.copy()  # empty coarse groups keep previous centroid
+        for c in range(g):
+            mask = a == c
+            if mask.any():
+                new[c] = bc[mask].sum(axis=0) // int(mask.sum())
+        cc = new
+    a = _argmin_cells_int64(bc, cc)
+    members = [np.flatnonzero(a == c) for c in range(g)]
+    keep = [c for c in range(g) if members[c].size]
+    return cc[keep], [members[c] for c in keep]
+
+
+def _coarse_index_for(cents: np.ndarray):
+    """None below the gate (exact flat path), else the precomputed
+    coarse index (coarse centroids, member id lists, member centroid
+    slices, probe width) — built ONCE driver-side and shipped in the
+    task closure, like the centroids themselves."""
+    k = len(cents)
+    if k <= TWO_LEVEL_MIN_K:
+        return None
+    g = int(np.ceil(np.sqrt(k)))
+    cc, members = _coarse_fit(np.asarray(cents, dtype=np.int64), g)
+    mcents = [np.asarray(cents, dtype=np.int64)[m] for m in members]
+    return cc, members, mcents, COARSE_PROBE_W
+
+
+def _argmin_two_level(
+    m: np.ndarray,
+    cc: np.ndarray,
+    members: list,
+    mcents: list,
+    w: int,
+) -> np.ndarray:
+    """Two-level argmin: route each row to its w nearest coarse groups,
+    then exact argmin over those groups' fine centroids. Tie-breaking
+    matches the flat path exactly — lexicographic (distance, cell id) —
+    so with w = g the output is bit-identical to _argmin_cells_int64.
+    Peak memory per chunk is ASSIGN_CHUNK x max(g, max-group-size) x 8
+    bytes, the same slab bound as the flat path."""
+    g = len(cc)
+    w = min(w, g)
+    n = m.shape[0]
+    out = np.empty(n, dtype=np.int32)
+    cc2 = (cc * cc).sum(axis=1)
+    for lo in range(0, n, ASSIGN_CHUNK):
+        chunk = m[lo : lo + ASSIGN_CHUNK]
+        c = chunk.shape[0]
+        q2 = (chunk * chunk).sum(axis=1)
+        dc = q2[:, None] + cc2[None, :] - 2 * (chunk @ cc.T)
+        probe = np.argpartition(dc, w - 1, axis=1)[:, :w]
+        probed = np.zeros((c, g), dtype=bool)
+        probed[np.arange(c)[:, None], probe] = True
+        best_d = np.full(c, np.iinfo(np.int64).max, dtype=np.int64)
+        best_cell = np.full(c, np.iinfo(np.int32).max, dtype=np.int64)
+        for gi in range(g):
+            rows = np.flatnonzero(probed[:, gi])
+            if rows.size == 0:
+                continue
+            sub = chunk[rows]
+            fc = mcents[gi]
+            f2 = (fc * fc).sum(axis=1)
+            d2 = (sub * sub).sum(axis=1)[:, None] + f2[None, :] - 2 * (
+                sub @ fc.T
+            )
+            j = d2.argmin(axis=1)  # first min = lowest member idx;
+            # members are ascending, so lowest fine id within the group
+            dmin = d2[np.arange(rows.size), j]
+            cand = members[gi][j]
+            upd = (dmin < best_d[rows]) | (
+                (dmin == best_d[rows]) & (cand < best_cell[rows])
+            )
+            ridx = rows[upd]
+            best_d[ridx] = dmin[upd]
+            best_cell[ridx] = cand[upd]
+        out[lo : lo + c] = best_cell.astype(np.int32)
+    return out
+
+
+def _argmin_cells(m: np.ndarray, bc: np.ndarray, ci) -> np.ndarray:
+    """Gate dispatch: exact flat argmin when ci is None (k at or below
+    TWO_LEVEL_MIN_K), else the two-level route-and-scan."""
+    if ci is None:
+        return _argmin_cells_int64(m, bc)
+    cc, members, mcents, w = ci
+    return _argmin_two_level(m, cc, members, mcents, w)
+
+
 def assign_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
-    """Narrow pass: argmin_c sum_d (q_d - c_d)^2 in int64 (exact),
-    ties -> lower cell (argmin returns the first minimum)."""
+    """Narrow pass: argmin_c sum_d (q_d - c_d)^2 in int64 (exact below
+    the TWO_LEVEL_MIN_K gate; coarse-routed above it), ties -> lower
+    cell (argmin returns the first minimum)."""
     import pandas as pd
 
     bc = cents
+    ci = _coarse_index_for(bc)
 
     def assign_batch(batches):
         for pdf in batches:
             m = np.array(list(pdf["qv"]), dtype=np.int64)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": _argmin_cells_int64(m, bc)}
+                {"vec_id": pdf["vec_id"], "cell": _argmin_cells(m, bc, ci)}
             )
 
     return q8.mapInPandas(assign_batch, schema="vec_id long, cell int")
@@ -187,6 +318,7 @@ def assign_carry_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
     import pandas as pd
 
     bc = cents
+    ci = _coarse_index_for(bc)
 
     def assign_batch(batches):
         for pdf in batches:
@@ -194,7 +326,7 @@ def assign_carry_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "cell": _argmin_cells_int64(m, bc),
+                    "cell": _argmin_cells(m, bc, ci),
                     "qv": pdf["qv"],
                 }
             )
@@ -250,12 +382,13 @@ def _assign_stats_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
     import pandas as pd
 
     bc = cents
+    ci = _coarse_index_for(bc)
 
     def assign_batch(batches):
         for pdf in batches:
             m = np.array(list(pdf["qv"]), dtype=np.int64)
             yield pd.DataFrame(
-                {"cell": _argmin_cells_int64(m, bc), "qv": pdf["qv"]}
+                {"cell": _argmin_cells(m, bc, ci), "qv": pdf["qv"]}
             )
 
     return q8.mapInPandas(assign_batch, schema="cell int, qv array<bigint>")

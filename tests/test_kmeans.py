@@ -81,3 +81,124 @@ def test_int8_fit_sample_lever(spark, sf_dir):
     finally:
         km.FIT_SAMPLE_CAP = old
         km.FIT_PER_CELL = old_pc
+
+
+# --------------------------------------------------------------------------
+# Two-level (coarse-quantizer) assignment — ROADMAP round-7 backlog #0.
+# Pure-numpy invariants (the dispatch is driver/executor-side numpy;
+# the Spark path is the same closure) plus the gate contract.
+# --------------------------------------------------------------------------
+
+
+def _tl_mod():
+    import mapreduce_distributed_systems_spark.operators.kmeans as km
+
+    return km
+
+
+def test_two_level_full_probe_is_bit_identical():
+    """With w = g (probe every coarse group) the two-level argmin must
+    equal the flat argmin EXACTLY — including distance ties, which both
+    paths break to the lower cell id. Duplicate centroids are planted
+    to make ties real rather than hypothetical."""
+    import numpy as np
+
+    km = _tl_mod()
+    rng = np.random.RandomState(7)
+    k, dim, n = 257, 16, 4000
+    cents = rng.randint(-127, 128, size=(k, dim)).astype(np.int64)
+    cents[101] = cents[17]  # exact duplicate -> guaranteed ties
+    cents[202] = cents[3]
+    m = np.empty((n, dim), dtype=np.int64)
+    # half the points ARE centroids (distance-0 ties on the dups),
+    # half are noisy copies
+    m[: n // 2] = cents[rng.randint(0, k, n // 2)]
+    m[n // 2 :] = cents[rng.randint(0, k, n - n // 2)] + rng.randint(
+        -3, 4, size=(n - n // 2, dim)
+    )
+    exact = km._argmin_cells_int64(m, cents)
+    g = int(np.ceil(np.sqrt(k)))
+    cc, members = km._coarse_fit(cents, g)
+    mcents = [cents[mm] for mm in members]
+    tl = km._argmin_two_level(m, cc, members, mcents, w=len(cc))
+    assert np.array_equal(exact, tl)
+
+
+def test_two_level_default_w_agreement_on_clustered_data():
+    """Default probe width on clustered data (the IVF regime: points
+    near their centroids): agreement with the flat argmin stays high.
+    This is the recall contract the approximate path trades the
+    sqrt(k) scan for."""
+    import numpy as np
+
+    km = _tl_mod()
+    rng = np.random.RandomState(11)
+    k, dim = 512, 16
+    cents = rng.randint(-127, 128, size=(k, dim)).astype(np.int64)
+    n = 8000
+    m = cents[rng.randint(0, k, n)] + rng.randint(-5, 6, size=(n, dim))
+    exact = km._argmin_cells_int64(m, cents)
+    g = int(np.ceil(np.sqrt(k)))
+    cc, members = km._coarse_fit(cents, g)
+    mcents = [cents[mm] for mm in members]
+    tl = km._argmin_two_level(m, cc, members, mcents, w=km.COARSE_PROBE_W)
+    agree = float(np.mean(exact == tl))
+    assert agree >= 0.95, agree
+
+
+def test_two_level_gate_and_index_shape():
+    """_coarse_index_for: None at/below the gate (every certified path
+    keeps the exact flat argmin); above it, a complete partition of the
+    fine cells into nonempty coarse groups."""
+    import numpy as np
+
+    km = _tl_mod()
+    rng = np.random.RandomState(3)
+    small = rng.randint(-127, 128, size=(km.TWO_LEVEL_MIN_K, 8)).astype(
+        np.int64
+    )
+    assert km._coarse_index_for(small) is None
+
+    big = rng.randint(-127, 128, size=(km.TWO_LEVEL_MIN_K + 1, 8)).astype(
+        np.int64
+    )
+    ci = km._coarse_index_for(big)
+    assert ci is not None
+    cc, members, mcents, w = ci
+    assert w == km.COARSE_PROBE_W
+    assert all(mm.size for mm in members)  # empty groups dropped
+    flat = np.sort(np.concatenate(members))
+    assert np.array_equal(flat, np.arange(len(big)))  # exact partition
+    for mm, mc in zip(members, mcents):
+        assert np.array_equal(mc, big[mm])
+
+
+def test_two_level_spark_dispatch_matches_exact(spark, sf_dir):
+    """The real Spark assignment pass through a forced two-level gate
+    (w = g so routing is exhaustive) returns the same cells as the
+    exact pass — the dispatch seam itself is what this pins."""
+    import numpy as np
+
+    from mapreduce_distributed_systems_spark.operators.kmeans import (
+        assign_int8,
+        kmeans_fit_int8,
+        quantize_int8,
+    )
+
+    km = _tl_mod()
+    q8 = quantize_int8(_emb(spark, sf_dir))
+    cents = kmeans_fit_int8(q8, k=8, n_iter=1)
+    before = sorted(
+        (r.vec_id, r.cell) for r in assign_int8(q8, cents).collect()
+    )
+    old_gate, old_w = km.TWO_LEVEL_MIN_K, km.COARSE_PROBE_W
+    km.TWO_LEVEL_MIN_K = 2  # force the two-level branch at k=8
+    km.COARSE_PROBE_W = 10**6  # probe everything -> must be identical
+    try:
+        after = sorted(
+            (r.vec_id, r.cell) for r in assign_int8(q8, cents).collect()
+        )
+    finally:
+        km.TWO_LEVEL_MIN_K = old_gate
+        km.COARSE_PROBE_W = old_w
+    assert before == after
