@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.components",
     "mapreduce_distributed_systems_spark.operators.graph",
     "mapreduce_distributed_systems_spark.operators.sketches",
+    "mapreduce_distributed_systems_spark.operators.robustness",
     "mapreduce_distributed_systems_spark.storage.snapshots",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
     "mapreduce_distributed_systems_spark.streaming.event_stream",
@@ -123,10 +124,11 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (3) ---------------------
+    # -- round-7 additions: first driver row (4) ---------------------
     "quality_ngram_lm_score",
     "dedup_paragraph_rewrite",
     "pipeline_decontaminated_split",
+    "events_json_malformed_audit",
     # -- (a) operator code changed after the newest green row (5) ----
     "corpus_decontamination",        # r5 row; sampling.py planted-shift changed in r6
     "dedup_embedding_cosine_ivf",    # r7: Gram-matrix pair stage + fit-sample scaling
@@ -177,7 +179,6 @@ GATE_ORDER = (
     "grouping_sets_orders",
     "q4_order_priority",
     "q6_forecast_revenue",
-    "q10_returned_items",
 )
 
 # Round-8 rotation note: the 19 r4-certified names deferred past the
@@ -188,9 +189,10 @@ GATE_ORDER = (
 # rollup_status_priority, cube_returnflag_linestatus, array_ops,
 # window_lag_lead, window_range_30d, window_rank_top3,
 # window_running_total, window_value_picks, q19_discounted_revenue,
-# q22_sales_opportunity, q18_large_orders, q14_promo_effect (the last
-# four displaced by the round-7 additions and the re-certified IVF
-# dedup) — all shapes test_parity re-proves every session. (21 names;
+# q22_sales_opportunity, q18_large_orders, q14_promo_effect,
+# q10_returned_items (the last five displaced by the round-7 additions
+# — events_json_malformed_audit included — and the re-certified IVF
+# dedup) — all shapes test_parity re-proves every session. (22 names;
 # count the r8 head from cert_state.json, not this comment.) Fill the remaining ~34 r8
 # slots with the oldest r5 rows (QUERIES.md Certified column) so no
 # green row ages past 3 rounds, and put any query whose fn/oracle
