@@ -70,7 +70,14 @@ GROUP BY event_type
 )
 def events_json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    corrupted = (
+    parsed = F.get_json_object(_corrupted_props(), "$.k").cast("int")
+    return _audit_agg(ev.select("event_type", parsed.alias("k")))
+
+
+def _corrupted_props() -> F.Column:
+    """The deterministic fault-injection expression (shared by the
+    batch and streaming twins so both certify the same plant)."""
+    return (
         F.when(
             F.col("event_id") % 23 == 0,
             F.expr("substring(props, 1, length(props) - 1)"),
@@ -81,16 +88,52 @@ def events_json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("props"))
     )
-    parsed = F.get_json_object(corrupted, "$.k").cast("int")
-    return (
-        ev.select("event_type", parsed.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.col("k").isNull().cast("long")).alias("n_corrupt"),
-            F.sum("k").alias("k_sum"),
-            F.round(
-                F.sum(F.col("k").isNull().cast("double")) / F.count("*"), 6
-            ).alias("corrupt_rate"),
-        )
+
+
+def _audit_agg(kframe: DataFrame) -> DataFrame:
+    return kframe.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_corrupt"),
+        F.sum("k").alias("k_sum"),
+        F.round(
+            F.sum(F.col("k").isNull().cast("double")) / F.count("*"), 6
+        ).alias("corrupt_rate"),
     )
+
+
+@register(
+    "events_malformed_streaming",
+    oracle=_JSON_AUDIT_ORACLE,  # identical oracle to the batch twin
+    tags=("robustness", "json", "streaming", "error-paths"),
+    doc="Streaming twin of the malformed-record audit: readStream over "
+    "the events parquet, the same deterministic fault injection and "
+    "tolerant JVM-side parse, running loss totals per event type in a "
+    "complete-mode memory sink (availableNow) — the 24/7 ingest shape "
+    "where a bad record must never kill the query and loss is "
+    "accounted continuously. State is O(event types); the parse is "
+    "narrow; certified against the identical batch oracle.",
+)
+def events_malformed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="ev_malformed_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    parsed = F.get_json_object(_corrupted_props(), "$.k").cast("int")
+    agg = _audit_agg(stream.select("event_type", parsed.alias("k")))
+    name = f"ev_malformed_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ev_malformed_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
