@@ -147,3 +147,88 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
     return blobs.mapInPandas(_sample_frames, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Resize (round 7): the remaining op of the north star's
+# decode / feature-extract / RESIZE / frame-sample quartet. The blob is
+# treated as a fake w x h byte image (w from the first byte, like
+# decode_image's fake metadata; h capped at 64 rows), downsampled by
+# stride 2 in both dimensions — nearest-neighbor, the deterministic
+# byte-level core of any real resize kernel. A real codec would replace
+# the byte-grid view with decoded pixels behind the same seam
+# (decode_image), leaving the Spark-side contract — pruned columns into
+# Arrow, 1-row-in/1-row-out UDF, bounded batches — unchanged.
+# --------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, resized_md5 string"
+MAX_ROWS = 64  # fake image height cap
+
+
+def _resize_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor stride-2 downsample of the fake byte image:
+    keep bytes at even (row, col), row-major order."""
+    for pdf in batches:
+        out_doc, out_w, out_h, out_md5 = [], [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            w = (blob[0] % 64 + 1) if blob else 1
+            h = min(len(blob) // w, MAX_ROWS)
+            if h < 1:
+                continue  # blob smaller than one row (filtered in SQL too)
+            resized = bytes(
+                blob[y * w + x]
+                for y in range(0, h, 2)
+                for x in range(0, w, 2)
+            )
+            out_doc.append(doc_id)
+            out_w.append((w + 1) // 2)
+            out_h.append((h + 1) // 2)
+            out_md5.append(hashlib.md5(resized).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "out_w": out_w,
+                "out_h": out_h,
+                "resized_md5": out_md5,
+            }
+        )
+
+
+RESIZE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         ascii(substring(text, 1, 1)) % 64 + 1 AS w,
+         least(length(text) // (ascii(substring(text, 1, 1)) % 64 + 1),
+               {MAX_ROWS}) AS h
+  FROM documents
+  WHERE length(text) >= ascii(substring(text, 1, 1)) % 64 + 1
+), px AS (
+  SELECT d.doc_id, d.w, d.h, y.y, x.x,
+         substring(d.text, y.y * d.w + x.x + 1, 1) AS b
+  FROM dims d,
+       (SELECT unnest(range(0, {MAX_ROWS}, 2)) AS y) y,
+       (SELECT unnest(range(0, 64, 2)) AS x) x
+  WHERE y.y < d.h AND x.x < d.w
+)
+SELECT doc_id,
+       CAST((w + 1) // 2 AS INTEGER) AS out_w,
+       CAST((h + 1) // 2 AS INTEGER) AS out_h,
+       md5(string_agg(b, '' ORDER BY y, x)) AS resized_md5
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@register(
+    "multimodal_resize",
+    oracle=RESIZE_ORACLE,
+    tags=("multimodal", "pandas-udf"),
+    doc="Nearest-neighbor stride-2 'image' resize over opaque blobs "
+    "(fake byte-grid decode; the codec seam is decode_image) — "
+    "mapInPandas, 1-row-in/1-row-out, per-doc output hash certified "
+    "byte-for-byte by a pixel-unnest SQL replay.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return blobs.mapInPandas(_resize_blobs, schema=RESIZE_SCHEMA)

@@ -124,12 +124,13 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (5) ---------------------
+    # -- round-7 additions: first driver row (6) ---------------------
     "quality_ngram_lm_score",
     "dedup_paragraph_rewrite",
     "pipeline_decontaminated_split",
     "events_json_malformed_audit",
     "events_malformed_streaming",
+    "multimodal_resize",
     # -- (a) operator code changed after the newest green row (5) ----
     "corpus_decontamination",        # r5 row; sampling.py planted-shift changed in r6
     "dedup_embedding_cosine_ivf",    # r7: Gram-matrix pair stage + fit-sample scaling
@@ -178,7 +179,6 @@ GATE_ORDER = (
     "agg_max_by",
     "agg_stats_segment",
     "grouping_sets_orders",
-    "q4_order_priority",
 )
 
 # Round-8 rotation note: the 19 r4-certified names deferred past the
@@ -190,10 +190,11 @@ GATE_ORDER = (
 # window_lag_lead, window_range_30d, window_rank_top3,
 # window_running_total, window_value_picks, q19_discounted_revenue,
 # q22_sales_opportunity, q18_large_orders, q14_promo_effect,
-# q10_returned_items, q6_forecast_revenue (the last six displaced by
-# the round-7 additions — the two malformed-audit twins included —
-# and the re-certified IVF dedup) — all shapes test_parity re-proves
-# every session. (23 names;
+# q10_returned_items, q6_forecast_revenue, q4_order_priority (the
+# last seven displaced by the round-7 additions — the two
+# malformed-audit twins and multimodal_resize included — and the
+# re-certified IVF dedup) — all shapes test_parity re-proves every
+# session. (24 names;
 # count the r8 head from cert_state.json, not this comment.) Fill the remaining ~34 r8
 # slots with the oldest r5 rows (QUERIES.md Certified column) so no
 # green row ages past 3 rounds, and put any query whose fn/oracle

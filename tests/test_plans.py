@@ -437,3 +437,23 @@ def test_bloom_broadcasts_filter_size_and_combines_mapside(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_count" in plan
     assert "l_quantity" not in plan.split("ReadSchema")[-1]
+
+
+def test_malformed_audit_narrow_parse_single_exchange(spark, sf_dir):
+    """The tolerant-parse audit must stay a narrow JVM-side parse plus
+    ONE map-side-combined aggregate: no Python (the parse is
+    get_json_object in codegen), no join, one exchange on the
+    low-cardinality event_type key, and only the three columns it
+    reads in the scan schema."""
+    plan = physical_plan(
+        get_spec("events_json_malformed_audit").fn(spark, sf_dir)
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan  # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    read = plan.split("ReadSchema")[-1]
+    for needed in ("event_id", "event_type", "props"):
+        assert needed in read
+    for pruned in ("user_id", "value", '"ts"'):
+        assert pruned not in read
