@@ -68,6 +68,7 @@ GROUP BY tf.doc_id
     "quality_ngram_lm_score",
     oracle=LM_SCORE_ORACLE,
     tags=("quality", "lm", "text", "classifier"),
+    bench=True,  # round-7 session 2: headline set tracks the LM-scoring stage
     doc="CCNet-shaped statistical-LM quality scoring: fit an add-one-"
     "smoothed unigram LM on the corpus itself (term-count aggregate = "
     "the wc reduce re-used as a model), then score every document by "
@@ -187,6 +188,7 @@ GROUP BY doc_id
     "dedup_paragraph_rewrite",
     oracle=PARA_REWRITE_ORACLE,
     tags=("dedup", "text", "pipeline", "rewrite"),
+    bench=True,  # round-7 session 2: headline set tracks the rewrite stage
     doc=f"Dolma-style paragraph dedup with document REWRITE: every "
     f"{PARA_TOKENS}-token paragraph keeps only its globally-first "
     "occurrence (min (doc_id, pos), packed identically in both "

@@ -60,6 +60,7 @@ GROUP BY event_type
     "events_json_malformed_audit",
     oracle=_JSON_AUDIT_ORACLE,
     tags=("robustness", "json", "error-paths"),
+    bench=True,  # round-7 session 2: headline set tracks the error path
     doc="Tolerant-parse loss accounting: deterministically corrupt a "
     "slice of the JSON props column (truncation + leading garbage), "
     "parse without failing the scan, and report per-type totals, "

@@ -292,6 +292,7 @@ FROM labeled l JOIN flags f USING (content_hash)
     "pipeline_decontaminated_split",
     oracle=DECON_SPLIT_ORACLE,
     tags=("sampling", "pipeline", "decontamination", "composition"),
+    bench=True,  # round-7 session 2: headline set tracks the split artifact
     doc="The shippable training-prep artifact the decontamination CHECK "
     "feeds: one row per document with its deterministic 90/5/5 split, "
     "a `leaked` flag (normalized content hash present on BOTH sides "
