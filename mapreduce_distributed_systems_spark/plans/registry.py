@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.sketches",
     "mapreduce_distributed_systems_spark.operators.robustness",
     "mapreduce_distributed_systems_spark.storage.snapshots",
+    "mapreduce_distributed_systems_spark.storage.vector_index",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
     "mapreduce_distributed_systems_spark.streaming.event_stream",
     "mapreduce_distributed_systems_spark.streaming.kv_tws",
@@ -124,13 +125,15 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (6) ---------------------
+    # -- round-7 additions: first driver row (8) ---------------------
     "quality_ngram_lm_score",
     "dedup_paragraph_rewrite",
     "pipeline_decontaminated_split",
     "events_json_malformed_audit",
     "events_malformed_streaming",
     "multimodal_resize",
+    "ann_ivf_persisted",
+    "ivf_index_cell_stats",
     # -- (a) operator code changed after the newest green row (5) ----
     "corpus_decontamination",        # r5 row; sampling.py planted-shift changed in r6
     "dedup_embedding_cosine_ivf",    # r7: Gram-matrix pair stage + fit-sample scaling
@@ -177,11 +180,9 @@ GATE_ORDER = (
     "join_anti_parts",
     "agg_distinct_priority",
     "agg_max_by",
-    "agg_stats_segment",
-    "grouping_sets_orders",
 )
 
-# Round-8 rotation note: the 19 r4-certified names deferred past the
+# Round-8 rotation note: the r4-certified names deferred past the
 # r7 window (they will be 4 rounds old at r8 close and MUST head the
 # r8 window per the enforced gate): set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
@@ -190,12 +191,13 @@ GATE_ORDER = (
 # window_lag_lead, window_range_30d, window_rank_top3,
 # window_running_total, window_value_picks, q19_discounted_revenue,
 # q22_sales_opportunity, q18_large_orders, q14_promo_effect,
-# q10_returned_items, q6_forecast_revenue, q4_order_priority (the
-# last seven displaced by the round-7 additions — the two
-# malformed-audit twins and multimodal_resize included — and the
-# re-certified IVF dedup) — all shapes test_parity re-proves every
-# session. (24 names;
-# count the r8 head from cert_state.json, not this comment.) Fill the remaining ~34 r8
+# q10_returned_items, q6_forecast_revenue, q4_order_priority,
+# agg_stats_segment, grouping_sets_orders (the last nine displaced
+# by the round-7 additions — the two malformed-audit twins,
+# multimodal_resize, and the two persisted-IVF-index queries
+# included — and the re-certified IVF dedup) — all shapes
+# test_parity re-proves every session. (26 names;
+# count the r8 head from cert_state.json, not this comment.) Fill the remaining ~24 r8
 # slots with the oldest r5 rows (QUERIES.md Certified column) so no
 # green row ages past 3 rounds, and put any query whose fn/oracle
 # changes during r7/r8 at the very head.

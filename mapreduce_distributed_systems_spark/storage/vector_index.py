@@ -1,0 +1,203 @@
+"""IVF vector-index persistence (ROADMAP round-7 backlog #6): the
+learned ANN index (centroids + cell-partitioned code lists) as a
+manifest-committed artifact, so queries LOAD the index instead of
+refitting the quantizer per run — the production shape for a 100 TB
+embedding store, where the Lloyd fit is a scheduled build job and the
+serving path is read-only.
+
+Reference parity note: the reference has no vector store — this is
+part of the LLM-data-pipeline surface the brief adds on top of the
+reference's operators (similarity search at scale). The commit
+protocol is the same one storage/snapshots.py certifies for C6
+(kvraft/server.go:75-78's snapshot-replaces-log-prefix contract,
+re-expressed as data-before-manifest atomic pointer commits).
+
+Layout under <base_dir>:
+
+  manifest.json            {version, k, dim, n_vectors, ...}  <- pointer
+  manifest-<ver>.json      immutable per-version commit record
+  centroids-<ver>/         parquet (cell int, cv array<bigint>)
+  codes-<ver>/             parquet (vec_id, qv) PARTITIONED BY cell
+
+Why codes are partitioned by cell: the IVF probe touches only
+n_probe of k cells, and with the code lists laid out as cell=<c>/
+partitions the candidate scan is a partition-pruned read — n_probe/k
+of the index bytes, not a full scan plus filter. That is the inverted
+part of "inverted file index" expressed as parquet layout.
+
+Certification: `ann_ivf_persisted` runs the standard IVF probe against
+an index that went through a REAL write → manifest commit → reload
+cycle, gated on the SAME bit-exact DuckDB oracle as ann_ivf_kmeans —
+proving persistence is semantically invisible. `ivf_index_cell_stats`
+certifies the stored content itself (per-cell membership counts and
+centroid norms) against the unrolled-SQL replay of the fit.
+
+Scale: the build writes one shuffle (partitionBy cell); the manifest
+is O(1); serving reads {manifest + probed partitions}. Refreshing
+after corpus growth is a versioned re-commit (version+1) with old
+versions immutable for in-flight readers — time travel across refits,
+identical to compact_snapshot's protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.operators.similarity import (
+    ANN_IVF_KMEANS_ORACLE,
+    DIM,
+    IVF_KMEANS_ITER,
+    IVF_KMEANS_K,
+    N_PROBE,
+    _ivf_build,
+    _ivf_probe_topk,
+    _kmeans_cells_sql,
+)
+from mapreduce_distributed_systems_spark.plans.registry import register
+
+MANIFEST_VERSION = 1
+
+
+def write_ivf_index(
+    codes: DataFrame,
+    cells: DataFrame,
+    base_dir: str,
+    meta: dict | None = None,
+    version: int = MANIFEST_VERSION,
+) -> str:
+    """Commit an IVF index: `codes` is (vec_id, qv, cell) — the
+    quantized vectors with their final cell assignment — and `cells`
+    is (cell, cv) — the learned centroids. Both parquet writes finish
+    BEFORE any manifest appears, so a reader that resolves a manifest
+    never sees missing data; the pointer swap is the atomic commit.
+    Returns the pointer path."""
+    codes_dir = os.path.join(base_dir, f"codes-{version:03d}")
+    cents_dir = os.path.join(base_dir, f"centroids-{version:03d}")
+    # cell-partitioned code lists: the probe's candidate read prunes to
+    # the probed cells' partitions (see module doc)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(codes_dir)
+    cells.write.mode("overwrite").parquet(cents_dir)
+    manifest = {
+        "version": version,
+        "codes_dir": codes_dir,
+        "centroids_dir": cents_dir,
+        **(meta or {}),
+    }
+    ver_path = os.path.join(base_dir, f"manifest-{version:03d}.json")
+    ver_tmp = ver_path + ".tmp"
+    with open(ver_tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(ver_tmp, ver_path)
+    path = os.path.join(base_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)  # atomic pointer swap
+    return path
+
+
+def read_ivf_index(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Resolve the manifest (latest, or a pinned historical version),
+    then load (codes, cells, manifest). `codes` comes back with the
+    partition column `cell` restored as int."""
+    name = "manifest.json" if version is None else f"manifest-{version:03d}.json"
+    with open(os.path.join(base_dir, name)) as f:
+        manifest = json.load(f)
+    codes = spark.read.parquet(manifest["codes_dir"]).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    cells = spark.read.parquet(manifest["centroids_dir"])
+    return codes, cells, manifest
+
+
+def build_and_commit_ivf(
+    spark: SparkSession, sf_dir: str, base_dir: str, version: int = 1
+) -> str:
+    """The scheduled build job: fit the int8 quantizer (the certified
+    _ivf_build path), join codes with their final assignment, commit."""
+    q8, assigned, cells = _ivf_build(spark, sf_dir)
+    codes = q8.join(assigned, "vec_id")
+    meta = {"n_cells": cells.count()}
+    return write_ivf_index(codes, cells, base_dir, meta=meta, version=version)
+
+
+@register(
+    "ann_ivf_persisted",
+    oracle=ANN_IVF_KMEANS_ORACLE,  # identical to ann_ivf_kmeans
+    tags=("similarity", "ann", "ivf", "storage"),
+    doc="IVF probe served from a PERSISTED index: build the int8 IVF "
+    "index once, commit it (cell-partitioned code lists + centroids + "
+    "atomic manifest pointer), reload it THROUGH the manifest, and run "
+    "the standard probe/rank tail off the stored artifact alone — no "
+    "refit, no re-quantization, corpus vectors read from the index. "
+    "Gated on the same bit-exact DuckDB fit-replay oracle as "
+    "ann_ivf_kmeans, proving the write/commit/load cycle is "
+    "semantically invisible. This is the serving path a 100 TB "
+    "embedding store runs: the Lloyd fit is a build job, queries only "
+    "read {manifest + probed cell partitions}.",
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="ivf_index_")
+    build_and_commit_ivf(spark, sf_dir, base)
+    codes, cells, _manifest = read_ivf_index(spark, base)
+    # serve purely from the stored artifact: quantized vectors AND
+    # assignments both come from the index
+    q8 = codes.select("vec_id", "qv")
+    assigned = codes.select("vec_id", "cell")
+    return _ivf_probe_topk(q8, assigned, cells, N_PROBE)
+
+
+# Stats over the stored artifact: per-cell membership and centroid
+# norm — certifies that what the index FILE holds (not just what the
+# probe returns) matches the oracle's replay of the fit. Empty cells
+# (possible under Lloyd) surface with n_vectors=0.
+def _ivf_index_stats_oracle() -> str:
+    prev = f"cents{IVF_KMEANS_ITER}"
+    return _kmeans_cells_sql(IVF_KMEANS_K, IVF_KMEANS_ITER, DIM) + f""",
+sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+       FROM af GROUP BY cell)
+SELECT c.cell,
+       coalesce(s.n_vectors, 0) AS n_vectors,
+       CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT)
+         AS cv_norm2
+FROM {prev} c LEFT JOIN sz s USING (cell)
+ORDER BY c.cell"""
+
+
+@register(
+    "ivf_index_cell_stats",
+    oracle=_ivf_index_stats_oracle(),
+    tags=("similarity", "ivf", "storage", "stats"),
+    doc="Index-maintenance stats read from the PERSISTED artifact: "
+    "per-cell membership count (from the cell-partitioned code lists) "
+    "and centroid squared norm (from the stored centroid table), "
+    "via the manifest. The oracle replays the integer-exact fit in "
+    "SQL, so a hash match certifies the stored bytes themselves — "
+    "the balance check an index build job runs before swapping the "
+    "pointer (skewed cells => refit with larger k).",
+)
+def ivf_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="ivf_stats_")
+    build_and_commit_ivf(spark, sf_dir, base)
+    codes, cells, _manifest = read_ivf_index(spark, base)
+    sz = codes.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    return (
+        cells.join(sz, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_vectors"), F.lit(0).cast("long")).alias(
+                "n_vectors"
+            ),
+            F.expr(
+                "aggregate(transform(cv, x -> x * x), 0L, (a, x) -> a + x)"
+            ).alias("cv_norm2"),
+        )
+        .orderBy("cell")
+    )
