@@ -749,3 +749,70 @@ def test_cms_streaming_state_is_bounded_by_cells(spark, sf_dir):
     assert 0 < state_rows <= CMS_D * CMS_W
     # and the cap is structural: it does NOT scale with key cardinality
     assert state_rows <= CMS_D * max(n_users, CMS_W)
+
+
+def test_malformed_audit_restart_preserves_loss_accounting(spark, sf_dir):
+    """Kill-and-resume for the streaming malformed audit (ROADMAP
+    round-8 backlog #4): drain HALF the time-ordered log, stop, add
+    the second half, restart from the same checkpoint. The resumed
+    complete-mode totals must equal the batch audit over the FULL log
+    — possible only if the per-type (n_rows, n_corrupt, k_sum) state
+    survived checkpoint recovery, since run 2 never re-reads file 0."""
+    import uuid
+
+    from mapreduce_distributed_systems_spark.operators.robustness import (
+        _audit_agg,
+        _corrupted_props,
+        events_json_malformed_audit,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    n = len(pdf)
+    src = tempfile.mkdtemp(prefix="malformed_restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="malformed_restart_ckpt_")
+    pdf.iloc[: n // 2].to_parquet(f"{src}/part-0.parquet", index=False)
+
+    schema = spark.read.parquet(src).schema
+    captured: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        parsed = F.get_json_object(_corrupted_props(), "$.k").cast("int")
+        agg = _audit_agg(stream.select("event_type", parsed.alias("k")))
+
+        def sink(batch_df, batch_id):
+            captured.append(batch_df.toPandas())
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # run 1: first half only, then terminates (the "crash")
+    assert captured, "run 1 produced no output"
+    half_rows = int(captured[-1]["n_rows"].sum())
+    assert half_rows == n // 2
+
+    # second half lands while the query is down
+    pdf.iloc[n // 2 :].to_parquet(f"{src}/part-1.parquet", index=False)
+    captured.clear()
+    run_once()  # run 2: same checkpoint, resumes past part-0
+
+    assert captured, "run 2 produced no output"
+    final = captured[-1]
+    got = {
+        (r.event_type, int(r.n_rows), int(r.n_corrupt), int(r.k_sum),
+         float(r.corrupt_rate))
+        for r in final.itertuples(index=False)
+    }
+    want = {
+        (r.event_type, int(r.n_rows), int(r.n_corrupt), int(r.k_sum),
+         float(r.corrupt_rate))
+        for r in events_json_malformed_audit(spark, sf_dir).collect()
+    }
+    assert got == want
