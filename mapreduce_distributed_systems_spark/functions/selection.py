@@ -81,6 +81,20 @@ def _boundary_table(
     higher-order function, no window exchange, quota evaluated inline.
     Two map-side-combined shuffles per pass, nothing else."""
     hist = df.groupBy(*group_cols, bucket_col).agg(F.count("*").alias("_c"))
+    return _boundary_from_hist(hist, group_cols, bucket_col, quota, quotas)
+
+
+def _boundary_from_hist(
+    hist: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    quota: Column | None = None,
+    quotas: DataFrame | None = None,
+) -> DataFrame:
+    """`_boundary_table` starting from a precomputed (group, bucket)
+    histogram with counts in `_c` — lets callers that already paid a
+    corpus-sized histogram pass derive the boundary without a second
+    one (select_first_by_value)."""
     packed = hist.groupBy(*group_cols).agg(
         F.sort_array(
             F.collect_list(
@@ -198,8 +212,9 @@ def select_first_by_value(
     EVERY window in the plan bounded even when the value distribution
     is tie-degenerate.
 
-    `df` must carry an integer `bucket_col` monotone in the value
-    order (e.g. a span-scaled score bucket). Unlike the md5-prefix
+    `df` must carry an integer `bucket_col` that is a pure function of
+    `value_col`, monotone in the value order (e.g. a span-scaled score
+    bucket — equal values always share a bucket). Unlike the md5-prefix
     buckets of `select_first_by_hash`, value-derived bucket occupancy
     is data-dependent: a distribution where most of one group shares a
     single value straddling the quota boundary concentrates that tie
@@ -222,46 +237,61 @@ def select_first_by_value(
        the data). The final row_number window sees an expected
        tie_mass/65536 sliver.
 
-    Plan economy (round-7 bench lesson): the first cut of this
-    function composed `_boundary_split` per level, so each output
-    branch re-executed the level-2 histogram subtree — 4x the stage
-    count for identical results (7.8 s vs 1.4 s on 5 k rows, pure
-    fixed overhead). This version broadcasts BOTH boundary tables
-    onto one tagged frame, so keep/better are a single narrow filter,
-    and caches the O(|groups|)-row value-boundary table (the caller's
-    clearCache evicts it).
+    Plan economy (round-7 bench lessons, two stages of it): the first
+    cut composed `_boundary_split` per level, so each output branch
+    re-executed the level-2 histogram subtree — 4x the stage count for
+    identical results (7.8 s vs 1.4 s on 5 k rows, pure fixed
+    overhead). The second fix broadcast BOTH boundary tables onto one
+    tagged frame (keep/better become narrow filters) and cached the
+    O(|groups|)-row value-boundary table. The third fix fuses the
+    level-1 and level-2 histograms into ONE corpus-sized pass: since
+    `bucket_col` must be a pure function of `value_col` for the
+    boundary-value split to be exact at all (equal values MUST share a
+    bucket — callers derive the bucket from the value), a single
+    per-(group, bucket, value) histogram serves both levels; the
+    bucket histogram is a re-aggregation of HISTOGRAM rows, not a
+    second corpus scan.
 
     Results are exactly `row_number() OVER (PARTITION BY group ORDER
     BY value [DESC], id) <= quota` for any distribution.
     """
     group_cols = list(group_cols)
-    bound = _boundary_table(df, group_cols, bucket_col, quota=quota)
-
     val_order = F.col(value_col).desc() if value_desc else F.col(value_col)
-    # level 2: exact-value histogram inside the boundary bucket.
-    # _residual is constant per group within the sliver (min = that
-    # constant); the shuffle carries one row per (group, value).
-    sliver = df.join(F.broadcast(bound), group_cols).where(
+
+    # THE corpus-sized pass: per-(group, bucket, value) counts,
+    # map-side combined. bucket rides along at zero cost because it is
+    # functionally dependent on value.
+    vh = df.groupBy(*group_cols, bucket_col, value_col).agg(
+        F.count("*").alias("_vc")
+    )
+    # level 1: bucket-histogram boundary, derived from vh rows
+    bhist = vh.groupBy(*group_cols, bucket_col).agg(
+        F.sum("_vc").alias("_c")
+    )
+    bound = _boundary_from_hist(bhist, group_cols, bucket_col, quota=quota)
+
+    # level 2: exact-value cumulative INSIDE the boundary bucket, again
+    # over vh rows (an expected n_group/65536 sliver of values).
+    vsliver = vh.join(F.broadcast(bound), group_cols).where(
         F.col(bucket_col) == F.col("_bbkt")
     )
-    vhist = sliver.groupBy(*group_cols, value_col).agg(
-        F.count("*").alias("_vc"), F.min("_residual").alias("_res")
-    )
     wv = W.partitionBy(*group_cols).orderBy(val_order)
-    vcum = vhist.withColumn("_vcum", F.sum("_vc").over(wv))
+    vcum = vsliver.withColumn("_vcum", F.sum("_vc").over(wv))
     # residual >= 1 and <= the boundary bucket's count, so exactly one
     # value row per group crosses it: the boundary value. O(|groups|)
     # rows; cached because it feeds two broadcast builds (the tagged
     # frame and the level-3 quotas).
     vbound = (
         vcum.where(
-            (F.col("_vcum") - F.col("_vc") < F.col("_res"))
-            & (F.col("_vcum") >= F.col("_res"))
+            (F.col("_vcum") - F.col("_vc") < F.col("_residual"))
+            & (F.col("_vcum") >= F.col("_residual"))
         )
         .select(
             *group_cols,
             F.col(value_col).alias("_bval"),
-            (F.col("_res") - (F.col("_vcum") - F.col("_vc"))).alias("_vres"),
+            (
+                F.col("_residual") - (F.col("_vcum") - F.col("_vc"))
+            ).alias("_vres"),
         )
         .cache()
     )
