@@ -49,6 +49,33 @@ def test_lsh_banding_formula_bounds_occupancy():
     assert bit_seq == sorted(bit_seq)
 
 
+def _perturbed_10x_corpus(spark, sf_dir):
+    """The shared 10x growth fixture for the banding-lever tests: 9
+    per-copy-perturbed clones of the embeddings table (one component
+    shifted by i*0.37 so vectors are distinct, as real growth would
+    be — pure key-shifted clones would share signatures and trivially
+    saturate any banding). Copy i lives at vec_id + i*100_000_000."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    copies = emb
+    for i in range(1, 10):
+        copies = copies.unionByName(
+            emb.select(
+                (F.col("vec_id") + 100_000_000 * i).alias("vec_id"),
+                F.expr(
+                    f"transform(v, (x, j) -> CASE WHEN j = {i % 64} "
+                    f"THEN x + {i} * 0.37d ELSE x END)"
+                ).alias("v"),
+            )
+        )
+    return emb, copies
+
+
 def test_lsh_occupancy_bounded_under_10x(spark, sf_dir):
     """Empirical twin of the formula test: on a 10x synthetic corpus
     (per-copy perturbed so vectors are distinct, as real growth would
@@ -62,25 +89,8 @@ def test_lsh_occupancy_bounded_under_10x(spark, sf_dir):
         lsh_bits_for,
         rh_band_keys,
     )
-    from mapreduce_distributed_systems_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    copies = emb
-    for i in range(1, 10):
-        copies = copies.unionByName(
-            emb.select(
-                (F.col("vec_id") + 100_000_000 * i).alias("vec_id"),
-                # perturb one component per copy so the 10x corpus has
-                # distinct vectors (pure key-shifted clones would share
-                # signatures and trivially saturate any banding)
-                F.expr(
-                    f"transform(v, (x, j) -> CASE WHEN j = {i % 64} "
-                    f"THEN x + {i} * 0.37d ELSE x END)"
-                ).alias("v"),
-            )
-        )
+    _, copies = _perturbed_10x_corpus(spark, sf_dir)
     n = copies.count()
     bits = lsh_bits_for(n)
     assert bits > lsh_bits_for(n // 10), "10x growth should engage the lever"
@@ -94,6 +104,70 @@ def test_lsh_occupancy_bounded_under_10x(spark, sf_dir):
     assert occ <= LSH_TARGET_OCCUPANCY, f"mean occupancy {occ:.1f}"
     fixed_occ = n / 2**4  # what the un-scaled 4-bit config would average
     assert occ < fixed_occ
+
+
+def test_lsh_recall_floor_under_10x(spark, sf_dir):
+    """Recall twin of the occupancy test — the band-growth story needs
+    measured recall NEXT TO measured occupancy: every extra bit per
+    band lowers a true neighbor's per-band collision probability
+    ((1-theta/pi)^bits), so a lever that only bounded occupancy could
+    silently trade away the recall the dedup path depends on.
+
+    Ground truth is planted by the same 10x fixture: copy 1 shifts one
+    component by 0.37 on a unit-norm vector, so each (orig, copy1)
+    pair sits at cosine ~0.91-0.96 — the near-dup tier
+    dedup_embedding_cosine targets. With the lever engaged (6 bits at
+    ~5.5k vs the 4-bit floor), RH-LSH theory puts any-of-6-band
+    collision for that tier at >=0.95; the floor at 0.75 guards
+    against collapse while leaving room for plane-sampling variance.
+    Pairs are conditioned on MEASURED cosine >= 0.9 so the property is
+    exact, not an artifact of the perturbation's tail."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        N_BANDS,
+        lsh_bits_for,
+        rh_band_keys,
+    )
+
+    emb, copies = _perturbed_10x_corpus(spark, sf_dir)
+    n = copies.count()
+    bits = lsh_bits_for(n)
+    assert bits > lsh_bits_for(n // 10), "10x growth should engage the lever"
+
+    # measured cosine of each planted (orig, copy1) pair: unit-norm
+    # originals, so cos = (1 + 0.37*v[1]) / sqrt(1 + 0.74*v[1] + 0.37^2)
+    truth = (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "(1.0d + 0.37d * v[1]) / "
+                "sqrt(1.0d + 0.74d * v[1] + 0.1369d)"
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.9)
+    )
+    n_truth = truth.count()
+    assert n_truth > 0
+
+    keys = rh_band_keys(copies, N_BANDS, bits)
+    ka = keys.where(F.col("vec_id") < 100_000_000)
+    kb = keys.where(
+        (F.col("vec_id") >= 100_000_000) & (F.col("vec_id") < 200_000_000)
+    ).select(
+        (F.col("vec_id") - 100_000_000).alias("vec_id"),
+        F.col("k"),
+        F.col("bkey"),
+    )
+    matched = (
+        ka.join(kb, ["vec_id", "k", "bkey"]).select("vec_id").distinct()
+    )
+    hit = matched.join(truth, "vec_id").count()
+    recall = hit / n_truth
+    assert recall >= 0.75, (
+        f"banding-lever recall collapsed: {recall:.3f} over {n_truth} "
+        f"planted near-dup pairs at bits={bits}"
+    )
 
 
 def test_ivf_cell_formula_bounds_cell_size():
