@@ -270,3 +270,105 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rebuilt_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+
+# CCNet (arXiv:1911.00359 §4.3) splits each language's corpus into
+# equal-document thirds by LM perplexity and trains on head(+middle).
+# NTILE semantics: the first (n % 3) buckets take one extra document.
+_PPL_LABEL = "CASE WHEN {b} = 1 THEN 'head' WHEN {b} = 2 THEN 'middle' ELSE 'tail' END"
+
+PPL_BUCKET_ORACLE = f"""
+SELECT j.doc_id, j.lang, j.nll,
+       {_PPL_LABEL.format(b="ntile(3) OVER (PARTITION BY j.lang ORDER BY j.nll, j.doc_id)")} AS bucket
+FROM (
+  SELECT d.doc_id, d.lang, s.nll
+  FROM ({LM_SCORE_ORACLE}) s JOIN documents d USING (doc_id)
+) j
+"""
+
+
+@register(
+    "quality_perplexity_buckets",
+    oracle=PPL_BUCKET_ORACLE,
+    tags=("quality", "lm", "text", "curation"),
+    doc="CCNet's head/middle/tail split: per LANGUAGE, rank documents "
+    "by unigram-LM mean NLL (quality_ngram_lm_score's certified score, "
+    "rounded 6dp in both engines so the order is identical) and cut "
+    "into equal-document thirds with exact NTILE semantics. Plan: the "
+    "rank is DISTRIBUTED, never a per-language single-reducer window — "
+    "range-partition on (lang, nll, doc_id), rank locally per "
+    "(partition, lang), then add per-(partition, lang) prefix offsets "
+    "(an O(#partitions x #languages) driver-side scalar, the "
+    "window_ntile_pctrank machinery generalized to grouped ranking). "
+    "At 100 TB a language holds billions of documents; PARTITION BY "
+    "lang ORDER BY nll would funnel each language through one task, "
+    "while this plan's only corpus-sized exchanges are the LM scoring "
+    "aggregates and one range repartition. Buckets per language "
+    "differ in size by <= 1 by construction (pinned in "
+    "tests/test_lm_quality.py).",
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = quality_ngram_lm_score(spark, sf_dir).select("doc_id", "nll")
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # Persist the range-partitioned frame so the offset-count job and
+    # the final job see the SAME partition boundaries (range sampling
+    # re-draws per job otherwise) — the window_ntile_pctrank pattern.
+    part = (
+        scored.join(lang, "doc_id")
+        .repartitionByRange(n_parts, "lang", "nll", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = part.groupBy("_pid", "lang").agg(F.count("*").alias("n")).collect()
+    langs = sorted({r["lang"] for r in counts})
+    n_lang = {
+        lg: sum(r["n"] for r in counts if r["lang"] == lg) for lg in langs
+    }
+    # per-(pid, lang) prefix offset within the language, keyed
+    # "pid:lang" (create_map wants scalar keys)
+    by_pid = {(r["_pid"], r["lang"]): r["n"] for r in counts}
+    off_items: list = []
+    for lg in langs:
+        acc = 0
+        for pid in range(n_parts):
+            off_items += [F.lit(f"{pid}:{lg}"), F.lit(acc)]
+            acc += by_pid.get((pid, lg), 0)
+    off_map = F.create_map(*off_items)
+    # per-language NTILE(3) constants: q, rem, big = rem * (q + 1)
+    def _lang_map(fn):
+        items: list = []
+        for lg in langs:
+            items += [F.lit(lg), F.lit(fn(n_lang[lg]))]
+        return F.create_map(*items)
+
+    q_map = _lang_map(lambda n: n // 3)
+    rem_map = _lang_map(lambda n: n % 3)
+    big_map = _lang_map(lambda n: (n % 3) * (n // 3 + 1))
+
+    w_local = W.partitionBy("_pid", "lang").orderBy("nll", "doc_id")
+    key = F.concat(F.col("_pid").cast("string"), F.lit(":"), F.col("lang"))
+    rank = (F.element_at(off_map, key) + F.row_number().over(w_local)).cast(
+        "long"
+    )
+    q = F.element_at(q_map, F.col("lang"))
+    rem = F.element_at(rem_map, F.col("lang"))
+    big = F.element_at(big_map, F.col("lang"))
+    bucket_num = F.when(
+        F.col("_rank") <= big, F.ceil(F.col("_rank") / (q + 1))
+    ).otherwise(rem + F.ceil((F.col("_rank") - big) / F.greatest(q, F.lit(1))))
+    label = (
+        F.when(bucket_num == 1, F.lit("head"))
+        .when(bucket_num == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        part.withColumn("_rank", rank)
+        .select("doc_id", "lang", "nll", label.alias("bucket"))
+    )

@@ -125,7 +125,8 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (8) ---------------------
+    # -- round-7 additions: first driver row (9) ---------------------
+    "quality_perplexity_buckets",
     "quality_ngram_lm_score",
     "dedup_paragraph_rewrite",
     "pipeline_decontaminated_split",
@@ -155,7 +156,8 @@ GATE_ORDER = (
     "unpivot_status_priority",
     "skew_salted_join",
     # -- (c) r4-certified refreshes: single-row / FAIL-history /
-    #    stateful surfaces first (34) --------------------------------
+    #    stateful surfaces first (33; agg_max_by displaced to the r8
+    #    note by quality_perplexity_buckets) -------------------------
     "kv_snapshot_manifest_replay",   # r4 only
     "shard_serve_during_migration",  # r4 only
     "events_sessionize_streaming",   # r3:FAIL r4:hash
@@ -179,12 +181,11 @@ GATE_ORDER = (
     "join_semi_customers",
     "join_anti_parts",
     "agg_distinct_priority",
-    "agg_max_by",
 )
 
 # Round-8 rotation note: the r4-certified names deferred past the
 # r7 window (they will be 4 rounds old at r8 close and MUST head the
-# r8 window per the enforced gate): set_union, set_intersect,
+# r8 window per the enforced gate): agg_max_by, set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
 # string_funcs_ext, date_funcs_ext, pivot_status_by_priority,
 # rollup_status_priority, cube_returnflag_linestatus, array_ops,

@@ -73,3 +73,37 @@ def test_paragraph_rewrite_min_is_map_side_combined(spark, sf_dir):
         .toString()
     )
     assert "partial_min" in plan
+
+
+def test_perplexity_buckets_are_equal_thirds_and_ordered(spark, sf_dir):
+    """NTILE exactness without the oracle: per language the three
+    buckets differ in size by <= 1, every document is bucketed
+    exactly once, and the score order is respected (a head document
+    never has a strictly higher NLL than a tail document — ties may
+    straddle boundaries, the deterministic doc_id tie-break decides)."""
+    df = get_spec("quality_perplexity_buckets").fn(spark, sf_dir).cache()
+    total = df.count()
+    docs = get_spec("quality_ngram_lm_score").fn(spark, sf_dir).count()
+    assert total == docs  # one bucket per scored document
+
+    sizes = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in df.groupBy("lang", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    langs = {lg for lg, _ in sizes}
+    for lg in langs:
+        ns = [sizes.get((lg, b), 0) for b in ("head", "middle", "tail")]
+        assert max(ns) - min(ns) <= 1, (lg, ns)
+
+    bounds = {
+        (r["lang"], r["bucket"]): (r["lo"], r["hi"])
+        for r in df.groupBy("lang", "bucket")
+        .agg(F.min("nll").alias("lo"), F.max("nll").alias("hi"))
+        .collect()
+    }
+    for lg in langs:
+        if (lg, "head") in bounds and (lg, "tail") in bounds:
+            assert bounds[(lg, "head")][1] <= bounds[(lg, "tail")][0], lg
+        if (lg, "head") in bounds and (lg, "middle") in bounds:
+            assert bounds[(lg, "head")][1] <= bounds[(lg, "middle")][1], lg
+    df.unpersist()
