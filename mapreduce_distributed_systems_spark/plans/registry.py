@@ -125,7 +125,8 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (9) ---------------------
+    # -- round-7 additions: first driver row (10) --------------------
+    "ann_ivf_index_append",
     "quality_perplexity_buckets",
     "quality_ngram_lm_score",
     "dedup_paragraph_rewrite",
@@ -156,8 +157,9 @@ GATE_ORDER = (
     "unpivot_status_priority",
     "skew_salted_join",
     # -- (c) r4-certified refreshes: single-row / FAIL-history /
-    #    stateful surfaces first (33; agg_max_by displaced to the r8
-    #    note by quality_perplexity_buckets) -------------------------
+    #    stateful surfaces first (32; agg_max_by and
+    #    agg_distinct_priority displaced to the r8 note by the two
+    #    session-3 additions) -----------------------------------------
     "kv_snapshot_manifest_replay",   # r4 only
     "shard_serve_during_migration",  # r4 only
     "events_sessionize_streaming",   # r3:FAIL r4:hash
@@ -180,12 +182,12 @@ GATE_ORDER = (
     "join_full_outer",
     "join_semi_customers",
     "join_anti_parts",
-    "agg_distinct_priority",
 )
 
 # Round-8 rotation note: the r4-certified names deferred past the
 # r7 window (they will be 4 rounds old at r8 close and MUST head the
-# r8 window per the enforced gate): agg_max_by, set_union, set_intersect,
+# r8 window per the enforced gate): agg_max_by, agg_distinct_priority,
+# set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
 # string_funcs_ext, date_funcs_ext, pivot_status_by_priority,
 # rollup_status_priority, cube_returnflag_linestatus, array_ops,

