@@ -295,6 +295,8 @@ FROM (
     "quality_perplexity_buckets",
     oracle=PPL_BUCKET_ORACLE,
     tags=("quality", "lm", "text", "curation"),
+    bench=True,  # round-7 session 3: completes the benched CCNet pair
+
     doc="CCNet's head/middle/tail split: per LANGUAGE, rank documents "
     "by unigram-LM mean NLL (quality_ngram_lm_score's certified score, "
     "rounded 6dp in both engines so the order is identical) and cut "
