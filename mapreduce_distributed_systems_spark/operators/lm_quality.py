@@ -200,9 +200,18 @@ GROUP BY doc_id
     "(never the text; a boilerplate paragraph repeated across the "
     "corpus makes a HOT hash key, which the algebraic min absorbs "
     "map-side); the instance-tagging join back on the hash is the one "
-    "skew-prone exchange — AQE skew-join splits the hot hash's "
-    "partition at runtime (session.py enables it), the documented "
-    "production mitigation; the per-doc rebuild groups by doc_id "
+    "skew-prone exchange. What protects it, MEASURED on a "
+    "boilerplate-dense replica (tools/probe_rewrite_skew.py): while "
+    "the distinct-paragraph table fits the broadcast threshold the "
+    "tag-back is a broadcast join and the hot key never shuffles; in "
+    "the forced shuffle-join regime AQE's skew split does NOT engage "
+    "— its detection reads compressed map-output bytes, and 25k "
+    "copies of one identical paragraph lz4-collapse to ~median bytes "
+    "while carrying ~7x median ROWS, a blindness that is "
+    "scale-invariant — so if boilerplate density ever makes the "
+    "row-skew a straggler, the mitigation is salting the tag-back "
+    "(the skew_salted_join machinery), not AQE; "
+    "the per-doc rebuild groups by doc_id "
     "(never hot) with a bounded sort_array, no window. Short "
     "duplicate documents already collide naturally (their whole text "
     "is one partial chunk), and a boilerplate paragraph is ALSO "

