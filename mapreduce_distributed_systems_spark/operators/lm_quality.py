@@ -135,6 +135,41 @@ PARA_BOILERPLATE = (
 # corpus of longer documents raises POS_PACK in code, like the LSH
 # banding width.
 POS_PACK = 100_000
+# Hot-slice split levers for the tag-back join (measured rationale in
+# tools/probe_rewrite_skew.py + BENCH_NOTES.md: AQE's byte-based skew
+# split is structurally blind to identical-content hot keys — the
+# payload lz4-collapses to ~median bytes while carrying ~7x median
+# rows — so the mitigation must be in the plan, not the runtime).
+# Hashes with more than REWRITE_HOT_CAP instances route through a
+# broadcast join (the hot slice is bounded: <= n_paragraphs / CAP
+# rows); everything else takes the ordinary join with the hot rows
+# ANTI-FILTERED OUT of its shuffle. Engaged above
+# REWRITE_SPLIT_MIN_DOCS so driver/bench SFs keep the single-join
+# plan the static oracle and plan pins certify (the lsh_bits_for /
+# TWO_LEVEL_MIN_K gate pattern); results are identical either way
+# (tests/test_lm_quality.py pins split == unsplit).
+REWRITE_HOT_CAP = 1024
+REWRITE_SPLIT_MIN_DOCS = 20_000
+
+
+def _tag_first_occurrence(ch, split: bool):
+    """Tag each paragraph instance with keep = (pk == min pk of its
+    hash). `split=True` is the at-scale plan: hot hashes (instance
+    count > REWRITE_HOT_CAP) join via broadcast of the bounded hot
+    slice, cold hashes join with hot instances anti-filtered out of
+    the shuffle — no partition ever receives a hot key's fan-in."""
+    firsts = ch.groupBy("h").agg(
+        F.min("pk").alias("first_pk"), F.count("*").alias("_cnt")
+    )
+    if not split:
+        tagged = ch.join(firsts.drop("_cnt"), "h")
+    else:
+        hot = firsts.where(F.col("_cnt") > REWRITE_HOT_CAP).drop("_cnt")
+        cold = firsts.where(F.col("_cnt") <= REWRITE_HOT_CAP).drop("_cnt")
+        tagged = ch.join(
+            F.broadcast(hot.select("h")), "h", "left_anti"
+        ).join(cold, "h").unionByName(ch.join(F.broadcast(hot), "h"))
+    return tagged.withColumn("keep", F.col("pk") == F.col("first_pk"))
 
 PARA_REWRITE_ORACLE = f"""
 WITH base AS (
@@ -259,9 +294,9 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk").alias("h"),
         (F.col("doc_id") * POS_PACK + F.col("pos")).alias("pk"),
     )
-    firsts = ch.groupBy("h").agg(F.min("pk").alias("first_pk"))
-    tagged = ch.join(firsts, "h").withColumn(
-        "keep", F.col("pk") == F.col("first_pk")
+    n_docs = docs.count()
+    tagged = _tag_first_occurrence(
+        ch, split=n_docs >= REWRITE_SPLIT_MIN_DOCS
     )
     kept_struct = F.when(
         F.col("keep"), F.struct(F.col("pos"), F.col("chunk"))

@@ -107,3 +107,56 @@ def test_perplexity_buckets_are_equal_thirds_and_ordered(spark, sf_dir):
         if (lg, "head") in bounds and (lg, "middle") in bounds:
             assert bounds[(lg, "head")][1] <= bounds[(lg, "middle")][1], lg
     df.unpersist()
+
+
+def test_rewrite_hot_slice_split_is_invisible(spark, sf_dir):
+    """The at-scale tag-back plan (hot-hash broadcast slice + cold
+    join with hot rows anti-filtered from its shuffle) must tag
+    exactly what the single-join plan tags — on a corpus where the
+    planted boilerplate hash IS hot relative to a lowered cap."""
+    import mapreduce_distributed_systems_spark.operators.lm_quality as lmq
+
+    docs = lmq.load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % lmq.PARA_PLANT_MOD == 0,
+            F.concat(F.lit(lmq.PARA_BOILERPLATE + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    toks = base.select(
+        "doc_id", lmq.words("text").alias("toks")
+    ).where(F.size("toks") > 0)
+    n_ch = F.ceil(F.size("toks") / F.lit(float(lmq.PARA_TOKENS))).cast("long")
+    ch = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_ch - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        (i * lmq.PARA_TOKENS + 1).cast("int"),
+                        lmq.PARA_TOKENS,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "chunk",
+        F.md5("chunk").alias("h"),
+        (F.col("doc_id") * lmq.POS_PACK + F.col("pos")).alias("pk"),
+    )
+    old_cap = lmq.REWRITE_HOT_CAP
+    lmq.REWRITE_HOT_CAP = 3  # make the planted hash genuinely hot
+    try:
+        key = lambda r: (r.doc_id, r.pos)  # noqa: E731
+        a = {key(r): r.keep for r in lmq._tag_first_occurrence(ch, split=True).collect()}
+        b = {key(r): r.keep for r in lmq._tag_first_occurrence(ch, split=False).collect()}
+    finally:
+        lmq.REWRITE_HOT_CAP = old_cap
+    assert a == b and len(a) > 0
+    assert sum(a.values()) < len(a)  # duplicates actually dropped

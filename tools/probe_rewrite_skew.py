@@ -201,9 +201,30 @@ def main() -> None:
     ns = sorted(r["n"] for r in dist)
     med = ns[len(ns) // 2]
     print(
-        f"tag-back exchange row skew: max={ns[-1]:,} median={med:,} "
+        f"naive tag-back exchange row skew: max={ns[-1]:,} median={med:,} "
         f"ratio={ns[-1] / med:.2f}x (bytes ~1.1x after lz4 — below any "
         f"factor AQE could use)"
+    )
+    # ... and what the hot-slice split (REWRITE_HOT_CAP) leaves in the
+    # cold join's shuffle: hot hashes anti-filtered out entirely
+    from mapreduce_distributed_systems_spark.operators.lm_quality import (
+        REWRITE_HOT_CAP,
+    )
+
+    hcnt = ch.groupBy("h").agg(F.count("*").alias("c"))
+    cold = ch.join(
+        hcnt.where(F.col("c") > REWRITE_HOT_CAP).select("h"), "h", "left_anti"
+    )
+    dist2 = (
+        cold.groupBy(F.pmod(F.hash("h"), F.lit(32)).alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ns2 = sorted(r["n"] for r in dist2)
+    med2 = ns2[len(ns2) // 2]
+    print(
+        f"cold exchange after hot-slice split: max={ns2[-1]:,} "
+        f"median={med2:,} ratio={ns2[-1] / med2:.2f}x"
     )
 
 
