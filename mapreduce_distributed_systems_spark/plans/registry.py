@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.storage.vector_index",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
     "mapreduce_distributed_systems_spark.streaming.event_stream",
+    "mapreduce_distributed_systems_spark.streaming.doc_stream",
     "mapreduce_distributed_systems_spark.streaming.kv_tws",
     "mapreduce_distributed_systems_spark.streaming.shard_stream",
 )
@@ -125,7 +126,8 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (10) --------------------
+    # -- round-7 additions: first driver row (11) --------------------
+    "quality_classifier_streaming",
     "ann_ivf_index_append",
     "quality_perplexity_buckets",
     "quality_ngram_lm_score",
@@ -157,8 +159,8 @@ GATE_ORDER = (
     "unpivot_status_priority",
     "skew_salted_join",
     # -- (c) r4-certified refreshes: single-row / FAIL-history /
-    #    stateful surfaces first (32; agg_max_by and
-    #    agg_distinct_priority displaced to the r8 note by the two
+    #    stateful surfaces first (31; agg_max_by, agg_distinct_priority
+    #    and join_anti_parts displaced to the r8 note by the three
     #    session-3 additions) -----------------------------------------
     "kv_snapshot_manifest_replay",   # r4 only
     "shard_serve_during_migration",  # r4 only
@@ -181,12 +183,12 @@ GATE_ORDER = (
     "join_left_outer",
     "join_full_outer",
     "join_semi_customers",
-    "join_anti_parts",
 )
 
 # Round-8 rotation note: the r4-certified names deferred past the
 # r7 window (they will be 4 rounds old at r8 close and MUST head the
 # r8 window per the enforced gate): agg_max_by, agg_distinct_priority,
+# join_anti_parts,
 # set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
 # string_funcs_ext, date_funcs_ext, pivot_status_by_priority,

@@ -816,3 +816,52 @@ def test_malformed_audit_restart_preserves_loss_accounting(spark, sf_dir):
         for r in events_json_malformed_audit(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_classifier_stream_is_stateless_map_only(spark, sf_dir):
+    """The inference twin's 24/7 contract: ZERO state operators (no
+    watermark, no aggregation state) and append-mode output equal to
+    the batch scorer — a stream that can run forever with nothing to
+    bound. Drive the registered query's own plan and read the final
+    progress."""
+    import tempfile
+    import uuid
+
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+    from mapreduce_distributed_systems_spark.streaming.doc_stream import (
+        _score_expr,
+    )
+    from mapreduce_distributed_systems_spark.functions.text import words
+    import os as _os
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tempfile.mkdtemp(prefix="cls_state_src_")
+    _os.symlink(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+    scored = (
+        spark.readStream.schema(raw.schema)
+        .parquet(src)
+        .withColumn("_toks", words("text"))
+        .select("doc_id", F.expr(_score_expr()).alias("score"))
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(f"cls_state_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cls_state_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = (q.lastProgress or {}).get("stateOperators", [])
+    assert ops == [] or all(op["numRowsTotal"] == 0 for op in ops)
+
+    # and the registered twin equals the batch scorer row-for-row
+    twin = {
+        (r.doc_id, r.n_tokens, r.score, r.label)
+        for r in get_spec("quality_classifier_streaming").fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_tokens, r.score, r.label)
+        for r in get_spec("quality_classifier_score").fn(spark, sf_dir).collect()
+    }
+    assert twin == batch and len(twin) > 0
