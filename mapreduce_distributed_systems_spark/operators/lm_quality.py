@@ -418,3 +418,55 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.withColumn("_rank", rank)
         .select("doc_id", "lang", "nll", label.alias("bucket"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet filter composition: keep head + middle per language
+# ---------------------------------------------------------------------------
+
+CCNET_FILTER_ORACLE = f"""
+WITH buckets AS ({PPL_BUCKET_ORACLE}),
+nscores AS (
+  SELECT doc_id, n_tokens FROM ({LM_SCORE_ORACLE}) s
+)
+SELECT b.lang, b.bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n.n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(b.nll), 6) AS mean_nll
+FROM buckets b JOIN nscores n USING (doc_id)
+WHERE b.bucket <> 'tail'
+GROUP BY b.lang, b.bucket
+"""
+
+
+@register(
+    "pipeline_ccnet_filter",
+    oracle=CCNET_FILTER_ORACLE,
+    tags=("pipeline", "quality", "lm", "curation"),
+    doc="The CCNet retention decision end-to-end: score every document "
+    "with the unigram LM, split each language into perplexity terciles "
+    "(quality_perplexity_buckets' distributed rank), KEEP head+middle "
+    "and report the retained corpus per (language, bucket) — document "
+    "count, token budget, mean NLL. This is the composition the CCNet "
+    "paper ships as its actual filter (arXiv:1911.00359 §4.3: train on "
+    "head/middle, drop tail), certified as one query so the whole "
+    "score -> rank -> cut -> account chain hash-matches the SQL "
+    "replay. Plan: reuses the bucket query's scoring aggregates and "
+    "distributed rank, one doc-keyed join to carry token counts, one "
+    "final (lang, bucket) map-side-combined aggregate over <= 2x "
+    "|languages| groups.",
+)
+def pipeline_ccnet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = quality_perplexity_buckets(spark, sf_dir).where(
+        F.col("bucket") != "tail"
+    )
+    ntok = quality_ngram_lm_score(spark, sf_dir).select("doc_id", "n_tokens")
+    return (
+        kept.join(ntok, "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+        )
+    )
