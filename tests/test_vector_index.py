@@ -131,3 +131,44 @@ def test_append_preserves_base_codes_and_centroids(spark, sf_dir):
     # every appended vector landed in a learned cell (k rows, all cells
     # present exactly once)
     assert len(rows) == len({r["cell"] for r in rows})
+
+
+def test_compaction_is_content_invisible_and_merges_files(spark, sf_dir):
+    """compact_ivf_index after an append: identical (vec_id, qv, cell,
+    gen) content, strictly fewer data files (one per cell), same
+    centroids, old versions still resolvable — the compact_snapshot
+    contract on the vector store."""
+    import glob
+
+    from mapreduce_distributed_systems_spark.storage.vector_index import (
+        compact_ivf_index,
+    )
+
+    # build a fragmented index: the registered append query leaves a
+    # 2-generation version 2 behind in its own tempdir, so rebuild the
+    # same shape here to know base_dir
+    import mapreduce_distributed_systems_spark.storage.vector_index as vi
+
+    base = tempfile.mkdtemp(prefix="ivf_compact_")
+    real_mkdtemp = tempfile.mkdtemp
+    try:
+        tempfile.mkdtemp = lambda prefix=None, **kw: base  # pin the dir
+        get_spec("ann_ivf_index_append").fn(spark, sf_dir).collect()
+    finally:
+        tempfile.mkdtemp = real_mkdtemp
+
+    before, cells_b, m2 = read_ivf_index(spark, base)
+    files_before = glob.glob(f"{base}/codes-002/*/*.parquet")
+    compact_ivf_index(spark, base)
+    after, cells_a, m3 = read_ivf_index(spark, base)
+    assert m3["version"] == 3 and m3["compacted_from"] == 2
+    files_after = glob.glob(f"{base}/codes-003/*/*.parquet")
+    assert len(files_after) < len(files_before)
+    key = lambda r: (r.vec_id, tuple(r.qv), int(r.cell), r.gen)  # noqa: E731
+    assert {key(r) for r in after.collect()} == {key(r) for r in before.collect()}
+    assert {(r.cell, tuple(r.cv)) for r in cells_a.collect()} == {
+        (r.cell, tuple(r.cv)) for r in cells_b.collect()
+    }
+    # superseded version still reads (time travel across compactions)
+    v2, _, _ = read_ivf_index(spark, base, version=2)
+    assert v2.count() == after.count()
