@@ -1,0 +1,184 @@
+"""Distributed BPE merge training — the tokenizer-TRAINING stage of a
+pretraining pipeline (Sennrich et al. 2016, arXiv:1508.07909; the
+GPT/Llama tokenizers are trained with exactly this loop at corpus
+scale). vocab_build_encode covers vocabulary + encoding; this learns
+the merge TABLE itself.
+
+Algorithm (word-internal BPE, the standard formulation):
+  1. word-frequency compression: one corpus-sized aggregate collapses
+     the token stream to (distinct word, frequency) — all later work
+     is over the distinct-word table, the trick every distributed BPE
+     trainer (HF tokenizers, SentencePiece) uses;
+  2. per merge round: count adjacent symbol pairs weighted by word
+     frequency (map-side-combined aggregate over a 16-byte-ish key),
+     pick the most frequent pair (count desc, then lexicographic —
+     deterministic in both engines under binary collation), rewrite
+     every word's symbol string with the merged token (map-only
+     string replace), repeat.
+
+Symbol strings are '|'-delimited with sentinel edges ('|a|b|c|') so a
+pair pattern '|a|b|' can only match whole symbols, never the inside
+of a longer token. Greedy left-to-right non-overlapping replacement —
+the BPE application order — is exactly the semantics of `replace` in
+BOTH engines ('|a|a|a|' + merge (a,a) -> '|aa|a|'), which is what
+makes the whole training loop hash-certifiable: N_MERGES unrolled
+rounds replay in DuckDB CTE-for-CTE (the kmeans/PageRank unroll
+pattern).
+
+Scale: the corpus is touched ONCE (the word-frequency aggregate);
+each round then shuffles only (pair, partial-count) rows from the
+distinct-word table with map-side combine, collects exactly ONE
+argmax row to the driver (the kmeans centroid-collect shape), and
+applies a literal map-only rewrite. Hot pairs are absorbed map-side
+like any high-frequency aggregate key. N_MERGES rounds = N bounded
+jobs; a production 50k-merge train is the same loop with the
+distinct-word table cached — its size (vocabulary, not corpus) is
+what makes 100 TB tokenizer training tractable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.plans.registry import register
+from mapreduce_distributed_systems_spark.sources import load_table
+
+N_MERGES = 4
+
+_TOKS_DUCK = (
+    "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-SQL replay of the merge loop: w0 = delimited char
+    symbols per distinct word, then per round i: pair counts p{i},
+    argmax m{i}, rewrite w{i}."""
+    sql = [
+        f"""
+WITH tok AS (
+  SELECT unnest({_TOKS_DUCK}) AS word FROM documents
+),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY word),
+w0 AS (
+  SELECT '|' || array_to_string(
+           list_transform(range(1, len(word) + 1), i -> word[i:i]), '|')
+         || '|' AS w, f
+  FROM wf
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        sql.append(
+            f""",
+s{i} AS (
+  SELECT list_filter(string_split(w, '|'), x -> x <> '') AS syms, f
+  FROM {prev}
+),
+p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(f) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+             j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS pr, f
+    FROM s{i}
+  )
+  GROUP BY pr.l, pr.r
+),
+m{i} AS (
+  SELECT {i} AS rank, l, r, l || r AS merged, cnt
+  FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{i} AS (
+  SELECT replace(w, '|' || m.l || '|' || m.r || '|', '|' || m.merged || '|')
+           AS w, f
+  FROM {prev} CROSS JOIN m{i} m
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT rank, l AS left_sym, r AS right_sym, merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(sql) + "\n" + union
+
+
+BPE_ORACLE = _bpe_oracle(N_MERGES)
+
+
+def _pair_counts(wdf: DataFrame) -> DataFrame:
+    syms = F.filter(F.split("w", "\\|"), lambda x: x != F.lit(""))
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda j: F.struct(
+                F.element_at(syms, j + 1).alias("l"),
+                F.element_at(syms, j + 2).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        wdf.select(F.explode(pairs).alias("pr"), "f")
+        .groupBy("pr.l", "pr.r")
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=BPE_ORACLE,
+    tags=("text", "tokenizer", "bpe", "iterative"),
+    doc=f"Distributed BPE merge training, {N_MERGES} unrolled rounds "
+    "(the tokenizer-training stage; arXiv:1508.07909). One corpus "
+    "aggregate compresses the token stream to (distinct word, freq); "
+    "each round is a map-side-combined pair-count aggregate over the "
+    "word table, a ONE-ROW argmax collect (count desc, lexicographic "
+    "tie-break — the kmeans centroid-collect shape), and a map-only "
+    "delimited-string rewrite whose greedy non-overlapping `replace` "
+    "semantics are identical in both engines ('|a|a|a|' -> '|aa|a|'). "
+    "Fourth iterative family next to PageRank / k-means / "
+    "pointer-jumping; the DuckDB oracle replays all rounds CTE-for-"
+    "CTE, so the hash match certifies the learned merge table itself. "
+    "At 100 TB the corpus is read once; every round touches only the "
+    "vocabulary-sized word table.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # the one corpus-sized pass; cached because every merge round
+    # re-derives its rewritten word table from this frame
+    wf = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist()
+    )
+    wdf = wf.select(
+        F.expr(
+            "'|' || array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), '|') || '|'"
+        ).alias("w"),
+        "f",
+    )
+    merges = []
+    for rank in range(1, N_MERGES + 1):
+        top = (
+            _pair_counts(wdf)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append(
+            (rank, top["l"], top["r"], top["l"] + top["r"], int(top["cnt"]))
+        )
+        pat = f"|{top['l']}|{top['r']}|"
+        rep = f"|{top['l']}{top['r']}|"
+        # symbols are letter runs — no quoting hazards in the literal
+        wdf = wdf.select(
+            F.expr(f"replace(w, '{pat}', '{rep}')").alias("w"), "f"
+        )
+    return spark.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint",
+    )
