@@ -129,6 +129,7 @@ def _pair_counts(wdf: DataFrame) -> DataFrame:
     "bpe_train_merges",
     oracle=BPE_ORACLE,
     tags=("text", "tokenizer", "bpe", "iterative"),
+    bench=True,  # round-7 session 3: headline tracks tokenizer training
     doc=f"Distributed BPE merge training, {N_MERGES} unrolled rounds "
     "(the tokenizer-training stage; arXiv:1508.07909). One corpus "
     "aggregate compresses the token stream to (distinct word, freq); "

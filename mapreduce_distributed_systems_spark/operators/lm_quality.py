@@ -443,6 +443,7 @@ GROUP BY b.lang, b.bucket
     "pipeline_ccnet_filter",
     oracle=CCNET_FILTER_ORACLE,
     tags=("pipeline", "quality", "lm", "curation"),
+    bench=True,  # round-7 session 3: headline tracks the retention decision
     doc="The CCNet retention decision end-to-end: score every document "
     "with the unigram LM, split each language into perplexity terciles "
     "(quality_perplexity_buckets' distributed rank), KEEP head+middle "
