@@ -52,10 +52,14 @@ _TOKS_DUCK = (
 )
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled-SQL replay of the merge loop: w0 = delimited char
+def _bpe_ctes(n_merges: int, carry_word: bool = False) -> str:
+    """The WITH chain of the merge-loop replay: w0 = delimited char
     symbols per distinct word, then per round i: pair counts p{i},
-    argmax m{i}, rewrite w{i}."""
+    argmax m{i}, rewrite w{i}. `carry_word=True` threads the original
+    word through every rewrite so consumers (the encode oracle) can
+    map word -> final symbolization; False keeps the training oracle
+    byte-identical to its certified form."""
+    wcol = "word, " if carry_word else ""
     sql = [
         f"""
 WITH tok AS (
@@ -63,7 +67,7 @@ WITH tok AS (
 ),
 wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY word),
 w0 AS (
-  SELECT '|' || array_to_string(
+  SELECT {wcol}'|' || array_to_string(
            list_transform(range(1, len(word) + 1), i -> word[i:i]), '|')
          || '|' AS w, f
   FROM wf
@@ -91,16 +95,20 @@ m{i} AS (
   FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 w{i} AS (
-  SELECT replace(w, '|' || m.l || '|' || m.r || '|', '|' || m.merged || '|')
+  SELECT {wcol}replace(w, '|' || m.l || '|' || m.r || '|', '|' || m.merged || '|')
            AS w, f
   FROM {prev} CROSS JOIN m{i} m
 )"""
         )
+    return "".join(sql)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     union = " UNION ALL ".join(
         f"SELECT rank, l AS left_sym, r AS right_sym, merged, cnt AS pair_count FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return "".join(sql) + "\n" + union
+    return _bpe_ctes(n_merges) + "\n" + union
 
 
 BPE_ORACLE = _bpe_oracle(N_MERGES)
@@ -182,4 +190,101 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "rank int, left_sym string, right_sym string, merged string, "
         "pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apply the learned merges: per-document subword accounting
+# ---------------------------------------------------------------------------
+
+BPE_ENCODE_ORACLE = _bpe_ctes(N_MERGES, carry_word=True) + f""",
+wcost AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(w, '|'), x -> x <> ''))
+              AS BIGINT) AS cost
+  FROM w{N_MERGES}
+),
+dt AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS word FROM documents
+),
+dwc AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM dt GROUP BY doc_id, word
+)
+SELECT d.doc_id,
+       CAST(sum(d.c) AS BIGINT) AS n_words,
+       CAST(sum(d.c * len(d.word)) AS BIGINT) AS n_chars,
+       CAST(sum(d.c * wc.cost) AS BIGINT) AS n_subwords
+FROM dwc d JOIN wcost wc USING (word)
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=BPE_ENCODE_ORACLE,
+    tags=("text", "tokenizer", "bpe"),
+    doc=f"Apply the {N_MERGES} learned BPE merges to ENCODE the corpus "
+    "— the inference half of tokenizer training: per document, the "
+    "word count, letter count, and post-merge SUBWORD count (the token "
+    "budget a trained tokenizer would bill). Plan: the merge loop runs "
+    "on the vocabulary table exactly as in bpe_train_merges, the "
+    "per-word subword COST is computed once per distinct word (a "
+    "dictionary-encode — never per occurrence), and documents join "
+    "their (doc, word, count) aggregate to the word-cost table on the "
+    "word key: the LM-scoring plan shape, vocabulary-bounded per-term "
+    "cardinality, no hot key. The oracle threads the original word "
+    "through every rewrite CTE and replays the whole "
+    "train-then-encode chain.",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist()
+    )
+    wdf = wf.select(
+        "word",
+        F.expr(
+            "'|' || array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), '|') || '|'"
+        ).alias("w"),
+        "f",
+    )
+    for _rank in range(1, N_MERGES + 1):
+        top = (
+            _pair_counts(wdf)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()[0]
+        )
+        wdf = wdf.select(
+            "word",
+            F.expr(
+                f"replace(w, '|{top['l']}|{top['r']}|', "
+                f"'|{top['l']}{top['r']}|')"
+            ).alias("w"),
+            "f",
+        )
+    wcost = wdf.select(
+        "word",
+        F.size(F.filter(F.split("w", "\\|"), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("cost"),
+    )
+    dwc = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        dwc.join(wcost, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("cost")).cast("long").alias("n_subwords"),
+        )
     )

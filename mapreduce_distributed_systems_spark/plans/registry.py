@@ -127,7 +127,8 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (13) --------------------
+    # -- round-7 additions: first driver row (14) --------------------
+    "bpe_encode_corpus",
     "bpe_train_merges",
     "pipeline_ccnet_filter",
     "quality_classifier_streaming",
@@ -162,9 +163,10 @@ GATE_ORDER = (
     "unpivot_status_priority",
     "skew_salted_join",
     # -- (c) r4-certified refreshes: single-row / FAIL-history /
-    #    stateful surfaces first (29; agg_max_by, agg_distinct_priority,
-    #    join_anti_parts, join_full_outer and join_left_outer displaced
-    #    to the r8 note by the five session-3 additions) ---------------
+    #    stateful surfaces first (28; agg_max_by, agg_distinct_priority,
+    #    join_anti_parts, join_full_outer, join_left_outer and
+    #    join_semi_customers displaced to the r8 note by the six
+    #    session-3 additions) -------------------------------------------
     "kv_snapshot_manifest_replay",   # r4 only
     "shard_serve_during_migration",  # r4 only
     "events_sessionize_streaming",   # r3:FAIL r4:hash
@@ -183,13 +185,12 @@ GATE_ORDER = (
     "events_tumbling_hourly",
     "events_sliding_1h_30m",
     "events_json_props",
-    "join_semi_customers",
 )
 
 # Round-8 rotation note: the r4-certified names deferred past the
 # r7 window (they will be 4 rounds old at r8 close and MUST head the
 # r8 window per the enforced gate): agg_max_by, agg_distinct_priority,
-# join_anti_parts, join_full_outer, join_left_outer,
+# join_anti_parts, join_full_outer, join_left_outer, join_semi_customers,
 # set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
 # string_funcs_ext, date_funcs_ext, pivot_status_by_priority,

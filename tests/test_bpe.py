@@ -68,3 +68,14 @@ def test_bpe_merge_structure(spark, sf_dir):
         assert r.pair_count > 0
     # all learned merges distinct
     assert len({(r.left_sym, r.right_sym) for r in rows}) == N_MERGES
+
+
+def test_encode_subword_counts_bounded(spark, sf_dir):
+    """Merges only ever shrink a word's symbol count, never below 1:
+    n_words <= n_subwords <= n_chars per document, with strict
+    compression somewhere (the learned merges fire)."""
+    rows = get_spec("bpe_encode_corpus").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_subwords <= r.n_chars
+    assert any(r.n_subwords < r.n_chars for r in rows)
