@@ -1035,3 +1035,110 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(np_).cast("long").alias("n_probe"), "*")
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive / retrieval training data): per
+# query, the top-k most-similar neighbors BELOW a near-duplicate
+# ceiling. The ceiling is what distinguishes this from plain top-k —
+# a near-dup of the anchor is a false negative that poisons a
+# contrastive batch (it gets pushed away from its own paraphrase), so
+# the miner must EXCLUDE the near-dup band it would otherwise rank
+# first. Exact duplicates of the query block are PLANTED (bounded:
+# one per query, id-shifted by a broadcast max(vec_id)+1 scalar — the
+# established plant pattern) so the exclusion branch certifies
+# non-vacuously on a corpus with no natural >ceiling pairs.
+# --------------------------------------------------------------------------
+
+HARD_NEG_CEILING = 0.95
+
+HARD_NEG_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sh AS (SELECT max(vec_id) + 1 AS s FROM e0),
+q0 AS (SELECT vec_id AS query_id, v AS qv FROM e0 WHERE {QUERY_FILTER}
+       ORDER BY vec_id LIMIT {ANN_QUERY_CAP}),
+e AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT q0.query_id + sh.s AS vec_id, q0.qv AS v FROM q0 CROSS JOIN sh
+),
+scored AS (
+  SELECT q0.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q0.qv, e.v) /
+               (sqrt(list_dot_product(q0.qv, q0.qv)) *
+                sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+  FROM q0 JOIN e ON e.vec_id <> q0.query_id
+),
+negs AS (SELECT * FROM scored WHERE cos_sim <= {HARD_NEG_CEILING}),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)
+    AS rank
+  FROM negs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=HARD_NEG_ORACLE,
+    tags=("similarity", "ann", "training"),
+    doc=f"Hard-negative mining for contrastive/retrieval training: per "
+    f"query, the top-{TOP_K} most-similar neighbors at or below the "
+    f"near-duplicate ceiling ({HARD_NEG_CEILING} cosine) — the "
+    "highest-value negatives that are still not paraphrases of the "
+    "anchor. Same scale shape as ann_cosine_topk (per-partition BLAS "
+    "mapInPandas, corpus never shuffled, bounded query block in the "
+    "task closure) plus the ceiling filter BEFORE the rank window; "
+    "planted exact duplicates of every query certify the exclusion "
+    "branch non-vacuously. At 100 TB the brute scan swaps for the IVF "
+    "index probe with the same ceiling-then-rank tail.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shift = emb.agg(F.max("vec_id")).collect()[0][0] + 1  # broadcast scalar
+    qrows = (
+        emb.where(F.expr(QUERY_FILTER))
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_CAP)
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_nrm = np.linalg.norm(q_mat, axis=1)
+    planted = spark.createDataFrame(
+        [(int(r.vec_id + shift), list(map(float, r.embedding))) for r in qrows],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.unionByName(planted)
+
+    def score(batches):
+        for pdf in batches:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            s = (m @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
+            n, k = s.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cos_sim": s.ravel(),
+                }
+            )
+
+    scored = (
+        corpus.mapInPandas(
+            score, schema="query_id long, neighbor_id long, cos_sim double"
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .where(F.col("cos_sim") <= F.lit(HARD_NEG_CEILING))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= TOP_K)

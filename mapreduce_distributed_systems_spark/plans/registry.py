@@ -127,7 +127,8 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (14) --------------------
+    # -- round-7 additions: first driver row (15) --------------------
+    "ann_hard_negatives",
     "bpe_encode_corpus",
     "bpe_train_merges",
     "pipeline_ccnet_filter",
@@ -163,10 +164,10 @@ GATE_ORDER = (
     "unpivot_status_priority",
     "skew_salted_join",
     # -- (c) r4-certified refreshes: single-row / FAIL-history /
-    #    stateful surfaces first (28; agg_max_by, agg_distinct_priority,
-    #    join_anti_parts, join_full_outer, join_left_outer and
-    #    join_semi_customers displaced to the r8 note by the six
-    #    session-3 additions) -------------------------------------------
+    #    stateful surfaces first (27; agg_max_by, agg_distinct_priority,
+    #    join_anti_parts, join_full_outer, join_left_outer,
+    #    join_semi_customers and inverted_index_bucketed displaced to
+    #    the r8 note by the seven session-3 additions) ------------------
     "kv_snapshot_manifest_replay",   # r4 only
     "shard_serve_during_migration",  # r4 only
     "events_sessionize_streaming",   # r3:FAIL r4:hash
@@ -180,7 +181,6 @@ GATE_ORDER = (
     "top_k_orders",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
-    "inverted_index_bucketed",
     "events_sessionize",
     "events_tumbling_hourly",
     "events_sliding_1h_30m",
@@ -191,6 +191,7 @@ GATE_ORDER = (
 # r7 window (they will be 4 rounds old at r8 close and MUST head the
 # r8 window per the enforced gate): agg_max_by, agg_distinct_priority,
 # join_anti_parts, join_full_outer, join_left_outer, join_semi_customers,
+# inverted_index_bucketed,
 # set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
 # string_funcs_ext, date_funcs_ext, pivot_status_by_priority,

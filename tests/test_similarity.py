@@ -235,3 +235,29 @@ def test_int8_quantized_recall(spark, sf_dir):
     }
     recall = len(brute & q8) / len(brute)
     assert recall >= 0.9, f"int8 recall collapsed: {recall:.2f}"
+
+
+def test_hard_negatives_exclude_the_near_dup_band(spark, sf_dir):
+    """The ceiling branch must be non-vacuous: every query has a
+    PLANTED exact duplicate (cosine 1.0) that plain top-k would rank
+    first — no result row may carry it, or any score above the
+    ceiling, and the rank-1 negative must differ from top-k's rank-1
+    wherever the duplicate would have won."""
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        HARD_NEG_CEILING,
+    )
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+    from mapreduce_distributed_systems_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = get_spec("ann_hard_negatives").fn(spark, sf_dir).collect()
+    assert rows
+    emb = load_table(spark, sf_dir, "embeddings")
+    shift = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    for r in rows:
+        assert r.cos_sim <= HARD_NEG_CEILING, (r.query_id, r.cos_sim)
+        assert r.neighbor_id < shift or r.neighbor_id - shift != r.query_id
+    # the planted duplicate never appears as anyone's negative
+    planted = {r.neighbor_id for r in rows if r.neighbor_id >= shift}
+    queries = {r.query_id for r in rows}
+    assert not {p - shift for p in planted} & queries
