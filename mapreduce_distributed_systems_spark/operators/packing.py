@@ -357,3 +357,81 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.cast("long").alias("pos"),
         ((pos - 1) / EPOCH_SHARD_DOCS).cast("long").alias("shard_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-balanced mixture (alpha = 0.5): the multilingual
+# up-sampling rule (XLM-R, arXiv:1911.02116 §3.1; mT5, Llama
+# pretraining mixes): sample sources proportional to n^alpha so
+# low-resource sources are over-represented relative to proportional
+# sampling. alpha = 1/2 makes the weight integer-exact in BOTH
+# engines: w_src = floor(sqrt(n_src)) (double sqrt is exactly rounded
+# and consecutive squares are >> 1 ulp apart below 2^52), quotas are
+# pure integer arithmetic on (keep_total, w_src, sum_w).
+# --------------------------------------------------------------------------
+
+MIX_TEMP_ORACLE = """
+WITH sc AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+gl AS (
+  SELECT CAST(sum(CAST(floor(sqrt(n)) AS BIGINT)) AS BIGINT) AS sw,
+         CAST((sum(n) * 2) // 5 AS BIGINT) AS keep_total
+  FROM sc
+),
+counted AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         CAST(floor(sqrt(count(*) OVER (PARTITION BY source))) AS BIGINT)
+           AS w
+  FROM documents
+)
+SELECT doc_id, source
+FROM counted CROSS JOIN gl
+WHERE rn <= (gl.keep_total * w) // gl.sw
+"""
+
+
+@register(
+    "mixture_temperature_sample",
+    oracle=MIX_TEMP_ORACLE,
+    tags=("sampling", "mixture", "training-data"),
+    doc="Temperature-balanced mixture sampling (alpha = 0.5, the "
+    "XLM-R/mT5 multilingual up-sampling rule): keep a 40% document "
+    "budget split across sources proportional to "
+    "floor(sqrt(n_src)) instead of n_src, so small sources are "
+    "over-represented exactly as the temperature schedule prescribes. "
+    "Weights and quotas are pure integer arithmetic (isqrt is exact "
+    "in both engines below 2^52), the global (sum_w, keep_total) "
+    "scalars come from one bounded per-source count collect (#sources "
+    "rows — the kmeans-collect shape), and the selection runs through "
+    "the bucket-histogram threshold machinery: one map-side-combined "
+    "histogram shuffle, broadcast boundary, row_number over the "
+    "boundary sliver only — never a per-source window over the "
+    "corpus. Content-addressed md5 order makes the kept set stable "
+    "under repartitioning and reruns.",
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("_h", h)
+        .withColumn("_bkt", hash_bucket(F.col("_h")))
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    sw = sum(math.isqrt(r["n"]) for r in counts)
+    total = sum(r["n"] for r in counts)
+    keep_total = (total * 2) // 5
+    quota = F.expr(
+        f"({keep_total}L * cast(floor(sqrt(_n_grp)) as bigint)) div {sw}L"
+    )
+    picked = select_first_by_hash(
+        docs,
+        group_cols=["source"],
+        quota=quota,
+        order_cols=[F.col("_h"), F.col("doc_id")],
+    )
+    return picked.select("doc_id", "source")

@@ -79,3 +79,33 @@ def test_salted_two_phase_agg_matches_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_temperature_mixture_overweights_small_sources(spark, sf_dir):
+    """The point of alpha < 1: a small source's KEEP RATE must exceed a
+    large source's (quota ~ sqrt(n), so quota/n decreases in n)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    kept = (
+        get_spec("mixture_temperature_sample")
+        .fn(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("k"))
+    )
+    totals = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    rates = {
+        r["source"]: (r["k"], r["n"], r["k"] / r["n"])
+        for r in kept.join(totals, "source").collect()
+    }
+    assert len(rates) >= 2
+    by_n = sorted(rates.values(), key=lambda t: t[1])
+    smallest, largest = by_n[0], by_n[-1]
+    if smallest[1] < largest[1]:  # corpus actually has size spread
+        assert smallest[2] > largest[2], (smallest, largest)
