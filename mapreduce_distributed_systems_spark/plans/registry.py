@@ -127,7 +127,8 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (16) --------------------
+    # -- round-7 additions: first driver row (17) --------------------
+    "kv_version_diff",
     "mixture_temperature_sample",
     "ann_hard_negatives",
     "bpe_encode_corpus",
@@ -165,11 +166,11 @@ GATE_ORDER = (
     "unpivot_status_priority",
     "skew_salted_join",
     # -- (c) r4-certified refreshes: single-row / FAIL-history /
-    #    stateful surfaces first (26; agg_max_by, agg_distinct_priority,
+    #    stateful surfaces first (25; agg_max_by, agg_distinct_priority,
     #    join_anti_parts, join_full_outer, join_left_outer,
-    #    join_semi_customers, inverted_index_bucketed and
-    #    dedup_ngram_jaccard displaced to the r8 note by the eight
-    #    session-3 additions) -------------------------------------------
+    #    join_semi_customers, inverted_index_bucketed,
+    #    dedup_ngram_jaccard and events_json_props displaced to the r8
+    #    note by the nine session-3 additions) --------------------------
     "kv_snapshot_manifest_replay",   # r4 only
     "shard_serve_during_migration",  # r4 only
     "events_sessionize_streaming",   # r3:FAIL r4:hash
@@ -185,14 +186,13 @@ GATE_ORDER = (
     "events_sessionize",
     "events_tumbling_hourly",
     "events_sliding_1h_30m",
-    "events_json_props",
 )
 
 # Round-8 rotation note: the r4-certified names deferred past the
 # r7 window (they will be 4 rounds old at r8 close and MUST head the
 # r8 window per the enforced gate): agg_max_by, agg_distinct_priority,
 # join_anti_parts, join_full_outer, join_left_outer, join_semi_customers,
-# inverted_index_bucketed, dedup_ngram_jaccard,
+# inverted_index_bucketed, dedup_ngram_jaccard, events_json_props,
 # set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
 # string_funcs_ext, date_funcs_ext, pivot_status_by_priority,

@@ -208,3 +208,131 @@ def kv_get_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_snapshot(replay(head), base, cutoff_repr="epoch-midpoint")
     snap, _manifest = read_snapshot(spark, base)
     return snap.select("key", "final_value", "n_effective_ops")
+
+
+# --------------------------------------------------------------------------
+# Version diff (change-data-capture read): what changed between two
+# committed snapshot versions — the query a downstream consumer runs
+# to refresh incrementally instead of re-reading a full version.
+# --------------------------------------------------------------------------
+
+KV_VERSION_DIFF_ORACLE = """
+WITH writes0 AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+         CASE WHEN event_type IN ('signup', 'purchase') THEN 'put'
+              WHEN event_type IN ('click', 'view') THEN 'append'
+              ELSE 'get' END AS op,
+         CAST(value AS VARCHAR) AS payload,
+         ts, event_id
+  FROM events
+  WHERE event_type IN ('signup', 'purchase', 'click', 'view')
+),
+b AS (
+  SELECT make_timestamp((2 * epoch_us(min(ts)) + epoch_us(max(ts))) // 3)
+           AS ca,
+         make_timestamp((epoch_us(min(ts)) + 2 * epoch_us(max(ts))) // 3)
+           AS cb
+  FROM writes0
+),
+wa AS (
+  SELECT key, op, payload,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS seq
+  FROM writes0 w, b WHERE w.ts <= b.ca
+),
+la AS (SELECT key, max(seq) AS lps FROM wa WHERE op = 'put' GROUP BY key),
+sa AS (
+  SELECT w.key, string_agg(w.payload, '' ORDER BY w.seq) AS value_a,
+         count(*) AS n_ops_a
+  FROM wa w LEFT JOIN la ON w.key = la.key
+  WHERE w.seq >= coalesce(la.lps, 0) GROUP BY w.key
+),
+wb AS (
+  SELECT key, op, payload,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS seq
+  FROM writes0 w, b WHERE w.ts <= b.cb
+),
+lb AS (SELECT key, max(seq) AS lps FROM wb WHERE op = 'put' GROUP BY key),
+sb AS (
+  SELECT w.key, string_agg(w.payload, '' ORDER BY w.seq) AS value_b,
+         count(*) AS n_ops_b
+  FROM wb w LEFT JOIN lb ON w.key = lb.key
+  WHERE w.seq >= coalesce(lb.lps, 0) GROUP BY w.key
+)
+SELECT sb.key,
+       coalesce(sa.value_a, '') AS value_a,
+       sb.value_b,
+       CAST(coalesce(sa.n_ops_a, 0) AS BIGINT) AS n_ops_a,
+       CAST(sb.n_ops_b AS BIGINT) AS n_ops_b,
+       CASE WHEN sa.key IS NULL THEN 'added' ELSE 'changed' END AS change
+FROM sb LEFT JOIN sa ON sb.key = sa.key
+WHERE sa.key IS NULL OR sa.value_a <> sb.value_b
+"""
+
+
+@register(
+    "kv_version_diff",
+    oracle=KV_VERSION_DIFF_ORACLE,
+    tags=("kv", "storage", "time-travel", "cdc"),
+    doc="Change-data-capture between two COMMITTED snapshot versions: "
+    "commit the state at the 1/3-epoch cutoff as version 1 and the "
+    "2/3-epoch cutoff as version 2 (both real manifest commits), read "
+    "both versions back THROUGH their manifests, and emit the keys "
+    "whose value appeared or changed — what an incremental downstream "
+    "consumer reads instead of a full version scan. Keys are disjoint "
+    "per row and the diff join is key-keyed (bounded fan-in); the "
+    "oracle replays both prefix folds with the identical "
+    "integer-microsecond third-point cutoffs. No 'removed' branch by "
+    "construction: the op model has no delete, so version N's keys "
+    "are a superset of version N-1's.",
+)
+def kv_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = op_log(load_table(spark, sf_dir, "events"))
+    writes = ops.where(F.col("op") != "get")
+    bounds = writes.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    wc = writes.crossJoin(F.broadcast(bounds)).select(
+        "*",
+        F.expr(
+            "timestamp_micros((2 * unix_micros(t0) + unix_micros(t1)) div 3)"
+        ).alias("ca"),
+        F.expr(
+            "timestamp_micros((unix_micros(t0) + 2 * unix_micros(t1)) div 3)"
+        ).alias("cb"),
+    )
+    base = tempfile.mkdtemp(prefix="kv_diff_")
+    write_snapshot(
+        replay(wc.where(F.col("ts") <= F.col("ca"))),
+        base,
+        cutoff_repr="epoch-third-1",
+        version=1,
+    )
+    write_snapshot(
+        replay(wc.where(F.col("ts") <= F.col("cb"))),
+        base,
+        cutoff_repr="epoch-third-2",
+        version=2,
+    )
+    va, _ma = read_snapshot(spark, base, version=1)
+    vb, _mb = read_snapshot(spark, base, version=2)
+    a = va.select(
+        "key",
+        F.col("final_value").alias("value_a"),
+        F.col("n_effective_ops").alias("n_ops_a"),
+    )
+    b = vb.select(
+        "key",
+        F.col("final_value").alias("value_b"),
+        F.col("n_effective_ops").alias("n_ops_b"),
+    )
+    d = b.join(a, "key", "left")
+    return d.where(
+        F.col("value_a").isNull() | (F.col("value_a") != F.col("value_b"))
+    ).select(
+        "key",
+        F.coalesce(F.col("value_a"), F.lit("")).alias("value_a"),
+        "value_b",
+        F.coalesce(F.col("n_ops_a"), F.lit(0)).cast("long").alias("n_ops_a"),
+        F.col("n_ops_b").cast("long").alias("n_ops_b"),
+        F.when(F.col("value_a").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )

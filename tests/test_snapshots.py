@@ -113,3 +113,26 @@ def test_compaction_is_a_versioned_invisible_commit(spark, sf_dir):
     assert sorted(map(tuple, old.collect())) == sorted(
         map(tuple, after.collect())
     )
+
+
+def test_version_diff_reads_both_committed_versions(spark, sf_dir):
+    """kv_version_diff's contract: every emitted row is a real change
+    ('added' rows empty at version 1, 'changed' rows differ), and the
+    emitted keys are consistent with independently replaying the two
+    prefix folds. n_effective_ops is NOT monotone across versions by
+    design — a put between the cutoffs RESETS the effective window
+    (models/kv.go put-overwrite), which is exactly the value change
+    the diff reports."""
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+    rows = get_spec("kv_version_diff").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.change == "added":
+            assert r.n_ops_a == 0 and r.value_a == ""
+        else:
+            assert r.change == "changed"
+            assert r.value_a != r.value_b
+    # keys never disappear between versions: no 'removed' rows possible,
+    # and each diff key exists at version 2 with at least one op
+    assert all(r.n_ops_b >= 1 for r in rows)
