@@ -55,12 +55,18 @@ def run(spark, sf_dir: str, rounds: int, checkpoint: bool) -> list[float]:
     walls = []
     for rank in range(1, rounds + 1):
         t0 = time.time()
-        top = (
+        top_rows = (
             _pair_counts(wdf)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top_rows:
+            # vocabulary fully merged: every word is one symbol — the
+            # merge count is data-bounded, report what completed
+            print(f"pairs exhausted after {rank - 1} merges")
+            break
+        top = top_rows[0]
         wdf = wdf.select(
             F.expr(
                 f"replace(w, '|{top['l']}|{top['r']}|', "
