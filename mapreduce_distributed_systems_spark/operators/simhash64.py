@@ -213,3 +213,67 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= HAMMING_MAX64)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-method agreement report: MinHash-LSH pairs vs SimHash64 pairs.
+# The two near-dup detectors answer subtly different questions (set
+# Jaccard over 3-shingles vs weighted-feature cosine via hamming), so
+# a production pipeline that runs one should know how much of the
+# other's signal it is giving up — this is the calibration table that
+# decision gets made from, certified end-to-end since both pair
+# generators are themselves oracle-replayable.
+# --------------------------------------------------------------------------
+
+def _method_agreement_oracle() -> str:
+    from mapreduce_distributed_systems_spark.operators.dedup import (
+        MINHASH_ORACLE,
+    )
+
+    return f"""
+WITH a AS (SELECT doc_a, doc_b FROM ({MINHASH_ORACLE}) mh),
+b AS (SELECT doc_a, doc_b FROM ({SIMHASH64_ORACLE}) sh),
+i AS (SELECT doc_a, doc_b FROM a INTERSECT SELECT doc_a, doc_b FROM b),
+u AS (SELECT doc_a, doc_b FROM a UNION SELECT doc_a, doc_b FROM b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_minhash,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_simhash,
+       (SELECT CAST(count(*) AS BIGINT) FROM i) AS n_both,
+       (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_either,
+       round(CASE WHEN (SELECT count(*) FROM u) = 0 THEN 0.0
+             ELSE (SELECT count(*) FROM i) * 1.0 /
+                  (SELECT count(*) FROM u) END, 4) AS agreement
+"""
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    tags=("dedup", "calibration", "report"),
+    doc="Cross-method near-dup calibration: the MinHash-LSH pair set "
+    "vs the SimHash64 pair set as one report row — per-method counts, "
+    "the shared-pair count, and pair-set Jaccard agreement. The "
+    "decision table for 'which detector do we run at 100 TB': both "
+    "generators keep their own certified plans (banded bucket joins, "
+    "never all-pairs), the comparison is two report-sized pair frames "
+    "joined on (doc_a, doc_b), and both engines replay the ENTIRE "
+    "two-method chain, so the agreement number itself is "
+    "hash-certified. Driver-side counts are bounded (pair sets are "
+    "report-sized by the LSH/hamming thresholds).",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = dedup_simhash64(spark, sf_dir).select("doc_a", "doc_b")
+    n_mh = mh.count()
+    n_sh = sh.count()
+    n_both = mh.join(sh, ["doc_a", "doc_b"]).count()
+    n_either = mh.unionByName(sh).distinct().count()
+    agreement = round(n_both / n_either, 4) if n_either else 0.0
+    return spark.createDataFrame(
+        [(n_mh, n_sh, n_both, n_either, float(agreement))],
+        "n_minhash long, n_simhash long, n_both long, n_either long, "
+        "agreement double",
+    )

@@ -127,7 +127,8 @@ def _load() -> None:
 # enforced freshness invariant is tests/test_registry_gate.py (age>3
 # or changed-since-cert => must sit in GATE_ORDER[:50]).
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (17) --------------------
+    # -- round-7 additions: first driver row (18) --------------------
+    "dedup_method_agreement",
     "kv_version_diff",
     "mixture_temperature_sample",
     "ann_hard_negatives",
@@ -166,11 +167,12 @@ GATE_ORDER = (
     "unpivot_status_priority",
     "skew_salted_join",
     # -- (c) r4-certified refreshes: single-row / FAIL-history /
-    #    stateful surfaces first (25; agg_max_by, agg_distinct_priority,
+    #    stateful surfaces first (24; agg_max_by, agg_distinct_priority,
     #    join_anti_parts, join_full_outer, join_left_outer,
     #    join_semi_customers, inverted_index_bucketed,
-    #    dedup_ngram_jaccard and events_json_props displaced to the r8
-    #    note by the nine session-3 additions) --------------------------
+    #    dedup_ngram_jaccard, events_json_props and
+    #    events_sliding_1h_30m displaced to the r8 note by the ten
+    #    session-3 additions) -------------------------------------------
     "kv_snapshot_manifest_replay",   # r4 only
     "shard_serve_during_migration",  # r4 only
     "events_sessionize_streaming",   # r3:FAIL r4:hash
@@ -185,7 +187,6 @@ GATE_ORDER = (
     "dedup_embedding_cosine",
     "events_sessionize",
     "events_tumbling_hourly",
-    "events_sliding_1h_30m",
 )
 
 # Round-8 rotation note: the r4-certified names deferred past the
@@ -193,6 +194,7 @@ GATE_ORDER = (
 # r8 window per the enforced gate): agg_max_by, agg_distinct_priority,
 # join_anti_parts, join_full_outer, join_left_outer, join_semi_customers,
 # inverted_index_bucketed, dedup_ngram_jaccard, events_json_props,
+# events_sliding_1h_30m,
 # set_union, set_intersect,
 # set_except, set_except_all, set_intersect_all, scalar_funcs,
 # string_funcs_ext, date_funcs_ext, pivot_status_by_priority,
