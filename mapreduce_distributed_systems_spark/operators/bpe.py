@@ -16,14 +16,19 @@ Algorithm (word-internal BPE, the standard formulation):
      every word's symbol string with the merged token (map-only
      string replace), repeat.
 
-Symbol strings are '|'-delimited with sentinel edges ('|a|b|c|') so a
-pair pattern '|a|b|' can only match whole symbols, never the inside
-of a longer token. Greedy left-to-right non-overlapping replacement —
-the BPE application order — is exactly the semantics of `replace` in
-BOTH engines ('|a|a|a|' + merge (a,a) -> '|aa|a|'), which is what
-makes the whole training loop hash-certifiable: N_MERGES unrolled
-rounds replay in DuckDB CTE-for-CTE (the kmeans/PageRank unroll
-pattern).
+Symbol strings are delimited with DOUBLE pipes between symbols and
+single pipes at the edges ('|a||b||c|'), so the merge pattern
+'|a||b|' -> '|ab|' (i) can only match whole symbols, never the inside
+of a longer token, and (ii) consumes only ONE pipe of each shared
+boundary, leaving the neighbor's pipe in place — which makes greedy
+left-to-right non-overlapping `replace` EXACTLY standard BPE even for
+back-to-back repeats: '|m||a||m||a|' ('mama' with merge (m,a)) ->
+'|ma||ma|', where a single-pipe scheme would strand the second
+occurrence (the round-7 review caught this divergence; the planted
+regression test in tests/test_bpe.py pins it). `replace` semantics
+are identical in Spark and DuckDB, which is what makes the whole
+training loop hash-certifiable: N_MERGES unrolled rounds replay in
+DuckDB CTE-for-CTE (the kmeans/PageRank unroll pattern).
 
 Scale: the corpus is touched ONCE (the word-frequency aggregate);
 each round then shuffles only (pair, partial-count) rows from the
@@ -51,14 +56,20 @@ _TOKS_DUCK = (
     "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
 )
 
+# '|' + join(chars, '||') + '|' — see module doc for why boundaries
+# are doubled
+_SYMBOLIZE_SPARK = (
+    "'|' || array_join(transform(sequence(1, length(word)), "
+    "i -> substring(word, i, 1)), '||') || '|'"
+)
+
 
 def _bpe_ctes(n_merges: int, carry_word: bool = False) -> str:
     """The WITH chain of the merge-loop replay: w0 = delimited char
     symbols per distinct word, then per round i: pair counts p{i},
     argmax m{i}, rewrite w{i}. `carry_word=True` threads the original
     word through every rewrite so consumers (the encode oracle) can
-    map word -> final symbolization; False keeps the training oracle
-    byte-identical to its certified form."""
+    map word -> final symbolization."""
     wcol = "word, " if carry_word else ""
     sql = [
         f"""
@@ -68,7 +79,7 @@ WITH tok AS (
 wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY word),
 w0 AS (
   SELECT {wcol}'|' || array_to_string(
-           list_transform(range(1, len(word) + 1), i -> word[i:i]), '|')
+           list_transform(range(1, len(word) + 1), i -> word[i:i]), '||')
          || '|' AS w, f
   FROM wf
 )"""
@@ -95,7 +106,7 @@ m{i} AS (
   FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 w{i} AS (
-  SELECT {wcol}replace(w, '|' || m.l || '|' || m.r || '|', '|' || m.merged || '|')
+  SELECT {wcol}replace(w, '|' || m.l || '||' || m.r || '|', '|' || m.merged || '|')
            AS w, f
   FROM {prev} CROSS JOIN m{i} m
 )"""
@@ -133,6 +144,55 @@ def _pair_counts(wdf: DataFrame) -> DataFrame:
     )
 
 
+def _word_freqs(docs: DataFrame) -> DataFrame:
+    """The one corpus-sized pass: (distinct word, frequency), cached
+    because every merge round re-derives its rewritten word table from
+    this frame."""
+    return (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+        .persist()
+    )
+
+
+def _train_merges(wdf: DataFrame, n_merges: int):
+    """Run `n_merges` rounds over a symbolized word frame (any extra
+    columns — e.g. the carried `word` — ride along untouched). Returns
+    (merge rows, final word frame). Shared by the training query, the
+    encode query, and the round-cost probe so the loop semantics exist
+    in exactly one place."""
+    carried = [c for c in wdf.columns if c not in ("w",)]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top_rows = (
+            _pair_counts(wdf)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:  # vocabulary fully merged: data-bounded stop
+            break
+        top = top_rows[0]
+        merges.append(
+            (rank, top["l"], top["r"], top["l"] + top["r"], int(top["cnt"]))
+        )
+        # symbols are letter runs — no quoting hazards in the literal
+        wdf = wdf.select(
+            F.expr(
+                f"replace(w, '|{top['l']}||{top['r']}|', "
+                f"'|{top['l']}{top['r']}|')"
+            ).alias("w"),
+            *carried,
+        )
+    return merges, wdf
+
+
+def _symbolized(wf: DataFrame, carry_word: bool = False) -> DataFrame:
+    cols = (["word"] if carry_word else []) + ["f"]
+    return wf.select(F.expr(_SYMBOLIZE_SPARK).alias("w"), *cols)
+
+
 @register(
     "bpe_train_merges",
     oracle=BPE_ORACLE,
@@ -144,48 +204,19 @@ def _pair_counts(wdf: DataFrame) -> DataFrame:
     "each round is a map-side-combined pair-count aggregate over the "
     "word table, a ONE-ROW argmax collect (count desc, lexicographic "
     "tie-break — the kmeans centroid-collect shape), and a map-only "
-    "delimited-string rewrite whose greedy non-overlapping `replace` "
-    "semantics are identical in both engines ('|a|a|a|' -> '|aa|a|'). "
-    "Fourth iterative family next to PageRank / k-means / "
-    "pointer-jumping; the DuckDB oracle replays all rounds CTE-for-"
-    "CTE, so the hash match certifies the learned merge table itself. "
-    "At 100 TB the corpus is read once; every round touches only the "
-    "vocabulary-sized word table.",
+    "delimited-string rewrite. Boundaries are double-piped so greedy "
+    "non-overlapping `replace` — identical in both engines — is "
+    "EXACTLY standard BPE including back-to-back repeats "
+    "('|m||a||m||a|' -> '|ma||ma|'). Fourth iterative family next to "
+    "PageRank / k-means / pointer-jumping; the DuckDB oracle replays "
+    "all rounds CTE-for-CTE, so the hash match certifies the learned "
+    "merge table itself, and a pure-Python re-derivation pins it "
+    "against a third implementation. At 100 TB the corpus is read "
+    "once; every round touches only the vocabulary-sized word table.",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # the one corpus-sized pass; cached because every merge round
-    # re-derives its rewritten word table from this frame
-    wf = (
-        docs.select(F.explode(words("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("f"))
-        .persist()
-    )
-    wdf = wf.select(
-        F.expr(
-            "'|' || array_join(transform(sequence(1, length(word)), "
-            "i -> substring(word, i, 1)), '|') || '|'"
-        ).alias("w"),
-        "f",
-    )
-    merges = []
-    for rank in range(1, N_MERGES + 1):
-        top = (
-            _pair_counts(wdf)
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()[0]
-        )
-        merges.append(
-            (rank, top["l"], top["r"], top["l"] + top["r"], int(top["cnt"]))
-        )
-        pat = f"|{top['l']}|{top['r']}|"
-        rep = f"|{top['l']}{top['r']}|"
-        # symbols are letter runs — no quoting hazards in the literal
-        wdf = wdf.select(
-            F.expr(f"replace(w, '{pat}', '{rep}')").alias("w"), "f"
-        )
+    wf = _word_freqs(load_table(spark, sf_dir, "documents"))
+    merges, _final = _train_merges(_symbolized(wf), N_MERGES)
     return spark.createDataFrame(
         merges,
         "rank int, left_sym string, right_sym string, merged string, "
@@ -227,47 +258,20 @@ GROUP BY d.doc_id
     doc=f"Apply the {N_MERGES} learned BPE merges to ENCODE the corpus "
     "— the inference half of tokenizer training: per document, the "
     "word count, letter count, and post-merge SUBWORD count (the token "
-    "budget a trained tokenizer would bill). Plan: the merge loop runs "
-    "on the vocabulary table exactly as in bpe_train_merges, the "
-    "per-word subword COST is computed once per distinct word (a "
-    "dictionary-encode — never per occurrence), and documents join "
-    "their (doc, word, count) aggregate to the word-cost table on the "
-    "word key: the LM-scoring plan shape, vocabulary-bounded per-term "
-    "cardinality, no hot key. The oracle threads the original word "
-    "through every rewrite CTE and replays the whole "
-    "train-then-encode chain.",
+    "budget a trained tokenizer would bill). Plan: the merge loop is "
+    "the SAME _train_merges helper bpe_train_merges runs (word column "
+    "carried through the rewrites), the per-word subword COST is "
+    "computed once per distinct word (a dictionary-encode — never per "
+    "occurrence), and documents join their (doc, word, count) "
+    "aggregate to the word-cost table on the word key: the LM-scoring "
+    "plan shape, vocabulary-bounded per-term cardinality, no hot key. "
+    "The oracle threads the original word through every rewrite CTE "
+    "and replays the whole train-then-encode chain.",
 )
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    wf = (
-        docs.select(F.explode(words("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("f"))
-        .persist()
-    )
-    wdf = wf.select(
-        "word",
-        F.expr(
-            "'|' || array_join(transform(sequence(1, length(word)), "
-            "i -> substring(word, i, 1)), '|') || '|'"
-        ).alias("w"),
-        "f",
-    )
-    for _rank in range(1, N_MERGES + 1):
-        top = (
-            _pair_counts(wdf)
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()[0]
-        )
-        wdf = wdf.select(
-            "word",
-            F.expr(
-                f"replace(w, '|{top['l']}|{top['r']}|', "
-                f"'|{top['l']}{top['r']}|')"
-            ).alias("w"),
-            "f",
-        )
+    wf = _word_freqs(docs)
+    _merges, wdf = _train_merges(_symbolized(wf, carry_word=True), N_MERGES)
     wcost = wdf.select(
         "word",
         F.size(F.filter(F.split("w", "\\|"), lambda x: x != F.lit("")))

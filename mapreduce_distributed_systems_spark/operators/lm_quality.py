@@ -358,10 +358,25 @@ FROM (
     "tests/test_lm_quality.py).",
 )
 def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _perplexity_buckets_full(spark, sf_dir).select(
+        "doc_id", "lang", "nll", "bucket"
+    )
+
+
+def _perplexity_buckets_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """quality_perplexity_buckets plus the n_tokens column carried
+    through the rank (a narrow long riding the range shuffle) — so
+    pipeline_ccnet_filter can account token budgets WITHOUT re-running
+    the whole LM-scoring subtree a second time (the round-7 review
+    caught the duplicate corpus pass)."""
     from pyspark.sql import Window as W
 
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    scored = quality_ngram_lm_score(spark, sf_dir).select("doc_id", "nll")
+    scored = quality_ngram_lm_score(spark, sf_dir).select(
+        "doc_id", "nll", "n_tokens"
+    )
     lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     # Persist the range-partitioned frame so the offset-count job and
     # the final job see the SAME partition boundaries (range sampling
@@ -416,7 +431,7 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         part.withColumn("_rank", rank)
-        .select("doc_id", "lang", "nll", label.alias("bucket"))
+        .select("doc_id", "lang", "nll", "n_tokens", label.alias("bucket"))
     )
 
 
@@ -452,19 +467,17 @@ GROUP BY b.lang, b.bucket
     "paper ships as its actual filter (arXiv:1911.00359 §4.3: train on "
     "head/middle, drop tail), certified as one query so the whole "
     "score -> rank -> cut -> account chain hash-matches the SQL "
-    "replay. Plan: reuses the bucket query's scoring aggregates and "
-    "distributed rank, one doc-keyed join to carry token counts, one "
-    "final (lang, bucket) map-side-combined aggregate over <= 2x "
-    "|languages| groups.",
+    "replay. Plan: ONE scoring pass — n_tokens rides the bucket "
+    "query's range shuffle through the distributed rank (no second "
+    "LM subtree, no join-back), then one final (lang, bucket) "
+    "map-side-combined aggregate over <= 2x |languages| groups.",
 )
 def pipeline_ccnet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept = quality_perplexity_buckets(spark, sf_dir).where(
+    kept = _perplexity_buckets_full(spark, sf_dir).where(
         F.col("bucket") != "tail"
     )
-    ntok = quality_ngram_lm_score(spark, sf_dir).select("doc_id", "n_tokens")
     return (
-        kept.join(ntok, "doc_id")
-        .groupBy("lang", "bucket")
+        kept.groupBy("lang", "bucket")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),

@@ -261,17 +261,27 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_minhash,
     "report-sized by the LSH/hamming thresholds).",
 )
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from mapreduce_distributed_systems_spark.operators.dedup import (
         dedup_minhash_lsh,
     )
 
-    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sh = dedup_simhash64(spark, sf_dir).select("doc_a", "doc_b")
+    # report-sized pair frames, persisted: four actions follow, and
+    # without the persist each would re-run the banded pipelines
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    sh = dedup_simhash64(spark, sf_dir).select("doc_a", "doc_b").persist()
     n_mh = mh.count()
     n_sh = sh.count()
     n_both = mh.join(sh, ["doc_a", "doc_b"]).count()
     n_either = mh.unionByName(sh).distinct().count()
-    agreement = round(n_both / n_either, 4) if n_either else 0.0
+    # round HALF-AWAY-FROM-ZERO like the oracle's SQL round() — Python
+    # round() is banker's and would diverge on exact .00005 boundaries
+    agreement = (
+        math.floor(n_both / n_either * 10_000 + 0.5) / 10_000
+        if n_either
+        else 0.0
+    )
     return spark.createDataFrame(
         [(n_mh, n_sh, n_both, n_either, float(agreement))],
         "n_minhash long, n_simhash long, n_both long, n_either long, "

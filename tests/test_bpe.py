@@ -79,3 +79,56 @@ def test_encode_subword_counts_bounded(spark, sf_dir):
     for r in rows:
         assert r.n_words <= r.n_subwords <= r.n_chars
     assert any(r.n_subwords < r.n_chars for r in rows)
+
+
+def test_back_to_back_merge_matches_standard_bpe(spark):
+    """The round-7 review regression: with single-pipe delimiters,
+    replace('|m|a|','|ma|') strands the second occurrence in 'mama'
+    ('|ma|m|a|') because adjacent matches share the middle pipe. The
+    double-pipe scheme must merge BOTH ('|ma||ma|') — i.e. agree with
+    true greedy BPE — on a planted corpus built entirely from
+    back-to-back repeat words."""
+    from mapreduce_distributed_systems_spark.operators.bpe import (
+        _symbolized,
+        _train_merges,
+    )
+    from pyspark.sql import functions as F
+
+    wf = spark.createDataFrame(
+        [("mama", 10), ("bonbon", 5), ("aaaa", 3), ("mam", 2)],
+        "word string, f long",
+    )
+    merges, final = _train_merges(_symbolized(wf, carry_word=True), 2)
+    got = {
+        r["word"]: [s for s in r["w"].split("|") if s]
+        for r in final.collect()
+    }
+
+    # reference: true greedy BPE over the same words
+    words_py = {"mama": (list("mama"), 10), "bonbon": (list("bonbon"), 5),
+                "aaaa": (list("aaaa"), 3), "mam": (list("mam"), 2)}
+    ref_merges = []
+    for rank in range(1, 3):
+        from collections import Counter
+        pc = Counter()
+        for syms, f in words_py.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref_merges.append((rank, l, r, l + r, cnt))
+        for w, (syms, f) in words_py.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words_py[w] = (out, f)
+
+    assert merges == ref_merges
+    assert got == {w: syms for w, (syms, _f) in words_py.items()}
+    # the specific stranding case: both 'ma's merged
+    if ("m", "a") in {(m[1], m[2]) for m in merges}:
+        assert got["mama"] == ["ma", "ma"]

@@ -28,9 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mapreduce_distributed_systems_spark.functions.text import words  # noqa: E402
 from mapreduce_distributed_systems_spark.operators.bpe import (  # noqa: E402
     _pair_counts,
+    _symbolized,
+    _word_freqs,
 )
 from mapreduce_distributed_systems_spark.session import get_spark  # noqa: E402
 
@@ -38,42 +39,23 @@ CHECKPOINT_EVERY = 16
 
 
 def run(spark, sf_dir: str, rounds: int, checkpoint: bool) -> list[float]:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    wf = (
-        docs.select(F.explode(words("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("f"))
-        .persist()
-    )
-    wdf = wf.select(
-        F.expr(
-            "'|' || array_join(transform(sequence(1, length(word)), "
-            "i -> substring(word, i, 1)), '|') || '|'"
-        ).alias("w"),
-        "f",
-    )
+    wf = _word_freqs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    wdf = _symbolized(wf)
     walls = []
     for rank in range(1, rounds + 1):
         t0 = time.time()
-        top_rows = (
-            _pair_counts(wdf)
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
+        # one round at a time through the SHARED loop so probe and
+        # query semantics cannot drift
+        from mapreduce_distributed_systems_spark.operators.bpe import (
+            _train_merges,
         )
-        if not top_rows:
+
+        merges, wdf = _train_merges(wdf, 1)
+        if not merges:
             # vocabulary fully merged: every word is one symbol — the
             # merge count is data-bounded, report what completed
             print(f"pairs exhausted after {rank - 1} merges")
             break
-        top = top_rows[0]
-        wdf = wdf.select(
-            F.expr(
-                f"replace(w, '|{top['l']}|{top['r']}|', "
-                f"'|{top['l']}{top['r']}|')"
-            ).alias("w"),
-            "f",
-        )
         if checkpoint and rank % CHECKPOINT_EVERY == 0:
             wdf = wdf.localCheckpoint()
         walls.append(time.time() - t0)
@@ -90,11 +72,13 @@ def main() -> None:
 
     for label, ck in (("naive (lineage grows)", False), ("checkpointed", True)):
         walls = run(spark, args.dir, args.rounds, ck)
-        q = args.rounds // 4
+        n = len(walls)  # may be < args.rounds when pairs exhaust
+        q = max(n // 4, 1)
         def band(xs):
             return f"{min(xs):.2f}-{max(xs):.2f} med {sorted(xs)[len(xs)//2]:.2f}"
-        print(f"{label}: rounds 1-{q}: {band(walls[:q])} s | "
-              f"rounds {3*q+1}-{args.rounds}: {band(walls[3*q:])} s")
+        head, tail = walls[:q], walls[3 * q:] or walls[-1:]
+        print(f"{label}: {n} rounds | 1-{q}: {band(head)} s | "
+              f"{3*q+1}-{n}: {band(tail)} s")
 
 
 if __name__ == "__main__":
