@@ -41,8 +41,10 @@ identical to compact_snapshot's protocol.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +63,23 @@ from mapreduce_distributed_systems_spark.operators.similarity import (
 from mapreduce_distributed_systems_spark.plans.registry import register
 
 MANIFEST_VERSION = 1
+
+# Scratch roots for the self-contained index queries (ADVICE r7: each
+# certification/bench run used to leak one mkdtemp per query into
+# /tmp). The query fns RETURN lazy DataFrames that read the artifact
+# only when the caller materializes them, so a per-call try/finally
+# would delete the index before it is scanned — process exit is the
+# first moment the artifact is provably dead. All scratch indexes
+# therefore live under ONE per-process root removed by atexit.
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_ivf_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def write_ivf_index(
@@ -144,7 +163,7 @@ def build_and_commit_ivf(
     "read {manifest + probed cell partitions}.",
 )
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="ivf_index_")
+    base = _scratch_dir("ivf_index_")
     build_and_commit_ivf(spark, sf_dir, base)
     codes, cells, _manifest = read_ivf_index(spark, base)
     # serve purely from the stored artifact: quantized vectors AND
@@ -184,7 +203,7 @@ ORDER BY c.cell"""
     "pointer (skewed cells => refit with larger k).",
 )
 def ivf_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="ivf_stats_")
+    base = _scratch_dir("ivf_stats_")
     build_and_commit_ivf(spark, sf_dir, base)
     codes, cells, _manifest = read_ivf_index(spark, base)
     sz = codes.groupBy("cell").agg(F.count("*").alias("n_vectors"))
@@ -285,7 +304,7 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mapreduce_distributed_systems_spark.sources import load_table
 
-    base_dir = tempfile.mkdtemp(prefix="ivf_append_")
+    base_dir = _scratch_dir("ivf_append_")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
