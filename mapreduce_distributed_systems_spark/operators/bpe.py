@@ -106,9 +106,14 @@ m{i} AS (
   FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 w{i} AS (
-  SELECT {wcol}replace(w, '|' || m.l || '||' || m.r || '|', '|' || m.merged || '|')
-           AS w, f
-  FROM {prev} CROSS JOIN m{i} m
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: when the vocabulary merges
+  -- fully before round {i}, m{i} is empty and a cross join would
+  -- erase the word table (while Spark's _train_merges break keeps
+  -- it) — the idle round must carry words through unchanged
+  SELECT {wcol}CASE WHEN m.l IS NULL THEN w ELSE
+           replace(w, '|' || m.l || '||' || m.r || '|', '|' || m.merged || '|')
+         END AS w, f
+  FROM {prev} LEFT JOIN m{i} m ON TRUE
 )"""
         )
     return "".join(sql)

@@ -132,3 +132,44 @@ def test_back_to_back_merge_matches_standard_bpe(spark):
     # the specific stranding case: both 'ma's merged
     if ("m", "a") in {(m[1], m[2]) for m in merges}:
         assert got["mama"] == ["ma", "ma"]
+
+
+def test_exhausted_vocabulary_matches_oracle(spark, tmp_path):
+    """ADVICE r7: when the vocabulary fully merges before N_MERGES
+    rounds, Spark's _train_merges breaks and keeps the last word
+    frame, but the oracle's per-round rewrite CTE used to CROSS JOIN
+    an EMPTY argmax round — erasing the word table and every encode
+    row downstream. Run BOTH engines on a corpus that exhausts after
+    two merges and demand the driver-style match for the training AND
+    encode queries."""
+    import duckdb
+
+    from tests.duck_oracle import normalize
+
+    docs_pq = tmp_path / "documents.parquet"
+    # 'ab ab abc' exhausts: r1 merges (a,b), r2 merges (ab,c) - then
+    # every word is a single symbol and rounds 3..N_MERGES are idle
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["ab ab abc", "ab abc"]}),
+        docs_pq,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs_pq}')"
+    )
+    for name in ("bpe_train_merges", "bpe_encode_corpus"):
+        spec = get_spec(name)
+        sdf = spec.fn(spark, str(tmp_path))
+        s_rows = [tuple(r) for r in sdf.collect()]
+        cur = con.execute(spec.oracle)
+        d_cols = [c[0] for c in cur.description]
+        d_rows = cur.fetchall()
+        assert normalize(list(sdf.columns), s_rows) == normalize(
+            d_cols, d_rows
+        ), name
+        if name == "bpe_train_merges":
+            assert len(s_rows) == 2  # data-bounded stop, not N_MERGES
+        else:
+            assert len(s_rows) == 2  # one row per doc survives exhaustion
