@@ -194,6 +194,18 @@ def _resize_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# ASCII invariant (ADVICE r7): the Spark side indexes UTF-8 BYTES of
+# the blob while this oracle indexes CHARACTERS of the text (ascii(),
+# length(), substring()), and the same character/byte split exists in
+# decode_image/decode_audio's fake-dimension oracles above — the md5
+# equality is therefore byte-for-byte only while document text is pure
+# ASCII (1 char == 1 byte). The synthetic documents fixture IS pure
+# ASCII at every SF, and tests/test_similarity.py::
+# test_documents_fixture_is_pure_ascii enforces it so a fixture
+# regeneration that introduces multi-byte text fails loudly instead of
+# silently flipping hashes. A real multimodal corpus never hits this:
+# the blob column is genuine binary and the oracle seam disappears
+# with the codec stub.
 RESIZE_ORACLE = f"""
 WITH dims AS (
   SELECT doc_id, text,

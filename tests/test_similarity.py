@@ -409,3 +409,23 @@ def test_ann_topk_window_fanin_bounded(spark, sf_dir):
     bound = n_q * (TOP_K + 5) * max(n_parts, 1)
     assert emitted[0] <= bound, (emitted, bound, n_parts)
     assert emitted[0] < corpus * n_q, (emitted, corpus, n_q)
+
+
+def test_documents_fixture_is_pure_ascii():
+    """ADVICE r7: the multimodal fake-decode oracles index CHARACTERS
+    while the Spark kernels index UTF-8 BYTES, so their md5 parity
+    rests on document text being pure ASCII (1 char == 1 byte). Pin
+    that invariant across every fixture SF so a regeneration that
+    introduces multi-byte text fails here instead of as an opaque
+    driver hash mismatch."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        for batch in pq.ParquetFile(path).iter_batches(columns=["text"]):
+            for t in batch.column(0).to_pylist():
+                assert t is None or t.isascii(), (sf, t[:60])
