@@ -191,6 +191,29 @@ def _argmin_cells_int64(m: np.ndarray, bc: np.ndarray) -> np.ndarray:
 TWO_LEVEL_MIN_K = 4096  # <=: exact flat argmin (all certified paths)
 COARSE_PROBE_W = 8  # coarse groups probed per vector above the gate
 
+# Round-8 (VERDICT r7 task 4): the quantizer FIT engages the two-level
+# router earlier than the serving assignment. The fit's per-iteration
+# cost is O(sample x k x d) with sample = FIT_PER_CELL x k, i.e.
+# O(k^2) — between the k=8 floor and TWO_LEVEL_MIN_K that grew
+# quadratically with the corpus (ivf_k_for makes k corpus-
+# proportional; the r7 BENCH_NOTES 100x table names this window
+# honestly). Routing each fit row through the coarse index instead
+# costs O(sqrt(k) x (1 + w) x d) per row — the break-even against the
+# flat k x d scan is k ~ (1 + w)^2 = 81, so the fit gate sits at 128:
+# safely past break-even, while every certified driver/bench SF
+# (k = 8 via ivf_k_for at <= 2000 vectors) keeps the exact flat fit
+# the static SQL oracles replay. Lloyd tolerates approximate
+# assignment (it still descends; k-means|| and FAISS train exactly
+# this way), and the coarse index is rebuilt from the moving
+# centroids each iteration (_coarse_fit is driver-side numpy,
+# O(k^1.5 d) — subordinate to one routed pass). The SERVING
+# assignment keeps the higher TWO_LEVEL_MIN_K gate: exactness there
+# changes query results, so it buys the sqrt(k) scan only when the
+# flat pass is hopeless. kmeans_cells_two_level certifies the
+# two-level code path end-to-end through the driver gate at w = g,
+# where it is bit-identical to the flat path by construction.
+TWO_LEVEL_MIN_FIT_K = 128
+
 
 def _coarse_fit(bc: np.ndarray, g: int, n_iter: int = 3) -> tuple:
     """Driver-side Lloyd over the k fine centroids themselves → g coarse
@@ -215,18 +238,27 @@ def _coarse_fit(bc: np.ndarray, g: int, n_iter: int = 3) -> tuple:
     return cc[keep], [members[c] for c in keep]
 
 
-def _coarse_index_for(cents: np.ndarray):
-    """None below the gate (exact flat path), else the precomputed
-    coarse index (coarse centroids, member id lists, member centroid
-    slices, probe width) — built ONCE driver-side and shipped in the
-    task closure, like the centroids themselves."""
+def _coarse_index_for(
+    cents: np.ndarray, gate: int | None = None, w: int | None = None
+):
+    """None at or below the gate (exact flat path), else the
+    precomputed coarse index (coarse centroids, member id lists,
+    member centroid slices, probe width) — built ONCE driver-side and
+    shipped in the task closure, like the centroids themselves.
+    `gate` defaults to the serving-assignment TWO_LEVEL_MIN_K; the fit
+    passes TWO_LEVEL_MIN_FIT_K, and the certified equivalence query
+    forces gate=0 with w >= g (bit-identical to flat)."""
     k = len(cents)
-    if k <= TWO_LEVEL_MIN_K:
+    if gate is None:
+        gate = TWO_LEVEL_MIN_K
+    if w is None:
+        w = COARSE_PROBE_W
+    if k <= gate:
         return None
     g = int(np.ceil(np.sqrt(k)))
     cc, members = _coarse_fit(np.asarray(cents, dtype=np.int64), g)
     mcents = [np.asarray(cents, dtype=np.int64)[m] for m in members]
-    return cc, members, mcents, COARSE_PROBE_W
+    return cc, members, mcents, w
 
 
 def _argmin_two_level(
@@ -290,14 +322,19 @@ def _argmin_cells(m: np.ndarray, bc: np.ndarray, ci) -> np.ndarray:
     return _argmin_two_level(m, cc, members, mcents, w)
 
 
-def assign_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
+def assign_int8(
+    q8: DataFrame,
+    cents: np.ndarray,
+    gate: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
     """Narrow pass: argmin_c sum_d (q_d - c_d)^2 in int64 (exact below
     the TWO_LEVEL_MIN_K gate; coarse-routed above it), ties -> lower
     cell (argmin returns the first minimum)."""
     import pandas as pd
 
     bc = cents
-    ci = _coarse_index_for(bc)
+    ci = _coarse_index_for(bc, gate=gate, w=w)
 
     def assign_batch(batches):
         for pdf in batches:
@@ -309,7 +346,12 @@ def assign_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
     return q8.mapInPandas(assign_batch, schema="vec_id long, cell int")
 
 
-def assign_carry_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
+def assign_carry_int8(
+    q8: DataFrame,
+    cents: np.ndarray,
+    gate: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
     """assign_int8 carrying qv through, so consumers that need the
     vectors co-located with the cell (the IVF pair stage) get them
     from ONE narrow python pass instead of a corpus-sized join back
@@ -318,7 +360,7 @@ def assign_carry_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
     import pandas as pd
 
     bc = cents
-    ci = _coarse_index_for(bc)
+    ci = _coarse_index_for(bc, gate=gate, w=w)
 
     def assign_batch(batches):
         for pdf in batches:
@@ -375,14 +417,21 @@ def _fit_sample_int8(q8: DataFrame, n: int | None, k: int = K) -> DataFrame:
     )
 
 
-def _assign_stats_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
+def _assign_stats_int8(
+    q8: DataFrame,
+    cents: np.ndarray,
+    gate: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
     """Assignment pass that carries qv through, so the per-iteration
     centroid stats aggregate directly off the narrow pass — no
-    join-back-to-q8 shuffle per Lloyd round."""
+    join-back-to-q8 shuffle per Lloyd round. `gate`/`w` select the
+    fit-time two-level engagement (TWO_LEVEL_MIN_FIT_K from
+    kmeans_fit_int8)."""
     import pandas as pd
 
     bc = cents
-    ci = _coarse_index_for(bc)
+    ci = _coarse_index_for(bc, gate=gate, w=w)
 
     def assign_batch(batches):
         for pdf in batches:
@@ -395,7 +444,12 @@ def _assign_stats_int8(q8: DataFrame, cents: np.ndarray) -> DataFrame:
 
 
 def kmeans_fit_int8(
-    q8: DataFrame, k: int = K, n_iter: int = N_ITER_INT8, n: int | None = None
+    q8: DataFrame,
+    k: int = K,
+    n_iter: int = N_ITER_INT8,
+    n: int | None = None,
+    two_level_gate: int | None = None,
+    two_level_w: int | None = None,
 ) -> np.ndarray:
     """n_iter integer Lloyd rounds; returns the final int64 centroids.
 
@@ -406,13 +460,23 @@ def kmeans_fit_int8(
     driver-side action is the bounded k-row stats collect (same shape
     as the float kmeans_fit above and MLlib's iteration). Centroid
     update is floor(sum / n) — floor division, exact in int64,
-    mirrored exactly by the SQL oracle."""
+    mirrored exactly by the SQL oracle.
+
+    Above TWO_LEVEL_MIN_FIT_K cells (override via `two_level_gate`)
+    each iteration routes the fit sample through a coarse index
+    rebuilt from the current centroids — O(sqrt(k) x (1 + w) x d) per
+    row instead of the flat O(k x d), closing the quadratic fit window
+    the r7 verdict flagged. Every certified SF sits at k = 8, far
+    below the gate, so the static SQL oracles keep pinning the exact
+    flat fit."""
+    if two_level_gate is None:
+        two_level_gate = TWO_LEVEL_MIN_FIT_K
     fit = _fit_sample_int8(q8, n, k=k)
     dim = len(fit.select("qv").head()["qv"])
     cents = _init_centroids_int8(fit, k)
     for _ in range(n_iter):
         stats = (
-            _assign_stats_int8(fit, cents)
+            _assign_stats_int8(fit, cents, gate=two_level_gate, w=two_level_w)
             .groupBy("cell")
             .agg(
                 F.count("*").alias("n"),
@@ -467,3 +531,39 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     q8 = quantize_int8(emb)
     cents = kmeans_fit_int8(q8, k=K, n_iter=N_ITER_INT8, n=emb.count())
     return assign_int8(q8, cents).select("vec_id", "cell")
+
+
+@register(
+    "kmeans_cells_two_level",
+    oracle=_kmeans_cells_oracle(),  # the FLAT replay: w = g is bit-identical
+    tags=("similarity", "iterative", "kmeans", "two-level"),
+    doc="The certified equivalence path for the two-level "
+    "(coarse-quantizer) router (VERDICT r7 task 4): the SAME fit and "
+    "assignment as kmeans_cells, but every argmin — each Lloyd "
+    "iteration's and the final corpus pass — is FORCED through the "
+    "two-level route-and-scan (gate 0) with w = g, where probing all "
+    "coarse groups makes it bit-identical to the flat argmin by "
+    "construction. Hash-matching the flat SQL replay therefore "
+    "certifies the router's grouping, member mapping, tie-breaking "
+    "(distance, then lowest cell id), and chunking end-to-end through "
+    "the driver gate — the machinery the fit engages above "
+    "TWO_LEVEL_MIN_FIT_K and serving engages above TWO_LEVEL_MIN_K, "
+    "where w < g trades bounded routing recall for the sqrt(k) scan "
+    "(agreement floor: tests/test_kmeans.py; speedup: "
+    "tools/probe_two_level.py and the BENCH_NOTES fit-scaling table).",
+)
+def kmeans_cells_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q8 = quantize_int8(emb)
+    force = {"gate": 0, "w": 10**9}  # always build the index, probe all groups
+    cents = kmeans_fit_int8(
+        q8,
+        k=K,
+        n_iter=N_ITER_INT8,
+        n=emb.count(),
+        two_level_gate=0,
+        two_level_w=10**9,
+    )
+    return assign_int8(q8, cents, **force).select("vec_id", "cell")

@@ -235,6 +235,7 @@ GROUP BY doc_id, w, h
     "multimodal_resize",
     oracle=RESIZE_ORACLE,
     tags=("multimodal", "pandas-udf"),
+    bench=True,  # round-8: headline tracks the multimodal Arrow seam
     doc="Nearest-neighbor stride-2 'image' resize over opaque blobs "
     "(fake byte-grid decode; the codec seam is decode_image) — "
     "mapInPandas, 1-row-in/1-row-out, per-doc output hash certified "

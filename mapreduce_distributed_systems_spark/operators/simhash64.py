@@ -249,6 +249,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_minhash,
     "dedup_method_agreement",
     oracle=_method_agreement_oracle(),
     tags=("dedup", "calibration", "report"),
+    bench=True,  # round-8: highest 10x ratio in the session-3 set (2.22x) — tracked
     doc="Cross-method near-dup calibration: the MinHash-LSH pair set "
     "vs the SimHash64 pair set as one report row — per-method counts, "
     "the shared-pair count, and pair-set Jaccard agreement. The "

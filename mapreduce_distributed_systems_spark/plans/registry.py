@@ -108,110 +108,92 @@ def _load() -> None:
 
 
 # Driver-gate priority order. The driver's CORRECTNESS check covers a
-# prefix of queries() (50 entries observed in rounds 1-6), so ordering
+# prefix of queries() (50 entries observed in rounds 1-7), so ordering
 # decides which queries get the hard external oracle signal. The window
-# ROTATES per round. Round-7 policy (VERDICT r6 items 2/6): after r6,
-# every registered query has >=1 driver row, so the head is now purely
-# staleness- and change-driven: (a) queries whose operator code changed
-# after their newest green row (corpus_decontamination: planted-shift
-# became max(doc_id)+1 in r6 after its r5 row; plus the round-7 edits —
-# curation tie-mass refinement in quality.py/functions/selection.py,
-# PII-count semantics in text_prep.py, triangle cap-tag scoping in
-# graph.py), then (b) the 12 queries whose newest row is r3 (4 rounds
-# old at r7 close — past the 3-round refresh policy), then (c) 34 of
-# the 48 r4-certified rows, oldest-single-row and streaming-FAIL-
-# history first. The 14 deferred r4 names are listed in the rotation
-# note below and head the r8 window. Everything outside the window
-# stays covered by tests/test_parity.py, which runs the same DuckDB
-# oracles. Certified-by-round map: COVERAGE.md / QUERIES.md; the
-# enforced freshness invariant is tests/test_registry_gate.py (age>3
-# or changed-since-cert => must sit in GATE_ORDER[:50]).
+# ROTATES per round. Round-8 composition (computed from
+# plans/cert_state.json at round open, per the enforced gates in
+# tests/test_registry_gate.py — age>3 or changed-since-cert or
+# never-certified => must sit in GATE_ORDER[:50]):
+#   (a) the one never-certified query (kmeans_cells_two_level, new
+#       this round — the two-level router's certified equivalence
+#       path);
+#   (b) the 8 queries whose fn/oracle changed after their newest green
+#       row: the three brute-force ANN kernels (round-8 per-partition
+#       top-k prune), the two BPE queries (empty-merge-tolerant
+#       oracle), and the three persisted-index queries (scratch-dir
+#       lifecycle fix);
+#   (c) the 36 r4-certified names deferred past the r7 window — 4
+#       rounds old at r8 close, the hard staleness floor;
+#   (d) 5 oldest r5 rows (alphabetical within equal age) filling the
+#       window.
+# Everything outside the window stays covered by tests/test_parity.py,
+# which runs the same DuckDB oracles every session. Certified-by-round
+# map: COVERAGE.md / QUERIES.md.
 GATE_ORDER = (
-    # -- round-7 additions: first driver row (18) --------------------
-    "dedup_method_agreement",
-    "kv_version_diff",
-    "mixture_temperature_sample",
+    # -- (a) never-certified: first driver row ------------------------
+    "kmeans_cells_two_level",
+    # -- (b) fn/oracle changed after newest green row (8) -------------
+    "ann_cosine_topk",
+    "ann_cosine_filtered",
     "ann_hard_negatives",
-    "bpe_encode_corpus",
     "bpe_train_merges",
-    "pipeline_ccnet_filter",
-    "quality_classifier_streaming",
-    "ann_ivf_index_append",
-    "quality_perplexity_buckets",
-    "quality_ngram_lm_score",
-    "dedup_paragraph_rewrite",
-    "pipeline_decontaminated_split",
-    "events_json_malformed_audit",
-    "events_malformed_streaming",
-    "multimodal_resize",
+    "bpe_encode_corpus",
     "ann_ivf_persisted",
+    "ann_ivf_index_append",
     "ivf_index_cell_stats",
-    # -- (a) operator code changed after the newest green row (5) ----
-    "corpus_decontamination",        # r5 row; sampling.py planted-shift changed in r6
-    "dedup_embedding_cosine_ivf",    # r7: Gram-matrix pair stage + fit-sample scaling
-    "curation_top_quality_per_source",  # r7: tie-mass refinement wired (selection.py)
-    "text_pii_scrub",                # r7: n_phones counted on email-scrubbed text
-    "graph_triangle_count",          # r7: cap scoping in tags/doc (ADVICE r6)
-    "quality_classifier_score",      # quality.py edited in r7 (benched; cheap insurance)
-    # -- (b) newest row is r3: 4 rounds old, past policy (12) --------
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_ship_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "unpivot_status_priority",
-    "skew_salted_join",
-    # -- (c) r4-certified refreshes: single-row / FAIL-history /
-    #    stateful surfaces first (24; agg_max_by, agg_distinct_priority,
-    #    join_anti_parts, join_full_outer, join_left_outer,
-    #    join_semi_customers, inverted_index_bucketed,
-    #    dedup_ngram_jaccard, events_json_props and
-    #    events_sliding_1h_30m displaced to the r8 note by the ten
-    #    session-3 additions) -------------------------------------------
-    "kv_snapshot_manifest_replay",   # r4 only
-    "shard_serve_during_migration",  # r4 only
-    "events_sessionize_streaming",   # r3:FAIL r4:hash
-    "events_tumbling_streaming",     # r3:FAIL r4:hash
-    "ann_ivf_kmeans",                # r3:rows r4:hash
-    "shard_migration_moves",         # r2:rows r4:hash
-    "shard_rebalance_history",       # r2:rows r4:hash
-    "kv_get_lookup",
-    "kv_snapshot_compaction",
-    "asof_purchase_view",
-    "top_k_orders",
-    "dedup_embedding_cosine",
-    "events_sessionize",
-    "events_tumbling_hourly",
+    # -- (c) r4-certified, 4 rounds old at r8 close (36) --------------
+    "agg_max_by",
+    "agg_distinct_priority",
+    "join_anti_parts",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi_customers",
+    "inverted_index_bucketed",
+    "dedup_ngram_jaccard",
+    "events_json_props",
+    "events_sliding_1h_30m",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "set_intersect_all",
+    "scalar_funcs",
+    "string_funcs_ext",
+    "date_funcs_ext",
+    "pivot_status_by_priority",
+    "rollup_status_priority",
+    "cube_returnflag_linestatus",
+    "array_ops",
+    "window_lag_lead",
+    "window_range_30d",
+    "window_rank_top3",
+    "window_running_total",
+    "window_value_picks",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q18_large_orders",
+    "q14_promo_effect",
+    "q10_returned_items",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "agg_stats_segment",
+    "grouping_sets_orders",
+    # -- (d) oldest r5 rows filling the window (5) ---------------------
+    "ann_ivf_probe",
+    "ann_lsh_bucketed",
+    "ann_recall_at_k",
+    "chunk_documents",
+    "corpus_decontamination_ngram",
 )
 
-# Round-8 rotation note: the r4-certified names deferred past the
-# r7 window (they will be 4 rounds old at r8 close and MUST head the
-# r8 window per the enforced gate): agg_max_by, agg_distinct_priority,
-# join_anti_parts, join_full_outer, join_left_outer, join_semi_customers,
-# inverted_index_bucketed, dedup_ngram_jaccard, events_json_props,
-# events_sliding_1h_30m,
-# set_union, set_intersect,
-# set_except, set_except_all, set_intersect_all, scalar_funcs,
-# string_funcs_ext, date_funcs_ext, pivot_status_by_priority,
-# rollup_status_priority, cube_returnflag_linestatus, array_ops,
-# window_lag_lead, window_range_30d, window_rank_top3,
-# window_running_total, window_value_picks, q19_discounted_revenue,
-# q22_sales_opportunity, q18_large_orders, q14_promo_effect,
-# q10_returned_items, q6_forecast_revenue, q4_order_priority,
-# agg_stats_segment, grouping_sets_orders (the last nine displaced
-# by the round-7 additions — the two malformed-audit twins,
-# multimodal_resize, and the two persisted-IVF-index queries
-# included — and the re-certified IVF dedup) — all shapes
-# test_parity re-proves every session. (26 names;
-# count the r8 head from cert_state.json, not this comment.) Fill the remaining ~24 r8
-# slots with the oldest r5 rows (QUERIES.md Certified column) so no
-# green row ages past 3 rounds, and put any query whose fn/oracle
-# changes during r7/r8 at the very head.
+# Round-9 rotation note: the r5-certified rows NOT refreshed by the r8
+# window (43 names = every cert_state round-5 entry except the five
+# (d) fills and ann_cosine_topk, which re-certifies in r8 via (b))
+# will be 4 rounds old at r9 close and MUST head the r9 window —
+# compute the exact head from plans/cert_state.json at round open
+# (fold CORRECTNESS_r08.json first), fill the remaining ~7 slots with
+# the oldest r6 rows, and put any query whose fn/oracle changes during
+# r8/r9 at the very head.
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see

@@ -274,6 +274,7 @@ ORDER BY c.cell"""
     "ann_ivf_index_append",
     oracle=_ivf_index_append_oracle(),
     tags=("similarity", "ivf", "storage", "incremental"),
+    bench=True,  # round-8: headline tracks incremental index maintenance
     doc="Incremental IVF index maintenance — the corpus-refresh shape "
     "a 100 TB embedding store actually runs: fit the quantizer ONCE on "
     "the base corpus and commit it (version 1), then when a new batch "

@@ -202,3 +202,36 @@ def test_two_level_spark_dispatch_matches_exact(spark, sf_dir):
         km.TWO_LEVEL_MIN_K = old_gate
         km.COARSE_PROBE_W = old_w
     assert before == after
+
+
+def test_fit_gate_dispatch_and_forced_identity(spark):
+    """Round-8 fit lever: (a) _coarse_index_for honors the gate
+    parameter (fit engages at TWO_LEVEL_MIN_FIT_K, far below the
+    serving gate); (b) a FIT forced through the two-level router with
+    w >= g returns bit-identical centroids to the flat fit — the
+    in-process twin of the kmeans_cells_two_level driver
+    certification."""
+    import numpy as np
+
+    km = _tl_mod()
+    rng = np.random.RandomState(21)
+    cents = rng.randint(-127, 128, size=(km.TWO_LEVEL_MIN_FIT_K + 1, 8)).astype(
+        np.int64
+    )
+    assert km._coarse_index_for(cents) is None  # serving gate: still flat
+    assert km._coarse_index_for(cents, gate=km.TWO_LEVEL_MIN_FIT_K) is not None
+    assert km._coarse_index_for(cents, gate=0, w=10**9)[3] == 10**9
+
+    n, dim, k = 600, 8, 16
+    pts = cents[rng.randint(0, len(cents), n)][:, :dim] + rng.randint(
+        -3, 4, size=(n, dim)
+    )
+    q8 = spark.createDataFrame(
+        [(int(i), [int(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, qv array<bigint>",
+    )
+    flat = km.kmeans_fit_int8(q8, k=k, n=n, two_level_gate=10**9)
+    forced = km.kmeans_fit_int8(
+        q8, k=k, n=n, two_level_gate=0, two_level_w=10**9
+    )
+    assert np.array_equal(flat, forced)
