@@ -67,10 +67,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/root/testdata/sf0.1")
     ap.add_argument("--rounds", type=int, default=64)
+    ap.add_argument(
+        "--checkpoint-only",
+        action="store_true",
+        help="skip the naive (lineage-growing) variant — required for "
+        "long runs (>=1k rounds), where an unbounded plan depth is not "
+        "a measurement but a hang",
+    )
     args = ap.parse_args()
     spark = get_spark("probe_bpe_rounds")
 
-    for label, ck in (("naive (lineage grows)", False), ("checkpointed", True)):
+    variants = (("naive (lineage grows)", False), ("checkpointed", True))
+    if args.checkpoint_only:
+        variants = (("checkpointed", True),)
+    for label, ck in variants:
         walls = run(spark, args.dir, args.rounds, ck)
         n = len(walls)  # may be < args.rounds when pairs exhaust
         q = max(n // 4, 1)
