@@ -362,18 +362,23 @@ def test_prune_mask_lossless_under_rounded_order(ceiling):
         assert missing == [], (j, missing)
 
 
-def test_ann_topk_window_fanin_bounded(spark, sf_dir):
-    """Executed-plan pin for the pruned kernel: the MapInPandas stage
+@pytest.mark.parametrize(
+    "name", ["ann_cosine_topk", "ann_cosine_filtered", "ann_hard_negatives"]
+)
+def test_ann_topk_window_fanin_bounded(spark, sf_dir, name):
+    """Executed-plan pin for the pruned kernels: the MapInPandas stage
     (the rank window's input) emits at most
     n_queries x (TOP_K + band) x n_scan_partitions rows — and strictly
-    fewer than the corpus x queries stream the pre-r8 kernel produced."""
+    fewer than the corpus x queries stream the pre-r8 kernels produced.
+    (hard_negatives scans corpus + planted rows and keeps a boundary
+    band around the ceiling; the +5 per-partition slack absorbs both.)"""
     from mapreduce_distributed_systems_spark.operators.similarity import (
         ANN_QUERY_CAP,
         QUERY_FILTER,
         TOP_K,
     )
     from mapreduce_distributed_systems_spark.sources import load_table
-    df = get_spec("ann_cosine_topk").fn(spark, sf_dir)
+    df = get_spec(name).fn(spark, sf_dir)
     assert df.collect()
 
     def walk(node, out):
@@ -405,8 +410,10 @@ def test_ann_topk_window_fanin_bounded(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.count()
     n_q = min(emb.where(QUERY_FILTER).count(), ANN_QUERY_CAP)
-    n_parts = emb.rdd.getNumPartitions()
-    bound = n_q * (TOP_K + 5) * max(n_parts, 1)
+    # hard_negatives unions the planted duplicates (one per query, an
+    # extra ~1-row partition at test SFs); +1 covers the union branch
+    n_parts = emb.rdd.getNumPartitions() + 1
+    bound = n_q * (TOP_K + 5) * n_parts
     assert emitted[0] <= bound, (emitted, bound, n_parts)
     assert emitted[0] < corpus * n_q, (emitted, corpus, n_q)
 
@@ -429,3 +436,69 @@ def test_documents_fixture_is_pure_ascii():
         for batch in pq.ParquetFile(path).iter_batches(columns=["text"]):
             for t in batch.column(0).to_pylist():
                 assert t is None or t.isascii(), (sf, t[:60])
+
+
+@pytest.mark.parametrize("ceiling", [None, 0.95])
+def test_prune_mask_lossless_property(ceiling):
+    """Property twin of the adversarial case: across many random score
+    matrices — including degenerate all-equal columns and heavy
+    rounding-boundary mass — the two-stage prune never loses a true
+    rounded-order top-k row."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        _ROUND_MARGIN,
+        _consolidate_mask,
+        _prune_mask,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 10**6),
+        n=st.integers(8, 160),
+        q=st.integers(1, 6),
+        k=st.integers(1, 8),
+        quantize=st.booleans(),
+    )
+    def check(seed, n, q, k, quantize):
+        rng = np.random.RandomState(seed)
+        s = rng.uniform(-1, 1, size=(n, q))
+        if quantize:
+            # mass ties + values exactly on rounding boundaries
+            s = np.round(s, 6) + rng.choice(
+                [0.0, 4.9e-7, 5e-7, 5.1e-7], size=s.shape
+            )
+        if ceiling is not None:
+            # plant rows straddling the ceiling
+            m = rng.rand(n, q) < 0.2
+            s[m] = ceiling + rng.uniform(-2e-6, 2e-6, size=int(m.sum()))
+        ids = rng.permutation(n).astype(np.int64)
+        q_ids = np.arange(q, dtype=np.int64)
+        kept: set[tuple[int, int]] = set()
+        for part in np.array_split(np.arange(n), 3):
+            cq, cn, cs = [], [], []
+            for batch in np.array_split(part, 2):
+                sb = s[batch].copy()
+                if ceiling is not None:
+                    maybe = (sb > ceiling - _ROUND_MARGIN) & (
+                        sb <= ceiling + _ROUND_MARGIN
+                    )
+                    sd = np.where(sb <= ceiling - _ROUND_MARGIN, sb, -np.inf)
+                    mask = _prune_mask(sd, k) | maybe
+                else:
+                    mask = _prune_mask(sb, k)
+                ni, qi = np.nonzero(mask)
+                cq.append(q_ids[qi])
+                cn.append(ids[batch][ni])
+                cs.append(sb[ni, qi])
+            qa, na, sa = map(np.concatenate, (cq, cn, cs))
+            keep = _consolidate_mask(qa, sa, q_ids, k, ceiling=ceiling)
+            kept |= set(zip(qa[keep].tolist(), na[keep].tolist()))
+        for j in range(q):
+            truth = _rounded_topk(ids, s[:, j], k, ceiling=ceiling)
+            missing = [nid for nid in truth if (j, nid) not in kept]
+            assert missing == [], (j, missing)
+
+    check()
