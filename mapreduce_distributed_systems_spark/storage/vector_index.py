@@ -98,8 +98,17 @@ def write_ivf_index(
     codes_dir = os.path.join(base_dir, f"codes-{version:03d}")
     cents_dir = os.path.join(base_dir, f"centroids-{version:03d}")
     # cell-partitioned code lists: the probe's candidate read prunes to
-    # the probed cells' partitions (see module doc)
-    codes.write.mode("overwrite").partitionBy("cell").parquet(codes_dir)
+    # the probed cells' partitions (see module doc). repartition("cell")
+    # BEFORE partitionBy so each cell is written by exactly one task —
+    # without it every upstream task writes a file into every cell dir
+    # (round-8 100x profile: 14,702 files / 38.6 s vs 800 files /
+    # 18.2 s), and at cluster scale task_count x k files is the classic
+    # small-files failure. One cheap shuffle of the compact int8 codes
+    # buys one file per cell; cell sizes are bounded (~IVF_TARGET_CELL
+    # via ivf_k_for), so the per-task write is skew-free.
+    codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(codes_dir)
     cells.write.mode("overwrite").parquet(cents_dir)
     manifest = {
         "version": version,

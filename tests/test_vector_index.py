@@ -135,9 +135,14 @@ def test_append_preserves_base_codes_and_centroids(spark, sf_dir):
 
 def test_compaction_is_content_invisible_and_merges_files(spark, sf_dir):
     """compact_ivf_index after an append: identical (vec_id, qv, cell,
-    gen) content, strictly fewer data files (one per cell), same
-    centroids, old versions still resolvable — the compact_snapshot
-    contract on the vector store."""
+    gen) content, no more than one data file per cell, same centroids,
+    old versions still resolvable — the compact_snapshot contract on
+    the vector store. Since round 8 write_ivf_index itself repartitions
+    by cell (one task per cell => one file per cell, the 100x
+    small-files fix), so the ordinary write already satisfies the
+    compacted layout and compaction's job is re-establishing it after
+    out-of-band fragmentation; this pins both the content invariance
+    and the one-file-per-cell layout on BOTH versions."""
     import glob
 
     from mapreduce_distributed_systems_spark.storage.vector_index import (
@@ -163,7 +168,11 @@ def test_compaction_is_content_invisible_and_merges_files(spark, sf_dir):
     after, cells_a, m3 = read_ivf_index(spark, base)
     assert m3["version"] == 3 and m3["compacted_from"] == 2
     files_after = glob.glob(f"{base}/codes-003/*/*.parquet")
-    assert len(files_after) < len(files_before)
+    assert len(files_after) <= len(files_before)
+    # one file per cell, both pre- and post-compaction (r8 write fix)
+    for files in (files_before, files_after):
+        cells_of = [f.split("/cell=")[1].split("/")[0] for f in files]
+        assert len(cells_of) == len(set(cells_of)), "multi-file cell"
     key = lambda r: (r.vec_id, tuple(r.qv), int(r.cell), r.gen)  # noqa: E731
     assert {key(r) for r in after.collect()} == {key(r) for r in before.collect()}
     assert {(r.cell, tuple(r.cv)) for r in cells_a.collect()} == {
