@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.sketches",
     "mapreduce_distributed_systems_spark.operators.robustness",
     "mapreduce_distributed_systems_spark.operators.bpe",
+    "mapreduce_distributed_systems_spark.operators.bitext",
     "mapreduce_distributed_systems_spark.storage.snapshots",
     "mapreduce_distributed_systems_spark.storage.vector_index",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
@@ -114,9 +115,9 @@ def _load() -> None:
 # plans/cert_state.json at round open, per the enforced gates in
 # tests/test_registry_gate.py — age>3 or changed-since-cert or
 # never-certified => must sit in GATE_ORDER[:50]):
-#   (a) the one never-certified query (kmeans_cells_two_level, new
-#       this round — the two-level router's certified equivalence
-#       path);
+#   (a) the two never-certified round-8 additions (kmeans_cells_two_level
+#       — the two-level router's certified equivalence path — and
+#       bitext_margin_mine — margin-criterion training-pair mining);
 #   (b) the 8 queries whose fn/oracle changed after their newest green
 #       row: the three brute-force ANN kernels (round-8 per-partition
 #       top-k prune), the two BPE queries (empty-merge-tolerant
@@ -132,6 +133,7 @@ def _load() -> None:
 GATE_ORDER = (
     # -- (a) never-certified: first driver row ------------------------
     "kmeans_cells_two_level",
+    "bitext_margin_mine",
     # -- (b) fn/oracle changed after newest green row (8) -------------
     "ann_cosine_topk",
     "ann_cosine_filtered",
@@ -178,17 +180,18 @@ GATE_ORDER = (
     "q4_order_priority",
     "agg_stats_segment",
     "grouping_sets_orders",
-    # -- (d) oldest r5 rows filling the window (5) ---------------------
+    # -- (d) oldest r5 rows filling the window (4; the bitext addition
+    #    displaced corpus_decontamination_ngram into the r9 head) ------
     "ann_ivf_probe",
     "ann_lsh_bucketed",
     "ann_recall_at_k",
     "chunk_documents",
-    "corpus_decontamination_ngram",
 )
 
 # Round-9 rotation note: the r5-certified rows NOT refreshed by the r8
-# window (43 names = every cert_state round-5 entry except the five
-# (d) fills and ann_cosine_topk, which re-certifies in r8 via (b))
+# window (44 names = every cert_state round-5 entry except the four
+# (d) fills and ann_cosine_topk, which re-certifies in r8 via (b);
+# corpus_decontamination_ngram was displaced by bitext_margin_mine)
 # will be 4 rounds old at r9 close and MUST head the r9 window —
 # compute the exact head from plans/cert_state.json at round open
 # (fold CORRECTNESS_r08.json first), fill the remaining ~7 slots with

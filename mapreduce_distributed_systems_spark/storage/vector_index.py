@@ -32,8 +32,11 @@ proving persistence is semantically invisible. `ivf_index_cell_stats`
 certifies the stored content itself (per-cell membership counts and
 centroid norms) against the unrolled-SQL replay of the fit.
 
-Scale: the build writes one shuffle (partitionBy cell); the manifest
-is O(1); serving reads {manifest + probed partitions}. Refreshing
+Scale: the build writes one shuffle (repartition by cell, so each cell
+is written by exactly ONE task — k files total instead of
+task_count x k, the round-8 small-files fix; cell sizes are bounded by
+ivf_k_for so the per-task write is skew-free); the manifest is O(1);
+serving reads {manifest + probed partitions}. Refreshing
 after corpus growth is a versioned re-commit (version+1) with old
 versions immutable for in-flight readers — time travel across refits,
 identical to compact_snapshot's protocol.

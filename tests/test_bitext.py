@@ -1,0 +1,107 @@
+"""Margin-criterion pair mining beyond oracle parity: the margin
+property itself, a pure-numpy third-engine re-derivation, and the
+scan-shape pin (corpus never shuffled)."""
+
+from __future__ import annotations
+
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+
+def _brute_mine(sf_dir: str):
+    """Pure-numpy/pyarrow re-derivation of the full pipeline — an
+    implementation with NO shared code with either engine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_distributed_systems_spark.operators.bitext import (
+        ANCHOR_CAP,
+        KNN_K,
+        MARGIN_SCALED,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"], dtype=np.int64)
+    lab = np.array(t["label"], dtype=np.int64)
+    v = np.array([list(map(float, e)) for e in t["embedding"]])
+    a_m, b_m = lab % 2 == 0, lab % 2 == 1
+
+    def cos6(x, y):
+        c = (x @ y) / (np.linalg.norm(x) * np.linalg.norm(y))
+        return int(round(c * 1e6))
+
+    def knn(qid, qv, side_ids, side_v, k):
+        scored = sorted(
+            (
+                (-cos6(qv, side_v[i]), int(side_ids[i]))
+                for i in range(len(side_ids))
+                if side_ids[i] != qid
+            ),
+        )[:k]
+        return [(-s, i) for s, i in scored]
+
+    anchors = sorted(int(i) for i in ids[a_m] if i % 20 == 0)[:ANCHOR_CAP]
+    by_id = {int(i): v[j] for j, i in enumerate(ids)}
+    out = {}
+    for aid in anchors:
+        nn = knn(aid, by_id[aid], ids[b_m], v[b_m], KNN_K)
+        best_cos, best_id = nn[0]
+        sum_x, n_x = sum(c for c, _ in nn), len(nn)
+        nny = knn(best_id, by_id[best_id], ids[a_m], v[a_m], KNN_K)
+        sum_y, n_y = sum(c for c, _ in nny), len(nny)
+        margin6 = int(round(best_cos * 1e6 / (0.5 * (sum_x / n_x + sum_y / n_y))))
+        if margin6 >= MARGIN_SCALED:
+            out[aid] = (best_id, best_cos, margin6)
+    return out
+
+
+def test_bitext_matches_pure_python_rederivation(spark, sf_dir):
+    got = {
+        r.anchor_id: (r.pair_id, r.cos6, r.margin6)
+        for r in get_spec("bitext_margin_mine").fn(spark, sf_dir).collect()
+    }
+    assert got == _brute_mine(sf_dir)
+    assert got, "margin filter kept nothing — fixture no longer exercises it"
+
+
+def test_bitext_margin_semantics(spark, sf_dir):
+    """Every kept pair crosses sides, clears the threshold, and its
+    cos6 can never exceed 1e6 + rounding; dropped anchors exist so the
+    filter is non-vacuous."""
+    import duckdb
+
+    from mapreduce_distributed_systems_spark.operators.bitext import (
+        ANCHOR_FILTER,
+        MARGIN_SCALED,
+    )
+
+    rows = get_spec("bitext_margin_mine").fn(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    lab = dict(
+        con.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    )
+    n_anchor = con.execute(
+        f"SELECT count(*) FROM embeddings WHERE label % 2 = 0 AND {ANCHOR_FILTER}"
+    ).fetchone()[0]
+    for r in rows:
+        assert lab[r.anchor_id] % 2 == 0 and lab[r.pair_id] % 2 == 1
+        assert r.margin6 >= MARGIN_SCALED
+        assert r.cos6 <= 1_000_001
+    assert len(rows) < n_anchor, "no anchor was filtered — vacuous threshold"
+
+
+def test_bitext_scan_never_shuffles_corpus(spark, sf_dir):
+    """Both scans are mapInPandas over an un-shuffled side; the only
+    exchanges carry O(anchors x k) scored rows into the rank windows
+    and the bounded broadcast join."""
+    df = get_spec("bitext_margin_mine").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in keys, keys  # vectors never shuffle
+    assert "BroadcastExchange" in plan  # the bounded ky side broadcasts
