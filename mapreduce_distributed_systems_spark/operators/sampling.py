@@ -623,3 +623,125 @@ def corpus_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_train_matches"),
         F.round(F.max("j"), 4).alias("max_jaccard"),
     )
+
+
+# ------------------------------------------------------------------ #
+# DSIR-style importance selection (Xie et al. 2023, arXiv:2302.03169,
+# "Data Selection for Language Models via Importance Resampling"): the
+# pretraining-curation op that selects raw-corpus documents whose
+# hashed n-gram distribution looks like a TARGET domain. Per document,
+# the importance log-weight is sum_tokens ln(p_target(b)/q_raw(b))
+# over hashed feature buckets b, with add-one smoothing; the selection
+# keeps the top-N weights. (DSIR proper adds Gumbel noise for a
+# without-replacement sample; the deterministic top-N is the
+# certifiable variant, and a seeded Gumbel via md5 would slot into the
+# same plan.)
+# ------------------------------------------------------------------ #
+
+DSIR_BUCKETS = 1024  # hashed unigram feature space
+DSIR_TARGET_LANG = "en"  # the domain whose distribution we match
+DSIR_KEEP = 100
+
+DSIR_ORACLE = f"""
+WITH tb AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+),
+bc AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tgt
+  FROM tb GROUP BY b
+),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM bc),
+w AS (
+  SELECT b, ln((bc.n_tgt + 1.0) / (t.t_tgt + {DSIR_BUCKETS}))
+           - ln((bc.n_raw + 1.0) / (t.t_raw + {DSIR_BUCKETS})) AS wb
+  FROM bc CROSS JOIN tot t
+),
+dw AS (
+  SELECT tb.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(w.wb), 6) AS weight
+  FROM tb JOIN w USING (b) GROUP BY tb.doc_id
+)
+SELECT doc_id, n_tokens, weight FROM dw
+ORDER BY weight DESC, doc_id LIMIT {DSIR_KEEP}
+"""
+
+
+@register(
+    "dsir_importance_select",
+    oracle=DSIR_ORACLE,
+    tags=("sampling", "quality", "curation", "dsir"),
+    doc=f"DSIR importance selection (arXiv:2302.03169): score every "
+    f"raw document by sum_tokens ln(p_target/q_raw) over "
+    f"{DSIR_BUCKETS} hashed unigram buckets (target = lang="
+    f"'{DSIR_TARGET_LANG}' docs, add-one smoothing) and keep the "
+    f"top-{DSIR_KEEP} — domain-matching curation by importance "
+    "weight, the op behind DoReMi/DSIR-style pretraining mixes. "
+    "Plan: ONE token pass builds both distributions (groupBy bucket, "
+    "map-side combined, bounded cardinality), the per-bucket "
+    "log-ratio table broadcasts onto the token stream, and ONE "
+    "doc-keyed map-side-combined shuffle sums per-doc weights; "
+    "selection is TakeOrdered (no full sort). At 100 TB every "
+    "exchange is either bucket-bounded or one row per (doc, "
+    "partition).",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_select(load_table(spark, sf_dir, "documents"))
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    keep: int = DSIR_KEEP,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The DSIR scoring/selection pipeline over any (doc_id, lang,
+    text) frame — parameterized so tests can plant a target domain
+    with a known vocabulary and assert the selection finds its
+    lookalikes."""
+    from mapreduce_distributed_systems_spark.functions.text import words
+
+    tb = docs.select(
+        "doc_id", "lang", F.explode(words("text")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+            f" % {buckets}"
+        ).alias("b"),
+    )
+    bc = tb.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).cast("long").alias("n_tgt"),
+    )
+    tot = bc.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + buckets))
+            - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + buckets))
+        ).alias("wb"),
+    )
+    dw = (
+        tb.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("wb"), 6).alias("weight"),
+        )
+    )
+    return dw.orderBy(F.desc("weight"), F.asc("doc_id")).limit(keep)

@@ -105,3 +105,52 @@ def test_bitext_scan_never_shuffles_corpus(spark, sf_dir):
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in keys, keys  # vectors never shuffle
     assert "BroadcastExchange" in plan  # the bounded ky side broadcasts
+
+
+# --------------------------------------------------------------------------
+# DSIR importance selection (same round-8 batch; shares this module's
+# "mining/selection beyond parity" scope)
+# --------------------------------------------------------------------------
+
+
+def test_dsir_planted_domain_is_selected(spark):
+    """Plant a target domain with its own vocabulary: 'en' docs use
+    vocab A; half the 'xx' docs are A-lookalikes, half use a disjoint
+    vocab B. The importance selection must rank every lookalike above
+    every B doc."""
+    from mapreduce_distributed_systems_spark.operators.sampling import (
+        dsir_select,
+    )
+
+    va = ["alpha", "bravo", "casa", "delta", "echo"]
+    vb = ["zulu", "yankee", "xray", "wiski", "viktor"]
+    rows = []
+    did = 0
+    for _ in range(10):  # target domain
+        rows.append((did, "en", " ".join(va * 4))); did += 1
+    look, other = [], []
+    for i in range(10):  # raw pool: lookalikes
+        rows.append((did, "xx", " ".join(va * 3))); look.append(did); did += 1
+    for i in range(10):  # raw pool: out-of-domain
+        rows.append((did, "xx", " ".join(vb * 3))); other.append(did); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = {
+        r.doc_id
+        for r in dsir_select(docs, target_lang="en", keep=20).collect()
+    }
+    assert set(look) <= kept, "A-lookalikes must all be selected"
+    assert not (set(other) & kept), "out-of-domain B docs must all rank below"
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    """Selection is TakeOrdered (never a full sort), the bucket-weight
+    table broadcasts (never shuffles the token stream on b), and no
+    exchange carries document text."""
+    import re
+
+    df = get_spec("dsir_importance_select").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in keys, keys
