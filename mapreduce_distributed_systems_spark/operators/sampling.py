@@ -745,3 +745,126 @@ def dsir_select(
         )
     )
     return dw.orderBy(F.desc("weight"), F.asc("doc_id")).limit(keep)
+
+
+# ------------------------------------------------------------------ #
+# The "R" in DSIR: importance RESAMPLING via Gumbel-top-k. Selecting
+# the top-N weights (dsir_importance_select) is the mode-seeking
+# variant; the paper samples WITHOUT replacement with probability
+# proportional to the importance weight, which is exactly Gumbel-top-k
+# (Vieira 2014; Kool et al. 2019, arXiv:1903.06059): draw
+# g_i = -ln(-ln(u_i)) per doc and keep the top-N of (log w_i + g_i).
+# The noise is md5-seeded from doc_id — u_i = (h_i + 1) / 2^60 with
+# h_i the first 15 hex chars of md5('gumbel:' || doc_id) — so the
+# sample is deterministic, engine-replayable, and changes with the
+# seed string, the repo-wide seeded-randomness pattern
+# (sample_deterministic_10pct, epoch shuffles).
+# ------------------------------------------------------------------ #
+
+DSIR_GUMBEL_SEED = "gumbel8"
+
+DSIR_GUMBEL_ORACLE = f"""
+WITH tb AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b,
+         lang
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+),
+bc AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tgt
+  FROM tb GROUP BY b
+),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM bc),
+w AS (
+  SELECT b, ln((bc.n_tgt + 1.0) / (t.t_tgt + {DSIR_BUCKETS}))
+           - ln((bc.n_raw + 1.0) / (t.t_raw + {DSIR_BUCKETS})) AS wb
+  FROM bc CROSS JOIN tot t
+),
+dw AS (
+  SELECT tb.doc_id, sum(w.wb) AS logw
+  FROM tb JOIN w USING (b) GROUP BY tb.doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         round(logw - ln(-ln(
+           (('0x' || substring(md5('{DSIR_GUMBEL_SEED}:' || doc_id), 1, 15))::BIGINT
+            + 1.0) / 1152921504606846976.0
+         )), 6) AS gumbel_key
+  FROM dw
+)
+SELECT doc_id, gumbel_key FROM keyed
+ORDER BY gumbel_key DESC, doc_id LIMIT {DSIR_KEEP}
+"""
+
+
+@register(
+    "dsir_gumbel_resample",
+    oracle=DSIR_GUMBEL_ORACLE,
+    tags=("sampling", "quality", "curation", "dsir"),
+    doc=f"DSIR importance RESAMPLING (the paper's actual sampler): a "
+    f"without-replacement sample of {DSIR_KEEP} docs with probability "
+    "proportional to the importance weight, via Gumbel-top-k "
+    "(arXiv:1903.06059) — per doc, keep-key = log-weight + "
+    "(-ln(-ln(u))) with u md5-seeded from doc_id, top-N by key. Same "
+    "plan as dsir_importance_select plus one map-side expression; "
+    "selection stays TakeOrdered. Deterministic and engine-replayed "
+    "end-to-end, so the certified artifact is the SAMPLE itself — "
+    "rerunnable anywhere, re-drawable by changing the seed string.",
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id", "lang", F.explode(words("text")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+            f" % {DSIR_BUCKETS}"
+        ).alias("b"),
+    )
+    bc = tb.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("long").alias("n_tgt"),
+    )
+    tot = bc.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + DSIR_BUCKETS))
+            - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + DSIR_BUCKETS))
+        ).alias("wb"),
+    )
+    dw = (
+        tb.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("wb").alias("logw"))
+    )
+    u = (
+        F.expr(
+            "cast(conv(substring("
+            f"md5(concat('{DSIR_GUMBEL_SEED}:', cast(doc_id as string)))"
+            ", 1, 15), 16, 10) as bigint)"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    keyed = dw.select(
+        "doc_id",
+        F.round(F.col("logw") - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.asc("doc_id")).limit(
+        DSIR_KEEP
+    )

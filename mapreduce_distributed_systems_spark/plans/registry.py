@@ -115,11 +115,12 @@ def _load() -> None:
 # plans/cert_state.json at round open, per the enforced gates in
 # tests/test_registry_gate.py — age>3 or changed-since-cert or
 # never-certified => must sit in GATE_ORDER[:50]):
-#   (a) the three never-certified round-8 additions
+#   (a) the four never-certified round-8 additions
 #       (kmeans_cells_two_level — the two-level router's certified
 #       equivalence path; bitext_margin_mine — margin-criterion
-#       training-pair mining; dsir_importance_select — DSIR
-#       domain-matching importance selection);
+#       training-pair mining; dsir_importance_select +
+#       dsir_gumbel_resample — DSIR domain-matching selection and its
+#       Gumbel-top-k resampler);
 #   (b) the 8 queries whose fn/oracle changed after their newest green
 #       row: the three brute-force ANN kernels (round-8 per-partition
 #       top-k prune), the two BPE queries (empty-merge-tolerant
@@ -127,7 +128,7 @@ def _load() -> None:
 #       lifecycle fix);
 #   (c) the 36 r4-certified names deferred past the r7 window — 4
 #       rounds old at r8 close, the hard staleness floor;
-#   (d) 3 oldest r5 rows (alphabetical within equal age) filling the
+#   (d) 2 oldest r5 rows (alphabetical within equal age) filling the
 #       window.
 # Everything outside the window stays covered by tests/test_parity.py,
 # which runs the same DuckDB oracles every session. Certified-by-round
@@ -137,6 +138,7 @@ GATE_ORDER = (
     "kmeans_cells_two_level",
     "bitext_margin_mine",
     "dsir_importance_select",
+    "dsir_gumbel_resample",
     # -- (b) fn/oracle changed after newest green row (8) -------------
     "ann_cosine_topk",
     "ann_cosine_filtered",
@@ -183,19 +185,18 @@ GATE_ORDER = (
     "q4_order_priority",
     "agg_stats_segment",
     "grouping_sets_orders",
-    # -- (d) oldest r5 rows filling the window (3; the bitext and DSIR
-    #    additions displaced corpus_decontamination_ngram and
-    #    chunk_documents into the r9 head) ------------------------------
+    # -- (d) oldest r5 rows filling the window (2; the round-8 mining/
+    #    selection additions displaced corpus_decontamination_ngram,
+    #    chunk_documents, and ann_recall_at_k into the r9 head) ---------
     "ann_ivf_probe",
     "ann_lsh_bucketed",
-    "ann_recall_at_k",
 )
 
 # Round-9 rotation note: the r5-certified rows NOT refreshed by the r8
-# window (45 names = every cert_state round-5 entry except the three
+# window (46 names = every cert_state round-5 entry except the two
 # (d) fills and ann_cosine_topk, which re-certifies in r8 via (b);
-# corpus_decontamination_ngram and chunk_documents were displaced by
-# the bitext/DSIR additions)
+# corpus_decontamination_ngram, chunk_documents, and ann_recall_at_k
+# were displaced by the round-8 mining/selection additions)
 # will be 4 rounds old at r9 close and MUST head the r9 window —
 # compute the exact head from plans/cert_state.json at round open
 # (fold CORRECTNESS_r08.json first), fill the remaining ~7 slots with

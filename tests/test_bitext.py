@@ -154,3 +154,32 @@ def test_dsir_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in keys, keys
+
+
+def test_dsir_gumbel_resample_is_weight_biased_not_topn(spark, sf_dir):
+    """The Gumbel resample must (a) be a distinct-doc sample of
+    exactly DSIR_KEEP, (b) differ from the deterministic top-N
+    selection (the noise resamples the tail, not just reorders), and
+    (c) remain importance-BIASED: the sample's overlap with the top-N
+    set stays well above the uniform-sampling expectation."""
+    import duckdb
+
+    from mapreduce_distributed_systems_spark.operators.sampling import (
+        DSIR_KEEP,
+    )
+
+    sel = {
+        r.doc_id
+        for r in get_spec("dsir_importance_select").fn(spark, sf_dir).collect()
+    }
+    sam_rows = get_spec("dsir_gumbel_resample").fn(spark, sf_dir).collect()
+    sam = {r.doc_id for r in sam_rows}
+    assert len(sam_rows) == DSIR_KEEP and len(sam) == DSIR_KEEP
+    assert sam != sel, "noise did nothing — this is just top-N again"
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    uniform_expect = DSIR_KEEP * DSIR_KEEP / n_docs
+    overlap = len(sam & sel)
+    assert overlap > 2 * uniform_expect, (overlap, uniform_expect)
