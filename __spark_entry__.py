@@ -17,6 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_distributed_systems_spark.plans.registry import all_specs  # noqa: E402
+from mapreduce_distributed_systems_spark.scratch import (  # noqa: E402
+    ensure_process_scratch,
+)
+
+# The external driver brings its own SparkSession (get_spark never
+# runs), so the process-scoped scratch root is claimed at import time:
+# every temp dir the streaming/snapshot/index queries allocate dies
+# with the driver process instead of stranding in /tmp (ADVICE r7,
+# generalized round 8 — see mapreduce_distributed_systems_spark/scratch.py).
+ensure_process_scratch()
 
 
 def entry(spark: SparkSession) -> DataFrame:

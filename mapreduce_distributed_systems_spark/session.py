@@ -36,6 +36,11 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the tuned SparkSession."""
+    from mapreduce_distributed_systems_spark.scratch import (
+        ensure_process_scratch,
+    )
+
+    ensure_process_scratch()  # all tempfile scratch dies with the process
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     builder = (
