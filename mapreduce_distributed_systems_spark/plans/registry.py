@@ -193,7 +193,7 @@ GATE_ORDER = (
 )
 
 # Round-9 rotation note: the r5-certified rows NOT refreshed by the r8
-# window (46 names = every cert_state round-5 entry except the two
+# window (45 names = every cert_state round-5 entry except the two
 # (d) fills and ann_cosine_topk, which re-certifies in r8 via (b);
 # corpus_decontamination_ngram, chunk_documents, and ann_recall_at_k
 # were displaced by the round-8 mining/selection additions)
@@ -202,6 +202,14 @@ GATE_ORDER = (
 # (fold CORRECTNESS_r08.json first), fill the remaining ~7 slots with
 # the oldest r6 rows, and put any query whose fn/oracle changes during
 # r8/r9 at the very head.
+#
+# HARD ARITHMETIC WARNING for r9: 45 must-gate names leave only ~5
+# window slots for (never-certified + changed-fingerprint) queries.
+# Round 9 must therefore either (a) hold new registrations and fn/
+# oracle edits to <=5 combined, or (b) edit only queries already
+# inside the must-gate head (their slots double up), or (c) do the
+# code work EARLY and let test_changed_queries_queued_in_window
+# arbitrate. Budget slots before writing code.
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see
