@@ -36,6 +36,15 @@ Corpus rows are scanned twice and shuffled never; every exchange
 carries O(anchors x k) rows. At 100 TB both scans swap for the IVF
 cell probe (storage/vector_index.py) with the same margin tail —
 exactly how ann_cosine_topk's docstring hands off to ann_ivf_probe.
+That hand-off is AUDITED rather than asserted
+(tools/probe_bitext_ivf.py, round 8): on cluster-structured
+embeddings the router recovers the true neighbor (two-level probe
+agreement 1.0 on planted clusters, tests/test_kmeans.py), but on this
+fixture's near-uniform synthetic vectors the probed-cells top-1
+recall is poor (pair agreement vs brute 0.14/0.35/0.65 at n_probe
+2/8/32 over k=400 cells, 100x leg) — the switch is conditional on
+embedding geometry, with n_probe as the dial and the certified
+ann_recall_curve as the per-corpus measurement to consult first.
 
 Determinism: neighbor ranking orders by (cos6 DESC, vec_id ASC);
 cos6 = round(cos * 1e6) — the integer twin of the repo-wide
