@@ -191,6 +191,7 @@ WHERE CAST(round(kx.best_cos6 * 1e6 /
     "bitext_margin_mine",
     oracle=BITEXT_ORACLE,
     tags=("similarity", "mining", "training", "bitext"),
+    bench=True,  # round-8: headline tracks training-pair mining
     doc=f"Margin-based training-pair mining (the CCMatrix/LASER "
     f"criterion, arXiv:1811.01136): per anchor on side A, keep its "
     f"best side-B candidate only if cos / (0.5 x (mean of each "

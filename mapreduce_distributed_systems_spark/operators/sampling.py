@@ -680,6 +680,7 @@ ORDER BY weight DESC, doc_id LIMIT {DSIR_KEEP}
     "dsir_importance_select",
     oracle=DSIR_ORACLE,
     tags=("sampling", "quality", "curation", "dsir"),
+    bench=True,  # round-8: headline tracks importance-based curation
     doc=f"DSIR importance selection (arXiv:2302.03169): score every "
     f"raw document by sum_tokens ln(p_target/q_raw) over "
     f"{DSIR_BUCKETS} hashed unigram buckets (target = lang="
