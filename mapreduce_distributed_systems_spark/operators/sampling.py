@@ -755,8 +755,11 @@ def dsir_select(
 # proportional to the importance weight, which is exactly Gumbel-top-k
 # (Vieira 2014; Kool et al. 2019, arXiv:1903.06059): draw
 # g_i = -ln(-ln(u_i)) per doc and keep the top-N of (log w_i + g_i).
-# The noise is md5-seeded from doc_id — u_i = (h_i + 1) / 2^60 with
-# h_i the first 15 hex chars of md5('gumbel:' || doc_id) — so the
+# The noise is md5-seeded from doc_id — u_i = (h_i + 0.5) / 2^60 with
+# h_i the first 15 hex chars of md5('gumbel:' || doc_id), offset 0.5 so
+# u lands in the OPEN interval (0, 1): h = 2^60 - 1 with a +1 offset
+# would give u = 1.0, where ln(-ln(u)) diverges engine-dependently
+# (DuckDB raises, Spark yields NULL and silently drops the doc) — so the
 # sample is deterministic, engine-replayable, and changes with the
 # seed string, the repo-wide seeded-randomness pattern
 # (sample_deterministic_10pct, epoch shuffles).
@@ -796,7 +799,7 @@ keyed AS (
   SELECT doc_id,
          round(logw - ln(-ln(
            (('0x' || substring(md5('{DSIR_GUMBEL_SEED}:' || doc_id), 1, 15))::BIGINT
-            + 1.0) / 1152921504606846976.0
+            + 0.5) / 1152921504606846976.0
          )), 6) AS gumbel_key
   FROM dw
 )
@@ -860,7 +863,7 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"md5(concat('{DSIR_GUMBEL_SEED}:', cast(doc_id as string)))"
             ", 1, 15), 16, 10) as bigint)"
         )
-        + F.lit(1.0)
+        + F.lit(0.5)
     ) / F.lit(float(1 << 60))
     keyed = dw.select(
         "doc_id",

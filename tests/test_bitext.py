@@ -25,9 +25,19 @@ def _brute_mine(sf_dir: str):
     v = np.array([list(map(float, e)) for e in t["embedding"]])
     a_m, b_m = lab % 2 == 0, lab % 2 == 1
 
+    import math
+
+    def half_away(x):
+        # Spark F.round and DuckDB round() are half-AWAY-from-zero;
+        # Python round() is banker's (half-to-even), which would make
+        # this re-derivation disagree with BOTH engines on an exact
+        # .5 boundary (ADVICE r8). Cosines can be negative, so mirror
+        # around zero explicitly.
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
     def cos6(x, y):
         c = (x @ y) / (np.linalg.norm(x) * np.linalg.norm(y))
-        return int(round(c * 1e6))
+        return half_away(c * 1e6)
 
     def knn(qid, qv, side_ids, side_v, k):
         scored = sorted(
@@ -48,7 +58,7 @@ def _brute_mine(sf_dir: str):
         sum_x, n_x = sum(c for c, _ in nn), len(nn)
         nny = knn(best_id, by_id[best_id], ids[a_m], v[a_m], KNN_K)
         sum_y, n_y = sum(c for c, _ in nny), len(nny)
-        margin6 = int(round(best_cos * 1e6 / (0.5 * (sum_x / n_x + sum_y / n_y))))
+        margin6 = half_away(best_cos * 1e6 / (0.5 * (sum_x / n_x + sum_y / n_y)))
         if margin6 >= MARGIN_SCALED:
             out[aid] = (best_id, best_cos, margin6)
     return out

@@ -235,3 +235,33 @@ def test_fit_gate_dispatch_and_forced_identity(spark):
         q8, k=k, n=n, two_level_gate=0, two_level_w=10**9
     )
     assert np.array_equal(flat, forced)
+
+
+def test_fixture_ivf_k_stays_below_two_level_fit_gate():
+    """Hash parity for every IVF query silently depends on
+    ivf_k_for(embeddings.count()) <= TWO_LEVEL_MIN_FIT_K at ALL
+    certified/parity SFs: above that gate the quantizer fit becomes
+    approximate (coarse-routed) while the static SQL oracles replay
+    the exact flat fit. Fixture growth must fail HERE, loudly, instead
+    of as an opaque driver hash mismatch (ADVICE r8)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_distributed_systems_spark.operators.kmeans import (
+        TWO_LEVEL_MIN_FIT_K,
+    )
+    from mapreduce_distributed_systems_spark.operators.similarity import (
+        ivf_k_for,
+    )
+
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "no fixture SF dirs found"
+    for d in dirs:
+        n = pq.ParquetFile(f"{d}/embeddings.parquet").metadata.num_rows
+        k = ivf_k_for(n)
+        assert k <= TWO_LEVEL_MIN_FIT_K, (
+            f"{d}: embeddings={n} -> ivf_k_for={k} exceeds "
+            f"TWO_LEVEL_MIN_FIT_K={TWO_LEVEL_MIN_FIT_K}; the flat-fit "
+            "SQL oracles no longer replay the Spark fit at this SF"
+        )
