@@ -113,6 +113,131 @@ def quality_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring — one model order up from the unigram
+# ---------------------------------------------------------------------------
+
+# Jelinek-Mercer interpolation weight on the bigram MLE; the remaining
+# mass backs off to the add-one unigram (the model above). CCNet's
+# KenLM is a 5-gram with Kneser-Ney — JM-interpolated bigram is the
+# smallest model that exercises the full inference plan shape
+# (conditional table keyed on context + backoff join), which is what
+# transfers: higher orders add join keys, not new machinery.
+BIGRAM_LAMBDA = 0.7
+# keep threshold in nats/bigram; corpus scores cluster 3.28-3.82 with
+# the tail above ~3.45 (rare-bigram noise — the CCNet "tail" bucket)
+BIGRAM_NLL_KEEP_MAX = 3.45
+
+BIGRAM_LM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+bg AS (
+  SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+  FROM t, unnest(list_zip(toks[1:length(toks)-1], toks[2:length(toks)]))
+         AS u(z)
+  WHERE length(toks) >= 2
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS ctx FROM bg GROUP BY 1),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_total,
+         CAST(count(DISTINCT term) AS BIGINT) AS v
+  FROM tok
+),
+db AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2, 3
+)
+SELECT db.doc_id,
+       CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+       round(-sum(db.c * ln({BIGRAM_LAMBDA} * cb.cb / ctx.ctx
+              + {1.0 - BIGRAM_LAMBDA} * (uni.n + 1.0) / (s.t_total + s.v)))
+             / sum(db.c), 6) AS nll2,
+       (round(-sum(db.c * ln({BIGRAM_LAMBDA} * cb.cb / ctx.ctx
+               + {1.0 - BIGRAM_LAMBDA} * (uni.n + 1.0) / (s.t_total + s.v)))
+              / sum(db.c), 6) <= {BIGRAM_NLL_KEEP_MAX}) AS keep
+FROM db JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+JOIN uni ON uni.term = db.w2 CROSS JOIN scal s
+GROUP BY db.doc_id
+"""
+
+
+@register(
+    "quality_bigram_lm_score",
+    oracle=BIGRAM_LM_ORACLE,
+    tags=("quality", "lm", "text", "classifier"),
+    bench=True,
+    doc="Interpolated bigram-LM quality scoring, one model order up "
+    "from quality_ngram_lm_score: P(w2|w1) = lambda * bigram MLE + "
+    "(1-lambda) * add-one unigram (Jelinek-Mercer), scored as mean "
+    "negative log-likelihood per bigram with a keep verdict — the "
+    "full inference plan shape of CCNet's KenLM stage (conditional "
+    "table keyed on CONTEXT + backoff join; higher orders add join "
+    "keys, not machinery). Plan: bigrams come from one array "
+    "transform fused into the scan (zero shuffle to build), the model "
+    "is two map-side-combined aggregates (bigram and context counts) "
+    "joined back on the bigram/context keys — per-key cardinality is "
+    "corpus-bounded, no hot key — plus the unigram table and one "
+    "broadcast scalar. Docs with fewer than two tokens have no "
+    "bigrams and are absent in both engines by construction.",
+)
+def quality_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words("text").alias("toks"))
+    tok = toks.select("doc_id", F.explode("toks").alias("term"))
+    bg = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "z.w1", "z.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    ctx = bg.groupBy("w1").agg(F.count("*").cast("long").alias("ctx"))
+    uni = tok.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    scal = tok.agg(
+        F.count("*").cast("long").alias("t_total"),
+        F.count_distinct("term").cast("long").alias("v"),
+    )
+    db = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    nll2 = F.round(
+        -F.sum(
+            F.col("c")
+            * F.log(
+                F.lit(BIGRAM_LAMBDA) * F.col("cb") / F.col("ctx")
+                + F.lit(1.0 - BIGRAM_LAMBDA)
+                * (F.col("n") + F.lit(1.0))
+                / (F.col("t_total") + F.col("v"))
+            )
+        )
+        / F.sum("c"),
+        6,
+    )
+    return (
+        db.join(cb, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, uni.term == db.w2)
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            nll2.alias("nll2"),
+            (nll2 <= F.lit(BIGRAM_NLL_KEEP_MAX)).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Paragraph-level dedup with document rewrite
 # ---------------------------------------------------------------------------
 

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.dedup",
     "mapreduce_distributed_systems_spark.operators.simhash64",
     "mapreduce_distributed_systems_spark.operators.similarity",
+    "mapreduce_distributed_systems_spark.operators.retrieval",
     "mapreduce_distributed_systems_spark.operators.text_analysis",
     "mapreduce_distributed_systems_spark.operators.text_prep",
     "mapreduce_distributed_systems_spark.operators.multimodal",
@@ -109,107 +110,102 @@ def _load() -> None:
 
 
 # Driver-gate priority order. The driver's CORRECTNESS check covers a
-# prefix of queries() (50 entries observed in rounds 1-7), so ordering
+# prefix of queries() (50 entries observed in rounds 1-8), so ordering
 # decides which queries get the hard external oracle signal. The window
-# ROTATES per round. Round-8 composition (computed from
+# ROTATES per round. Round-9 composition (computed from
 # plans/cert_state.json at round open, per the enforced gates in
 # tests/test_registry_gate.py — age>3 or changed-since-cert or
 # never-certified => must sit in GATE_ORDER[:50]):
-#   (a) the four never-certified round-8 additions
-#       (kmeans_cells_two_level — the two-level router's certified
-#       equivalence path; bitext_margin_mine — margin-criterion
-#       training-pair mining; dsir_importance_select +
-#       dsir_gumbel_resample — DSIR domain-matching selection and its
-#       Gumbel-top-k resampler);
-#   (b) the 8 queries whose fn/oracle changed after their newest green
-#       row: the three brute-force ANN kernels (round-8 per-partition
-#       top-k prune), the two BPE queries (empty-merge-tolerant
-#       oracle), and the three persisted-index queries (scratch-dir
-#       lifecycle fix);
-#   (c) the 36 r4-certified names deferred past the r7 window — 4
-#       rounds old at r8 close, the hard staleness floor;
-#   (d) 2 oldest r5 rows (alphabetical within equal age) filling the
+#   (a) dsir_gumbel_resample, whose fn+oracle changed after its r8 row
+#       (ADVICE r8: open-interval u=(h+0.5)/2^60), and the three
+#       never-certified round-9 additions (doc_bm25_topk — impact-
+#       pruned BM25 retrieval; retrieval_rrf_fusion — integer-exact
+#       reciprocal-rank hybrid of the BM25 and cosine rankers;
+#       quality_bigram_lm_score — Jelinek-Mercer bigram LM scoring);
+#   (b) the 45 r5-certified names not refreshed by the r8 window — 4
+#       rounds old at r9 close, the hard staleness floor (this is the
+#       whole budget: the HARD ARITHMETIC WARNING below played out
+#       exactly as written);
+#   (c) 1 oldest r6 row (alphabetical within equal age) filling the
 #       window.
 # Everything outside the window stays covered by tests/test_parity.py,
 # which runs the same DuckDB oracles every session. Certified-by-round
 # map: COVERAGE.md / QUERIES.md.
 GATE_ORDER = (
-    # -- (a) never-certified: first driver row ------------------------
-    "kmeans_cells_two_level",
-    "bitext_margin_mine",
-    "dsir_importance_select",
+    # -- (a) changed fingerprint + never-certified: first driver row --
     "dsir_gumbel_resample",
-    # -- (b) fn/oracle changed after newest green row (8) -------------
-    "ann_cosine_topk",
-    "ann_cosine_filtered",
-    "ann_hard_negatives",
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "ann_ivf_persisted",
-    "ann_ivf_index_append",
-    "ivf_index_cell_stats",
-    # -- (c) r4-certified, 4 rounds old at r8 close (36) --------------
-    "agg_max_by",
-    "agg_distinct_priority",
-    "join_anti_parts",
-    "join_full_outer",
-    "join_left_outer",
-    "join_semi_customers",
-    "inverted_index_bucketed",
-    "dedup_ngram_jaccard",
-    "events_json_props",
-    "events_sliding_1h_30m",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_intersect_all",
-    "scalar_funcs",
-    "string_funcs_ext",
-    "date_funcs_ext",
-    "pivot_status_by_priority",
-    "rollup_status_priority",
-    "cube_returnflag_linestatus",
-    "array_ops",
-    "window_lag_lead",
-    "window_range_30d",
-    "window_rank_top3",
-    "window_running_total",
-    "window_value_picks",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "q18_large_orders",
-    "q14_promo_effect",
-    "q10_returned_items",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "agg_stats_segment",
-    "grouping_sets_orders",
-    # -- (d) oldest r5 rows filling the window (2; the round-8 mining/
-    #    selection additions displaced corpus_decontamination_ngram,
-    #    chunk_documents, and ann_recall_at_k into the r9 head) ---------
-    "ann_ivf_probe",
-    "ann_lsh_bucketed",
+    "doc_bm25_topk",
+    "retrieval_rrf_fusion",
+    "quality_bigram_lm_score",
+    # -- (b) r5-certified, 4 rounds old at r9 close (45) ---------------
+    "ann_recall_at_k",
+    "chunk_documents",
+    "corpus_decontamination_ngram",
+    "dataset_split_assign",
+    "dedup_canonical_pick",
+    "dedup_cluster_components",
+    "dedup_exact",
+    "dedup_lsh_bucket_stats",
+    "dedup_minhash_estimate",
+    "dedup_minhash_lsh",
+    "dedup_repeated_passages",
+    "dedup_simhash64",
+    "doc_fingerprint",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "events_funnel_conversion",
+    "events_tumbling_streaming_append",
+    "inverted_index",
+    "kmeans_cells",
+    "kv_get_asof",
+    "kv_get_time_travel",
+    "kv_replay_dedup",
+    "kv_replay_final",
+    "kv_replay_streaming",
+    "lang_id_confusion",
+    "mixture_weighted_sample",
+    "pack_training_shards",
+    "pipeline_clean_corpus",
+    "pipeline_incremental_update",
+    "profile_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "sample_deterministic_10pct",
+    "shard_pruned_read",
+    "sketch_kmv_distinct",
+    "sketch_kmv_merge",
+    "skew_salted_agg",
+    "stratified_sample_per_lang",
+    "text_quality",
+    "text_token_rarity",
+    "token_count_methods",
+    "wc",
+    "wc_mr_facade",
+    "window_ntile_pctrank",
+    # -- (c) oldest r6 row filling the window (1) ----------------------
+    "agg_percentiles",
 )
 
-# Round-9 rotation note: the r5-certified rows NOT refreshed by the r8
-# window (45 names = every cert_state round-5 entry except the two
-# (d) fills and ann_cosine_topk, which re-certifies in r8 via (b);
-# corpus_decontamination_ngram, chunk_documents, and ann_recall_at_k
-# were displaced by the round-8 mining/selection additions)
-# will be 4 rounds old at r9 close and MUST head the r9 window —
-# compute the exact head from plans/cert_state.json at round open
-# (fold CORRECTNESS_r08.json first), fill the remaining ~7 slots with
-# the oldest r6 rows, and put any query whose fn/oracle changes during
-# r8/r9 at the very head.
+# Round-10 rotation note: the r6-certified rows NOT refreshed by the
+# r9 window (44 names = every cert_state round-6 entry except
+# agg_percentiles, the (c) fill) will be 4 rounds old at r10 close and
+# MUST head the r10 window — compute the exact head from
+# plans/cert_state.json at round open (fold CORRECTNESS_r09.json
+# first), fill the remaining ~6 slots with the oldest r7 rows, and put
+# any query whose fn/oracle changes during r9/r10 at the very head.
 #
-# HARD ARITHMETIC WARNING for r9: 45 must-gate names leave only ~5
-# window slots for (never-certified + changed-fingerprint) queries.
-# Round 9 must therefore either (a) hold new registrations and fn/
-# oracle edits to <=5 combined, or (b) edit only queries already
-# inside the must-gate head (their slots double up), or (c) do the
-# code work EARLY and let test_changed_queries_queued_in_window
-# arbitrate. Budget slots before writing code.
+# HARD ARITHMETIC WARNING for r10 (same arithmetic as r9, which
+# consumed its entire ~5-slot budget: 1 changed + 3 new + 1 fill):
+# 44 must-gate names leave only ~6 window slots for (never-certified +
+# changed-fingerprint) queries. Round 10 must therefore either (a)
+# hold new registrations and fn/oracle edits to <=6 combined, or (b)
+# edit only queries already inside the must-gate head (their slots
+# double up), or (c) do the code work EARLY and let
+# test_changed_queries_queued_in_window arbitrate. Budget slots
+# before writing code. The treadmill ends at r11: the r7 cohort is
+# 44 rows certified across r7 sessions, but 18 of them were re-certed
+# in r8 — recompute from cert_state, the head may finally shrink.
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see

@@ -1,0 +1,187 @@
+"""BM25 / RRF-fusion behavior beyond oracle parity: a pure-python
+third-engine rederivation of the full BM25 pipeline, ranked-list
+invariants, and an integer-exact composition check for the fusion."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+_TOK_RE = re.compile(r"[^\W\d_]+", re.UNICODE)  # = \p{L}+ on this corpus
+
+
+def _python_bm25(sf_dir: str):
+    """Plain-python BM25 with the same impact prune, query-term
+    selection, and rounding — no shared code with either engine."""
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_CAP,
+        BM25_TOP_K,
+        POSTING_CAP,
+        QUERY_TERMS,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    toks = {d: _TOK_RE.findall(x or "") for d, x in zip(t["doc_id"], t["text"])}
+    tf = {d: Counter(ts) for d, ts in toks.items() if ts}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df = Counter()
+    postings = defaultdict(list)
+    for d, c in tf.items():
+        for term, f in c.items():
+            df[term] += 1
+            postings[term].append((d, f))
+    post = {
+        term: sorted(pl, key=lambda x: (-x[1], x[0]))[:POSTING_CAP]
+        for term, pl in postings.items()
+    }
+    queries = sorted(d for d in t["doc_id"] if d % 100 == 0)[:BM25_QUERY_CAP]
+    out = {}
+    for q in queries:
+        if q not in tf:
+            continue
+        qterms = sorted(tf[q], key=lambda w: (df[w], w))[:QUERY_TERMS]
+        score = defaultdict(float)
+        for term in qterms:
+            idf = math.log(
+                1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5)
+            )
+            for d, f in post[term]:
+                if d == q:
+                    continue
+                score[d] += (
+                    idf
+                    * (f * (BM25_K1 + 1.0))
+                    / (f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl))
+                )
+        ranked = sorted(
+            ((round(s, 6), d) for d, s in score.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:BM25_TOP_K]
+        for rank, (s, d) in enumerate(ranked, 1):
+            out[(q, d)] = (s, rank)
+    return out
+
+
+def test_bm25_matches_pure_python_rederivation(spark, sf_dir):
+    got = {
+        (r.query_id, r.doc_id): (r.bm25, r.rank)
+        for r in get_spec("doc_bm25_topk").fn(spark, sf_dir).collect()
+    }
+    want = _python_bm25(sf_dir)
+    assert set(got) == set(want)
+    for k, (s, rank) in want.items():
+        gs, grank = got[k]
+        assert grank == rank, (k, got[k], (s, rank))
+        # engines sum the per-term weights in different orders; both
+        # round to 6 dp, so they agree to the rounding quantum
+        assert abs(gs - s) <= 2e-6, (k, gs, s)
+
+
+def test_bm25_ranked_list_invariants(spark, sf_dir):
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        BM25_TOP_K,
+    )
+
+    rows = get_spec("doc_bm25_topk").fn(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r.doc_id != r.query_id, "self pair leaked through"
+        assert r.query_id % 100 == 0
+        by_q[r.query_id].append(r)
+    for q, lst in by_q.items():
+        lst.sort(key=lambda r: r.rank)
+        assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= BM25_TOP_K
+        for a, b in zip(lst, lst[1:]):
+            assert (-a.bm25, a.doc_id) < (-b.bm25, b.doc_id)
+
+
+def test_rrf_fusion_is_exact_composition_of_both_rankers(spark, sf_dir):
+    """The fused table must be byte-derivable from the two legs'
+    outputs: integer contributions round(1e9/(60+rank)), full outer
+    on (query, doc), top-10 by (score desc, doc)."""
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOP_K,
+    )
+
+    def contrib(rank):
+        return int(round(RRF_SCALE / (RRF_K + rank)))
+
+    lex = {
+        (r.query_id, r.doc_id): contrib(r.rank)
+        for r in get_spec("doc_bm25_topk").fn(spark, sf_dir).collect()
+    }
+    dense = {
+        (r.query_id, r.neighbor_id): contrib(r.rank)
+        for r in get_spec("ann_cosine_topk").fn(spark, sf_dir).collect()
+    }
+    fused = {
+        k: (lex.get(k, 0) + dense.get(k, 0), (k in lex) + (k in dense))
+        for k in set(lex) | set(dense)
+    }
+    by_q = defaultdict(list)
+    for (q, d), (s, ns) in fused.items():
+        by_q[q].append((-s, d, ns))
+    want = {}
+    for q, lst in by_q.items():
+        for rank, (neg_s, d, ns) in enumerate(sorted(lst)[:RRF_TOP_K], 1):
+            want[(q, d)] = (-neg_s, ns, rank)
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.n_systems, r.rank)
+        for r in get_spec("retrieval_rrf_fusion").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bigram_lm_threshold_splits_and_matches_python(spark, sf_dir):
+    from mapreduce_distributed_systems_spark.operators.lm_quality import (
+        BIGRAM_LAMBDA,
+        BIGRAM_NLL_KEEP_MAX,
+    )
+
+    rows = get_spec("quality_bigram_lm_score").fn(spark, sf_dir).collect()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows), (
+        f"BIGRAM_NLL_KEEP_MAX={BIGRAM_NLL_KEEP_MAX} does not split: "
+        f"{kept}/{len(rows)} kept"
+    )
+
+    # third engine: fit + score in plain python
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    toks = {d: _TOK_RE.findall(x or "") for d, x in zip(t["doc_id"], t["text"])}
+    uni = Counter()
+    cb = Counter()
+    ctx = Counter()
+    for ts in toks.values():
+        uni.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            cb[(a, b)] += 1
+            ctx[a] += 1
+    t_total, v = sum(uni.values()), len(uni)
+    for r in rows:
+        ts = toks[r.doc_id]
+        bgs = list(zip(ts, ts[1:]))
+        assert r.n_bigrams == len(bgs)
+        nll = -sum(
+            math.log(
+                BIGRAM_LAMBDA * cb[(a, b)] / ctx[a]
+                + (1.0 - BIGRAM_LAMBDA) * (uni[b] + 1.0) / (t_total + v)
+            )
+            for a, b in bgs
+        ) / len(bgs)
+        assert abs(r.nll2 - round(nll, 6)) <= 2e-6, (r.doc_id, r.nll2, nll)
+    # docs with < 2 tokens are absent by construction
+    assert {r.doc_id for r in rows} == {
+        d for d, ts in toks.items() if len(ts) >= 2
+    }
