@@ -136,6 +136,30 @@ FROM bm25_ranked WHERE rank <= {BM25_TOP_K}
 """
 
 
+def impact_prune(
+    tf: DataFrame, cap: int, key: str = "term", value: str = "tf",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-`key` top-`cap` rows in (`value` DESC, `id_col` ASC) order
+    via two bounded windows (the r8 ANN-prune shape): stage 1 takes
+    the per-input-partition top-cap per key — a superset of the
+    global top-cap, whatever the partitioning — so stage 2's per-key
+    window reads <= cap x n_partitions rows, never a full hot-key
+    posting list in one task. Results are exactly the naive
+    `row_number() OVER (PARTITION BY key ORDER BY value DESC, id) <=
+    cap` (differential-pinned in tests/test_retrieval.py)."""
+    w1 = W.partitionBy(F.spark_partition_id(), key).orderBy(
+        F.desc(value), F.asc(id_col)
+    )
+    local = tf.withColumn("_prn", F.row_number().over(w1)).where(
+        F.col("_prn") <= cap
+    ).drop("_prn")
+    w2 = W.partitionBy(key).orderBy(F.desc(value), F.asc(id_col))
+    return local.withColumn("_prn", F.row_number().over(w2)).where(
+        F.col("_prn") <= cap
+    ).drop("_prn")
+
+
 @register(
     "doc_bm25_topk",
     oracle=BM25_ORACLE,
@@ -170,21 +194,9 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
-    # impact prune, two bounded stages (r8 ANN-prune shape): stage 1
-    # takes the per-input-partition top-cap per term — a superset of
-    # the global top-cap, whatever the partitioning — so stage 2's
-    # per-term window reads <= cap x n_partitions rows, never a full
-    # hot-term posting list.
-    w1 = W.partitionBy(F.spark_partition_id(), "term").orderBy(
-        F.desc("tf"), F.asc("doc_id")
-    )
-    local = tf.withColumn("_prn", F.row_number().over(w1)).where(
-        F.col("_prn") <= POSTING_CAP
-    ).drop("_prn")
-    w2 = W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
-    post = local.withColumn("_prn", F.row_number().over(w2)).where(
-        F.col("_prn") <= POSTING_CAP
-    ).drop("_prn")
+    # static impact pruning: only the POSTING_CAP highest-tf postings
+    # per term can ever be scored (module docstring)
+    post = impact_prune(tf, POSTING_CAP)
 
     q = (
         docs.where(F.expr(BM25_QUERY_FILTER))

@@ -185,3 +185,42 @@ def test_bigram_lm_threshold_splits_and_matches_python(spark, sf_dir):
     assert {r.doc_id for r in rows} == {
         d for d, ts in toks.items() if len(ts) >= 2
     }
+
+
+def test_impact_prune_equals_naive_window_on_hot_key(spark):
+    """The two-stage prune must return EXACTLY the naive per-key
+    row_number window's rows, including on a hot key an order of
+    magnitude over the cap and ties in the value column."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        impact_prune,
+    )
+
+    rows = []
+    # hot term: 400 postings, heavy tf ties; cold terms: below the cap
+    for d in range(400):
+        rows.append(("hot", d, 1 + (d % 7)))
+    for t in range(20):
+        for d in range(t + 1):
+            rows.append((f"cold{t}", d, 1 + ((d * 13 + t) % 5)))
+    tf = spark.createDataFrame(
+        rows, "term string, doc_id long, tf long"
+    ).repartition(16)
+    cap = 25
+    got = {
+        (r.term, r.doc_id, r.tf)
+        for r in impact_prune(tf, cap).collect()
+    }
+    w = W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    want = {
+        (r.term, r.doc_id, r.tf)
+        for r in tf.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+        .collect()
+    }
+    assert got == want
+    # and the hot key was actually pruned
+    assert sum(1 for t, _, _ in got if t == "hot") == cap
