@@ -454,3 +454,69 @@ def curation_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFra
         value_desc=True,
     )
     return picked.select("source", "doc_id", "n_tokens", "score")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-constrained curation: fill a training-token budget with
+# the best-scoring documents (data-constrained training selection,
+# Muennighoff et al. 2023, arXiv:2305.16264 — "how much data to keep"
+# is a TOKEN budget, not a doc count, because training cost is tokens).
+# ---------------------------------------------------------------------------
+
+# budget = total corpus tokens div BUDGET_DIV (integer-exact; a
+# corpus-relative budget keeps the query meaningful at every SF)
+BUDGET_DIV = 4
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH {{scored_cte}},
+c AS (
+  SELECT doc_id, n_tokens, score,
+         sum(n_tokens) OVER (
+           ORDER BY score DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+),
+tot AS (SELECT sum(n_tokens) AS t FROM scored)
+SELECT doc_id, n_tokens, score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c, tot
+WHERE cum_tokens <= t // {BUDGET_DIV}
+"""
+
+
+@register(
+    "curation_token_budget_select",
+    oracle=TOKEN_BUDGET_ORACLE.format(scored_cte=_scored_cte()),
+    tags=("quality", "curation", "training-data", "packing"),
+    bench=True,
+    doc=f"Token-budget-constrained curation: keep the best-scoring "
+    f"docs (classifier score DESC, doc_id tiebreak) until the running "
+    f"token total reaches total_tokens div {BUDGET_DIV} — the "
+    "data-constrained-training selection where the budget is TOKENS, "
+    "not documents (arXiv:2305.16264). The global running sum in "
+    "score order is the packing.py distributed prefix sum: "
+    "range-partition on (-score, doc_id), per-partition cumsum, "
+    "O(#partitions) driver offsets — no single-reducer window, and "
+    "score ties split across range partitions by the doc_id key so a "
+    "constant-score corpus cannot create a hot partition. All-integer "
+    "arithmetic end to end, so certification is hash-exact.",
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_distributed_systems_spark.operators.packing import (
+        distributed_cumsum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier_score(docs).select("doc_id", "n_tokens", "score")
+    tot = scored.agg(F.sum("n_tokens").cast("long").alias("t"))
+    ordered = scored.withColumn("_neg", (-F.col("score")).cast("long"))
+    c = distributed_cumsum(spark, ordered, "n_tokens", ["_neg", "doc_id"])
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .where(F.col("_csum") <= F.expr(f"t div {BUDGET_DIV}"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            F.col("_csum").cast("long").alias("cum_tokens"),
+        )
+    )

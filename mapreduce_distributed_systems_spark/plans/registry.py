@@ -117,17 +117,19 @@ def _load() -> None:
 # tests/test_registry_gate.py — age>3 or changed-since-cert or
 # never-certified => must sit in GATE_ORDER[:50]):
 #   (a) dsir_gumbel_resample, whose fn+oracle changed after its r8 row
-#       (ADVICE r8: open-interval u=(h+0.5)/2^60), and the three
+#       (ADVICE r8: open-interval u=(h+0.5)/2^60), and the four
 #       never-certified round-9 additions (doc_bm25_topk — impact-
 #       pruned BM25 retrieval; retrieval_rrf_fusion — integer-exact
 #       reciprocal-rank hybrid of the BM25 and cosine rankers;
-#       quality_bigram_lm_score — Jelinek-Mercer bigram LM scoring);
+#       quality_bigram_lm_score — Jelinek-Mercer bigram LM scoring;
+#       curation_token_budget_select — token-budget-constrained
+#       curation via the distributed prefix sum);
 #   (b) the 45 r5-certified names not refreshed by the r8 window — 4
 #       rounds old at r9 close, the hard staleness floor (this is the
 #       whole budget: the HARD ARITHMETIC WARNING below played out
 #       exactly as written);
-#   (c) 1 oldest r6 row (alphabetical within equal age) filling the
-#       window.
+# The window is exactly full: 5 head + 45 must-gate. The r6 cohort's
+# refresh starts at r10 (rotation note below).
 # Everything outside the window stays covered by tests/test_parity.py,
 # which runs the same DuckDB oracles every session. Certified-by-round
 # map: COVERAGE.md / QUERIES.md.
@@ -137,6 +139,7 @@ GATE_ORDER = (
     "doc_bm25_topk",
     "retrieval_rrf_fusion",
     "quality_bigram_lm_score",
+    "curation_token_budget_select",
     # -- (b) r5-certified, 4 rounds old at r9 close (45) ---------------
     "ann_recall_at_k",
     "chunk_documents",
@@ -183,29 +186,29 @@ GATE_ORDER = (
     "wc",
     "wc_mr_facade",
     "window_ntile_pctrank",
-    # -- (c) oldest r6 row filling the window (1) ----------------------
-    "agg_percentiles",
 )
 
 # Round-10 rotation note: the r6-certified rows NOT refreshed by the
-# r9 window (44 names = every cert_state round-6 entry except
-# agg_percentiles, the (c) fill) will be 4 rounds old at r10 close and
+# r9 window (all 45 cert_state round-6 entries — round 9 spent its
+# fill slot on curation_token_budget_select) will be 4 rounds old at
+# r10 close and
 # MUST head the r10 window — compute the exact head from
 # plans/cert_state.json at round open (fold CORRECTNESS_r09.json
 # first), fill the remaining ~6 slots with the oldest r7 rows, and put
 # any query whose fn/oracle changes during r9/r10 at the very head.
 #
 # HARD ARITHMETIC WARNING for r10 (same arithmetic as r9, which
-# consumed its entire ~5-slot budget: 1 changed + 3 new + 1 fill):
-# 44 must-gate names leave only ~6 window slots for (never-certified +
+# consumed its entire 5-slot budget: 1 changed + 4 new):
+# 45 must-gate names leave only ~5 window slots for (never-certified +
 # changed-fingerprint) queries. Round 10 must therefore either (a)
-# hold new registrations and fn/oracle edits to <=6 combined, or (b)
+# hold new registrations and fn/oracle edits to <=5 combined, or (b)
 # edit only queries already inside the must-gate head (their slots
 # double up), or (c) do the code work EARLY and let
 # test_changed_queries_queued_in_window arbitrate. Budget slots
-# before writing code. The treadmill ends at r11: the r7 cohort is
-# 44 rows certified across r7 sessions, but 18 of them were re-certed
-# in r8 — recompute from cert_state, the head may finally shrink.
+# before writing code. The treadmill eases at r11: the r7 cohort
+# shrinks by everything re-certified in r8/r9 windows — recompute
+# from cert_state at r11 open; the head should finally drop well
+# below 45.
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see

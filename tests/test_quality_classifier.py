@@ -118,3 +118,39 @@ def test_curation_plan_no_per_group_funnel(spark, sf_dir):
     # inside the cached relation's printed subplan — once per scan
     # reference — so assert the cache, not a textual exchange count.)
     assert "InMemoryTableScan" in plan
+
+
+def test_token_budget_select_is_exact_greedy_prefix(spark, sf_dir):
+    """curation_token_budget_select == the naive greedy fill: sort all
+    scored docs by (score DESC, doc_id), walk the running token sum,
+    keep while <= total div BUDGET_DIV. Rederived from the CERTIFIED
+    classifier scores (integer-exact), so this differential pins the
+    distributed prefix sum + budget cut, not the scoring."""
+    from mapreduce_distributed_systems_spark.operators.quality import (
+        BUDGET_DIV,
+    )
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    scored = sorted(
+        (
+            (-r.score, r.doc_id, r.n_tokens)
+            for r in classifier_score(
+                load_table(spark, sf_dir, "documents")
+            ).collect()
+        ),
+    )
+    budget = sum(n for _, _, n in scored) // BUDGET_DIV
+    want, acc = {}, 0
+    for neg_s, d, n in scored:
+        acc += n
+        if acc > budget:
+            break
+        want[d] = (n, -neg_s, acc)
+    got = {
+        r.doc_id: (r.n_tokens, r.score, r.cum_tokens)
+        for r in get_spec("curation_token_budget_select")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(scored), "budget cut must be non-trivial"
