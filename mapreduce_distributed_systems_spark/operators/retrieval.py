@@ -184,10 +184,26 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     would serve with one more reduce."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf")
+    # THE one corpus-sized pass: every downstream table (postings,
+    # document frequencies, doc lengths, the scalar stats, the query
+    # docs' term sets) derives from this (doc, term, tf) aggregate.
+    # Cached + materialized NOW: without the cache each consumer
+    # re-executes the tokenize scan (6 parquet scans of the corpus in
+    # the executed plan, profiled round 9 -> 1 with it), and a lazily
+    # populated cache would let AQE's concurrently-launched broadcast
+    # subqueries race to recompute it (the curation lesson, round 7).
+    # In production the pruned index is a persisted artifact (the
+    # storage/vector_index.py manifest pattern); the cache is the
+    # in-query stand-in.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .cache()
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tf.count()
+    # doc length = sum of its term frequencies — a re-aggregation of
+    # the cached tf table, not a second pass over the token stream
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     scal = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -198,6 +214,8 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per term can ever be scored (module docstring)
     post = impact_prune(tf, POSTING_CAP)
 
+    # the query block scans ONLY the doc_id column (column-pruned,
+    # TakeOrdered-bounded); query terms come from the cached tf
     q = (
         docs.where(F.expr(BM25_QUERY_FILTER))
         .orderBy("doc_id")
@@ -205,7 +223,8 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"))
     )
     # query representation: the QUERY_TERMS lowest-df terms of the
-    # query doc (window over one doc's distinct terms — doc-bounded)
+    # query doc (window over one doc's distinct terms — doc-bounded);
+    # df rides along so the scoring join below never re-joins it
     wq = W.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
     qt = (
         q.join(tf, q.query_id == tf.doc_id)
@@ -213,12 +232,11 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "term", "df")
         .withColumn("_trn", F.row_number().over(wq))
         .where(F.col("_trn") <= QUERY_TERMS)
-        .select("query_id", "term")
+        .select("query_id", "term", "df")
     )
 
     cand = (
         qt.join(post, "term")
-        .join(df, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(scal))
         .where(F.col("doc_id") != F.col("query_id"))
