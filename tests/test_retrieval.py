@@ -224,3 +224,39 @@ def test_impact_prune_equals_naive_window_on_hot_key(spark):
     assert got == want
     # and the hot key was actually pruned
     assert sum(1 for t, _, _ in got if t == "hot") == cap
+
+
+def test_impact_prune_matches_naive_window_on_random_data(spark):
+    """Seeded random datasets (varied key skew, tie density, cap):
+    the two-stage prune == the naive window, every time."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        impact_prune,
+    )
+
+    for seed, cap in ((1, 1), (7, 4), (42, 17)):
+        rng = random.Random(seed)
+        n_keys = rng.randint(1, 12)
+        rows = []
+        did = 0
+        for k in range(n_keys):
+            for _ in range(rng.randint(1, 120)):
+                rows.append((f"k{k}", did, rng.randint(1, 5)))
+                did += 1
+        tf = spark.createDataFrame(
+            rows, "term string, doc_id long, tf long"
+        ).repartition(rng.randint(1, 8))
+        got = {tuple(r) for r in impact_prune(tf, cap).collect()}
+        w = W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+        want = {
+            tuple(r)
+            for r in tf.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap)
+            .drop("_rn")
+            .collect()
+        }
+        assert got == want, (seed, cap)
