@@ -29,6 +29,13 @@ def test_lm_score_splits_corpus_and_is_smoothed(spark, sf_dir):
     # keep is exactly the thresholded rounded score (no second
     # unrounded comparison hiding in the plan)
     assert all((r.nll <= LM_NLL_KEEP_MAX) == r.keep for r in rows)
+    # ADVICE r9: keep compares a rounded order-dependent float sum to
+    # the threshold; certification relies on no fixture doc sitting
+    # within a rounding quantum of it. Pin a wide margin.
+    assert all(abs(r.nll - LM_NLL_KEEP_MAX) > 1e-3 for r in rows), (
+        "a fixture doc's nll sits within 1e-3 of LM_NLL_KEEP_MAX; "
+        "move the threshold into a gap"
+    )
 
 
 def test_paragraph_rewrite_drops_planted_boilerplate(spark, sf_dir):
