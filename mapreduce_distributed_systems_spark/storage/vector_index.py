@@ -44,11 +44,8 @@ identical to compact_snapshot's protocol.
 
 from __future__ import annotations
 
-import atexit
 import json
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,22 +64,12 @@ from mapreduce_distributed_systems_spark.plans.registry import register
 
 MANIFEST_VERSION = 1
 
-# Scratch roots for the self-contained index queries (ADVICE r7: each
-# certification/bench run used to leak one mkdtemp per query into
-# /tmp). The query fns RETURN lazy DataFrames that read the artifact
-# only when the caller materializes them, so a per-call try/finally
-# would delete the index before it is scanned — process exit is the
-# first moment the artifact is provably dead. All scratch indexes
-# therefore live under ONE per-process root removed by atexit.
-_SCRATCH_ROOT: str | None = None
-
-
-def _scratch_dir(prefix: str) -> str:
-    global _SCRATCH_ROOT
-    if _SCRATCH_ROOT is None:
-        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_ivf_scratch_")
-        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+# Scratch roots for the self-contained index queries: one per-process
+# root removed at exit (see storage/scratch.py for the rationale —
+# the query fns return LAZY DataFrames over the artifact).
+from mapreduce_distributed_systems_spark.storage.scratch import (  # noqa: E402
+    scratch_dir as _scratch_dir,
+)
 
 
 def write_ivf_index(

@@ -245,6 +245,7 @@ def test_fixture_ivf_k_stays_below_two_level_fit_gate():
     the exact flat fit. Fixture growth must fail HERE, loudly, instead
     of as an opaque driver hash mismatch (ADVICE r8)."""
     import glob
+    import os
 
     import pyarrow.parquet as pq
 
@@ -255,7 +256,13 @@ def test_fixture_ivf_k_stays_below_two_level_fit_gate():
         ivf_k_for,
     )
 
-    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    # ADVICE r9: derive the fixture roots from the same env override
+    # conftest honors, so pointing SPARK_GRAFT_TEST_SF_DIR elsewhere
+    # keeps this guard watching the fixtures actually under test (the
+    # sibling sf* dirs of the active one).
+    from tests.conftest import SF_DIR
+
+    dirs = sorted(glob.glob(os.path.join(os.path.dirname(SF_DIR), "sf*")))
     assert dirs, "no fixture SF dirs found"
     for d in dirs:
         n = pq.ParquetFile(f"{d}/embeddings.parquet").metadata.num_rows

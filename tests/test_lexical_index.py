@@ -1,0 +1,206 @@
+"""Persisted BM25 index contract (storage/lexical_index.py): manifest
+commit ordering, version time travel, term-bucket partition-pruned
+candidate reads, serving-equals-rebuild equivalence, and the
+frozen-stats incremental append."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.plans.registry import get_spec
+from mapreduce_distributed_systems_spark.sources import load_table
+from mapreduce_distributed_systems_spark.storage.lexical_index import (
+    N_TERM_BUCKETS,
+    append_bm25_index,
+    build_and_commit_bm25,
+    read_bm25_index,
+    term_bucket,
+    write_bm25_index,
+)
+
+
+def test_manifest_is_the_commit_point(spark, sf_dir):
+    """All parquet dirs must be complete before any manifest appears,
+    and the pointer must resolve to existing dirs — a reader that
+    finds a manifest never sees missing data."""
+    base = tempfile.mkdtemp(prefix="bm25_commit_")
+    path = build_and_commit_bm25(spark, sf_dir, base)
+    with open(path) as f:
+        manifest = json.load(f)
+    for key in ("postings_dir", "terms_dir", "doclens_dir"):
+        assert os.path.isdir(manifest[key])
+    assert os.path.exists(os.path.join(manifest["terms_dir"], "_SUCCESS"))
+    assert not os.path.exists(path + ".tmp")
+    assert os.path.exists(os.path.join(base, "manifest-001.json"))
+    # frozen corpus scalars recorded at build time
+    for key in ("n_docs", "avgdl", "posting_cap", "n_term_buckets"):
+        assert key in manifest
+
+
+def test_round_trip_preserves_postings_and_stats(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="bm25_rt_")
+    build_and_commit_bm25(spark, sf_dir, base)
+    post, terms, doclens, manifest = read_bm25_index(spark, base)
+    # the stored dictionary and doc lengths must equal a fresh
+    # re-aggregation of the corpus
+    from mapreduce_distributed_systems_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    want_df = {
+        (r.term, r.df)
+        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    assert {(r.term, r.df) for r in terms.collect()} == want_df
+    want_dl = {
+        (r.doc_id, r.dl)
+        for r in tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).collect()
+    }
+    assert {(r.doc_id, r.dl) for r in doclens.collect()} == want_dl
+    assert manifest["n_docs"] == len(want_dl)
+    # postings carry dl denormalized in, consistent with the doclens
+    # table row for the same doc
+    dl_map = dict(want_dl)
+    for r in post.limit(200).collect():
+        assert r.dl == dl_map[r.doc_id]
+    # every stored posting's bucket matches its term's hash bucket
+    mism = post.where(
+        F.col("tb") != term_bucket(F.col("term"))
+    ).count()
+    assert mism == 0
+
+
+def test_version_time_travel_across_rebuilds(spark, sf_dir):
+    """A rebuild commits version+1 with v1 left immutable: the pointer
+    serves v2, a pinned read still resolves v1 — the same contract the
+    IVF index and KV snapshots certify."""
+    base = tempfile.mkdtemp(prefix="bm25_tt_")
+    build_and_commit_bm25(spark, sf_dir, base)
+    post1, _, _, m1 = read_bm25_index(spark, base)
+    n1 = post1.count()
+    # "rebuild": v2 keeps only even doc_ids (a deterministic change)
+    post, terms, doclens, m = read_bm25_index(spark, base)
+    write_bm25_index(
+        post.where(F.col("doc_id") % 2 == 0).select(
+            "term", "doc_id", "tf", "dl"
+        ),
+        terms,
+        doclens,
+        {k: m[k] for k in ("n_docs", "avgdl", "posting_cap")},
+        base,
+        version=2,
+    )
+    latest, _, _, m_latest = read_bm25_index(spark, base)
+    pinned, _, _, m_pinned = read_bm25_index(spark, base, version=1)
+    assert m_latest["version"] == 2 and m_pinned["version"] == 1
+    assert pinned.count() == n1
+    assert latest.count() == post1.where(F.col("doc_id") % 2 == 0).count()
+
+
+def test_candidate_read_is_partition_pruned(spark, sf_dir):
+    """The point of term-bucket-partitioned postings: a candidate read
+    for a query's term buckets must plan partition filters on `tb`
+    (directory-level skipping) and keep tb out of the parquet
+    ReadSchema — a bounded fraction of the index bytes, not a full
+    scan plus filter."""
+    base = tempfile.mkdtemp(prefix="bm25_prune_")
+    build_and_commit_bm25(spark, sf_dir, base)
+    post, _, _, _ = read_bm25_index(spark, base)
+    pruned = post.where(F.col("tb").isin([0, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    tail = plan.split("PartitionFilters: [", 1)
+    assert len(tail) == 2, f"no partition filters in plan:\n{plan}"
+    assert "tb" in tail[1][:200]
+    read_schema = plan.split("ReadSchema: ", 1)[1]
+    assert "tb" not in read_schema
+    # one data file per bucket: the repartition("tb")-before-partitionBy
+    # write discipline (the vector_index small-files fix)
+    with open(os.path.join(base, "manifest.json")) as f:
+        post_dir = json.load(f)["postings_dir"]
+    files = glob.glob(f"{post_dir}/*/*.parquet")
+    buckets = [f.split("/tb=")[1].split("/")[0] for f in files]
+    assert len(buckets) == len(set(buckets)), "multi-file bucket"
+    assert len(buckets) <= N_TERM_BUCKETS
+
+
+def test_serve_plan_prunes_buckets_and_equals_in_query_ranker(spark, sf_dir):
+    """doc_bm25_serve (build, commit, reload, score off the artifact)
+    must return exactly doc_bm25_topk (in-session rebuild): persistence
+    is semantically invisible. Its executed plan must read postings
+    through a tb partition filter."""
+    served_df = get_spec("doc_bm25_serve").fn(spark, sf_dir)
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    tail = plan.split("PartitionFilters: [", 1)
+    assert len(tail) == 2, f"serve plan has no partition filters:\n{plan}"
+    assert "tb" in tail[1][:200]
+    served = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25) for r in served_df.collect()
+    }
+    rebuilt = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in get_spec("doc_bm25_topk").fn(spark, sf_dir).collect()
+    }
+    assert served == rebuilt
+
+
+def test_append_is_frozen_stats_and_immediately_retrievable(spark, sf_dir):
+    """The incremental append: (a) new docs' postings are merged in and
+    re-pruned against the same cap, (b) corpus stats and existing df
+    values stay FROZEN at the base build's values (the documented
+    stale-stats window), (c) version 1 stays resolvable, (d) no
+    posting list exceeds the cap after the merge."""
+    base = tempfile.mkdtemp(prefix="bm25_append_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # base build = even doc_ids only, via a temp view the builder reads;
+    # simplest: write a filtered parquet copy and build from it
+    split_dir = tempfile.mkdtemp(prefix="bm25_split_")
+    docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{split_dir}/documents.parquet"
+    )
+    build_and_commit_bm25(spark, split_dir, base)
+    _, terms1, dl1, m1 = read_bm25_index(spark, base)
+    df1 = {r.term: r.df for r in terms1.collect()}
+
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    append_bm25_index(spark, new_docs, base)
+    post2, terms2, dl2, m2 = read_bm25_index(spark, base)
+
+    assert m2["version"] == 2 and m2["stale_stats"] is True
+    # frozen scalars
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["avgdl"] == m1["avgdl"]
+    # existing terms keep the base df; new-only terms enter with batch df
+    df2 = {r.term: r.df for r in terms2.collect()}
+    for t, d in df1.items():
+        assert df2[t] == d, f"existing term {t!r} df drifted {d}->{df2[t]}"
+    assert set(df2) >= set(df1)
+    # new docs are retrievable: their postings exist in v2
+    new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+    stored_new = {
+        r.doc_id
+        for r in post2.select("doc_id").distinct().collect()
+        if r.doc_id in new_ids
+    }
+    assert stored_new, "appended docs produced no postings"
+    # doclens cover both generations
+    assert dl2.count() > dl1.count()
+    # merged lists respect the cap
+    cap = m2["posting_cap"]
+    over = (
+        post2.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > cap)
+        .count()
+    )
+    assert over == 0
+    # v1 still resolvable (time travel)
+    post1, _, _, m1b = read_bm25_index(spark, base, version=1)
+    assert m1b["version"] == 1
+    assert post1.select("doc_id").distinct().count() <= m1["n_docs"]

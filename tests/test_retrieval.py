@@ -15,9 +15,11 @@ from mapreduce_distributed_systems_spark.plans.registry import get_spec
 _TOK_RE = re.compile(r"[^\W\d_]+", re.UNICODE)  # = \p{L}+ on this corpus
 
 
-def _python_bm25(sf_dir: str):
+def _python_bm25(sf_dir: str, cap: int | None = None):
     """Plain-python BM25 with the same impact prune, query-term
-    selection, and rounding — no shared code with either engine."""
+    selection, and rounding — no shared code with either engine.
+    `cap` overrides the posting cap (a huge value => the unpruned
+    ground-truth ranking the quality query measures against)."""
     from mapreduce_distributed_systems_spark.operators.retrieval import (
         BM25_B,
         BM25_K1,
@@ -26,6 +28,9 @@ def _python_bm25(sf_dir: str):
         POSTING_CAP,
         QUERY_TERMS,
     )
+
+    if cap is None:
+        cap = POSTING_CAP
 
     t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
     toks = {d: _TOK_RE.findall(x or "") for d, x in zip(t["doc_id"], t["text"])}
@@ -40,7 +45,7 @@ def _python_bm25(sf_dir: str):
             df[term] += 1
             postings[term].append((d, f))
     post = {
-        term: sorted(pl, key=lambda x: (-x[1], x[0]))[:POSTING_CAP]
+        term: sorted(pl, key=lambda x: (-x[1], x[0]))[:cap]
         for term, pl in postings.items()
     }
     queries = sorted(d for d in t["doc_id"] if d % 100 == 0)[:BM25_QUERY_CAP]
@@ -142,6 +147,92 @@ def test_rrf_fusion_is_exact_composition_of_both_rankers(spark, sf_dir):
         for r in get_spec("retrieval_rrf_fusion").fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rrf_ivf_fusion_is_exact_composition_of_both_rankers(spark, sf_dir):
+    """retrieval_rrf_fusion_ivf must be byte-derivable from the BM25
+    and IVF legs' outputs — the same composition contract as the
+    brute-dense hybrid, with the production dense leg."""
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOP_K,
+    )
+
+    def contrib(rank):
+        return int(round(RRF_SCALE / (RRF_K + rank)))
+
+    lex = {
+        (r.query_id, r.doc_id): contrib(r.rank)
+        for r in get_spec("doc_bm25_topk").fn(spark, sf_dir).collect()
+    }
+    dense = {
+        (r.query_id, r.neighbor_id): contrib(r.rank)
+        for r in get_spec("ann_ivf_kmeans").fn(spark, sf_dir).collect()
+    }
+    fused = {
+        k: (lex.get(k, 0) + dense.get(k, 0), (k in lex) + (k in dense))
+        for k in set(lex) | set(dense)
+    }
+    by_q = defaultdict(list)
+    for (q, d), (s, ns) in fused.items():
+        by_q[q].append((-s, d, ns))
+    want = {}
+    for q, lst in by_q.items():
+        for rank, (neg_s, d, ns) in enumerate(sorted(lst)[:RRF_TOP_K], 1):
+            want[(q, d)] = (-neg_s, ns, rank)
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.n_systems, r.rank)
+        for r in get_spec("retrieval_rrf_fusion_ivf")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+
+
+def test_retrieval_quality_matches_python_rederivation(spark, sf_dir):
+    """The quality query's ground truth (unpruned BM25) comes from the
+    pure-python third engine; the metric aggregation (recall counts +
+    integer DCG/IDCG) is rederived in python over the certified spark
+    rankings. Every number must match exactly — they are integers."""
+    from collections import Counter
+
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        _DCG_P,
+        _DCG_W,
+    )
+
+    truth = set(_python_bm25(sf_dir, cap=10**9))
+    per_q = Counter(q for q, _ in truth)
+    pruned = [
+        (r.query_id, r.doc_id, r.rank)
+        for r in get_spec("doc_bm25_topk").fn(spark, sf_dir).collect()
+    ]
+    fused = [
+        (r.query_id, r.doc_id, r.rank)
+        for r in get_spec("retrieval_rrf_fusion").fn(spark, sf_dir).collect()
+    ]
+    want = {}
+    for name, lst in (("bm25_pruned", pruned), ("rrf_hybrid", fused)):
+        hits = [(q, d, rk) for q, d, rk in lst if (q, d) in truth]
+        want[name] = (
+            len(per_q),
+            len(hits),
+            sum(per_q.values()),
+            sum(_DCG_W[rk - 1] for _, _, rk in hits),
+            sum(_DCG_P[n - 1] for n in per_q.values()),
+        )
+    got = {
+        r.system: (r.n_queries, r.hits, r.possible, r.dcg, r.idcg)
+        for r in get_spec("retrieval_quality_bm25_rrf")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    # the metric is non-degenerate: some hits, bounded by possible
+    for name, (_nq, hits, possible, dcg, idcg) in got.items():
+        assert 0 < hits <= possible, (name, got[name])
+        assert 0 < dcg <= idcg, (name, got[name])
 
 
 def test_bigram_lm_threshold_splits_and_matches_python(spark, sf_dir):
