@@ -47,7 +47,11 @@ stats behind an atomic manifest). `doc_bm25_serve` certifies the
 write -> commit -> reload -> score cycle against the SAME oracle as
 the in-query ranker; `doc_bm25_topk` remains the build-then-query
 single-session shape whose (doc, term, tf) cache stands in for the
-artifact.
+artifact. That cache's lifetime (ADVICE r9) is scoped by contract:
+the driver shim and bench harness clearCache() at every query entry
+(tests/test_registry_gate.py::test_driver_queries_wrapper_isolates_cache),
+and the scheduled-build twin (storage/lexical_index.build_and_commit_bm25)
+unpersists before returning — no caller accumulates resident copies.
 """
 
 from __future__ import annotations
@@ -218,12 +222,15 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_ranked(
     spark: SparkSession, sf_dir: str, cap: int | None
 ) -> DataFrame:
-    """The full BM25 ranking (query_id, doc_id, bm25, rank) over the
+    """BM25 ranking (query_id, doc_id, bm25, rank) over the
     in-session index. `cap` is the impact-prune posting cap; None
     skips pruning entirely — the brute ground truth the quality query
     measures the production rankers against (offline-audit shape:
     per-query work is bounded only by the selected low-df terms'
-    true posting lengths, so it runs on samples, never as serving)."""
+    true posting lengths, so it runs on samples, never as serving).
+    Ranks are exact only up to BM25_TOP_K (the two-stage bounded cut
+    below discards everything that cannot reach the global top-k);
+    both consumers filter rank <= BM25_TOP_K."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
     # THE one corpus-sized pass: every downstream table (postings,
@@ -307,6 +314,25 @@ def _bm25_ranked(
     agg = cand.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("w"), 6).alias("bm25")
     )
+    # Bounded rank fan-in for the BRUTE path only (round 10): a
+    # per-(input-partition, query) top-k first — a superset of the
+    # global top-k whatever the partitioning (the differential-pinned
+    # impact_prune argument) — so the per-query rank window reads
+    # <= k x n_partitions rows instead of ONE task sorting a query's
+    # corpus-sized candidate set. Gated on cap=None because the
+    # pruned path's candidates are already <= QUERY_TERMS x cap per
+    # query and the extra exchange+sort is pure overhead there
+    # (A/B at sf0.1: 11.7 s -> 16.9 s cold with the stage applied
+    # unconditionally).
+    if cap is None:
+        wl = W.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+        agg = (
+            agg.withColumn("_prn", F.row_number().over(wl))
+            .where(F.col("_prn") <= BM25_TOP_K)
+            .drop("_prn")
+        )
     wr = W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return agg.withColumn("rank", F.row_number().over(wr).cast("long"))
 
