@@ -204,3 +204,73 @@ def test_append_is_frozen_stats_and_immediately_retrievable(spark, sf_dir):
     post1, _, _, m1b = read_bm25_index(spark, base, version=1)
     assert m1b["version"] == 1
     assert post1.select("doc_id").distinct().count() <= m1["n_docs"]
+
+
+def test_append_equals_full_rebuild_when_cap_never_binds(spark, sf_dir):
+    """Segment-merge equivalence: as long as no posting list reaches
+    the cap (true at the fixture SFs: max df << POSTING_CAP), the
+    appended index's postings and doc lengths must equal a full
+    rebuild's EXACTLY — the only documented divergences are the frozen
+    stats (n_docs/avgdl/df), which this test does not compare."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    split_dir = tempfile.mkdtemp(prefix="bm25_eq_split_")
+    docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{split_dir}/documents.parquet"
+    )
+    inc_dir = tempfile.mkdtemp(prefix="bm25_eq_inc_")
+    build_and_commit_bm25(spark, split_dir, inc_dir)
+    append_bm25_index(
+        spark, docs.where(F.col("doc_id") % 2 == 1), inc_dir
+    )
+    full_dir = tempfile.mkdtemp(prefix="bm25_eq_full_")
+    build_and_commit_bm25(spark, sf_dir, full_dir)
+
+    post_inc, _, dl_inc, _ = read_bm25_index(spark, inc_dir)
+    post_full, _, dl_full, _ = read_bm25_index(spark, full_dir)
+    key = lambda r: (r.term, r.doc_id, r.tf, r.dl)  # noqa: E731
+    assert {key(r) for r in post_inc.collect()} == {
+        key(r) for r in post_full.collect()
+    }
+    assert {(r.doc_id, r.dl) for r in dl_inc.collect()} == {
+        (r.doc_id, r.dl) for r in dl_full.collect()
+    }
+
+
+def test_append_re_prunes_merged_lists_to_the_global_order(spark):
+    """When the cap binds, the merged list must be the top-cap of
+    {stored survivors} ∪ {batch postings} in (tf DESC, doc_id ASC)
+    order — a batch doc with a higher tf evicts a stored survivor."""
+    import mapreduce_distributed_systems_spark.storage.lexical_index as li
+
+    base = tempfile.mkdtemp(prefix="bm25_cap_")
+    split_dir = tempfile.mkdtemp(prefix="bm25_cap_docs_")
+    base_docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in (1, 2, 3, 4)],
+        "doc_id long, text string",
+    )
+    base_docs.write.mode("overwrite").parquet(f"{split_dir}/documents.parquet")
+    orig_cap = li.POSTING_CAP
+    try:
+        li.POSTING_CAP = 3
+        li.build_and_commit_bm25(spark, split_dir, base)
+    finally:
+        li.POSTING_CAP = orig_cap
+    post1, _, _, m1 = read_bm25_index(spark, base)
+    assert m1["posting_cap"] == 3
+    # base prune keeps the tf-top-3: docs 4, 3, 2
+    assert {(r.doc_id, r.tf) for r in post1.collect()} == {
+        (4, 4), (3, 3), (2, 2)
+    }
+    new_docs = spark.createDataFrame(
+        [(5, " ".join(["w"] * 5))], "doc_id long, text string"
+    )
+    append_bm25_index(spark, new_docs, base)
+    post2, _, dl2, m2 = read_bm25_index(spark, base)
+    # merged top-3: the batch doc (tf 5) evicts doc 2
+    assert {(r.doc_id, r.tf, r.dl) for r in post2.collect()} == {
+        (5, 5, 5), (4, 4, 4), (3, 3, 3)
+    }
+    assert m2["posting_cap"] == 3 and m2["stale_stats"] is True
+    # doclens keep EVERY doc (maintenance table, not pruned)
+    assert {r.doc_id for r in dl2.collect()} == {1, 2, 3, 4, 5}
