@@ -85,10 +85,16 @@ N_TERM_BUCKETS = 32
 MANIFEST_VERSION = 1
 
 
-def term_bucket(col):
+def term_bucket(col, n_buckets: int = N_TERM_BUCKETS):
     """Physical partition key for a term: pmod(xxhash64(term), B).
-    Layout-only — never part of a certified result."""
-    return F.pmod(F.xxhash64(col), F.lit(N_TERM_BUCKETS)).cast("int")
+    Layout-only — never part of a certified result. B is a property
+    of each index VERSION (recorded as n_term_buckets in its
+    manifest): the writer picks it, and every reader must derive
+    buckets with the MANIFEST's value, never the current module
+    constant — otherwise a B change between build and serve would
+    prune the wrong directories and silently drop candidates
+    (tests/test_lexical_index.py pins serve against a non-default B)."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
 def write_bm25_index(
@@ -98,6 +104,7 @@ def write_bm25_index(
     stats: dict,
     base_dir: str,
     version: int = MANIFEST_VERSION,
+    n_buckets: int = N_TERM_BUCKETS,
 ) -> str:
     """Commit a BM25 index version: `post` is (term, doc_id, tf, dl)
     — the impact-pruned postings with doc length denormalized in —
@@ -105,7 +112,11 @@ def write_bm25_index(
     (doc_id, dl). All parquet writes finish BEFORE any manifest
     appears, so a reader that resolves a manifest never sees missing
     data; the pointer swap is the atomic commit. `stats` must carry
-    the frozen corpus scalars (n_docs, avgdl, posting_cap)."""
+    the frozen corpus scalars (n_docs, avgdl, posting_cap).
+    `n_buckets` is this version's physical bucket count, recorded in
+    the manifest as n_term_buckets — at 100 TB it scales with the
+    index (more buckets => finer pruning and bounded files per
+    bucket), and readers must take it from the manifest."""
     post_dir = os.path.join(base_dir, f"postings-{version:03d}")
     terms_dir = os.path.join(base_dir, f"terms-{version:03d}")
     dl_dir = os.path.join(base_dir, f"doclens-{version:03d}")
@@ -114,7 +125,7 @@ def write_bm25_index(
     # bucket dir (the vector_index round-8 small-files finding:
     # task_count x buckets files is the classic failure at scale)
     (
-        post.withColumn("tb", term_bucket(F.col("term")))
+        post.withColumn("tb", term_bucket(F.col("term"), n_buckets))
         .repartition("tb")
         .write.mode("overwrite")
         .partitionBy("tb")
@@ -127,7 +138,7 @@ def write_bm25_index(
         "postings_dir": post_dir,
         "terms_dir": terms_dir,
         "doclens_dir": dl_dir,
-        "n_term_buckets": N_TERM_BUCKETS,
+        "n_term_buckets": n_buckets,
         **stats,
     }
     ver_path = os.path.join(base_dir, f"manifest-{version:03d}.json")
@@ -255,6 +266,7 @@ def append_bm25_index(
     return write_bm25_index(
         merged, terms, doclens, stats, base_dir,
         version=manifest["version"] + 1,
+        n_buckets=int(manifest["n_term_buckets"]),  # layout carried forward
     )
 
 
@@ -301,7 +313,16 @@ def bm25_topk_from_index(
         qterms.join(terms, "term")  # df from the STORED dictionary
         .withColumn("_trn", F.row_number().over(wq))
         .where(F.col("_trn") <= QUERY_TERMS)
-        .select("query_id", "term", "df", term_bucket(F.col("term")).alias("tb"))
+        .select(
+            "query_id",
+            "term",
+            "df",
+            # bucket with the MANIFEST's count — the layout is a
+            # per-version property, not the current module constant
+            term_bucket(
+                F.col("term"), int(manifest["n_term_buckets"])
+            ).alias("tb"),
+        )
     )
     qrows = qt.collect()  # bounded: <= BM25_QUERY_CAP x QUERY_TERMS
     buckets = sorted({r.tb for r in qrows})

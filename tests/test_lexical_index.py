@@ -149,6 +149,48 @@ def test_serve_plan_prunes_buckets_and_equals_in_query_ranker(spark, sf_dir):
     assert served == rebuilt
 
 
+def test_serve_honors_the_manifest_bucket_count(spark, sf_dir):
+    """The bucket count is a per-version layout property: a version
+    written with a non-default B must serve EXACTLY the same results,
+    with the query's bucket filter derived from the manifest's
+    n_term_buckets — deriving it from the module constant instead
+    would prune the wrong directories and silently drop candidates."""
+    import glob as _glob
+
+    from mapreduce_distributed_systems_spark.storage.lexical_index import (
+        bm25_topk_from_index,
+    )
+
+    base = tempfile.mkdtemp(prefix="bm25_bkt_")
+    build_and_commit_bm25(spark, sf_dir, base)
+    post, terms, doclens, m = read_bm25_index(spark, base)
+    # re-commit the same content as version 2 with B=8 (a layout-only
+    # change; content identical)
+    write_bm25_index(
+        post.select("term", "doc_id", "tf", "dl"),
+        terms,
+        doclens,
+        {k: m[k] for k in ("n_docs", "avgdl", "posting_cap")},
+        base,
+        version=2,
+        n_buckets=8,
+    )
+    post2, terms2, _, m2 = read_bm25_index(spark, base)
+    assert m2["n_term_buckets"] == 8
+    dirs = _glob.glob(f"{m2['postings_dir']}/tb=*")
+    assert 0 < len(dirs) <= 8
+    served = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in bm25_topk_from_index(spark, sf_dir, post2, terms2, m2)
+        .collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in get_spec("doc_bm25_topk").fn(spark, sf_dir).collect()
+    }
+    assert served == want
+
+
 def test_append_is_frozen_stats_and_immediately_retrievable(spark, sf_dir):
     """The incremental append: (a) new docs' postings are merged in and
     re-pruned against the same cap, (b) corpus stats and existing df
