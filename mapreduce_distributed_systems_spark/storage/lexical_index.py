@@ -227,9 +227,17 @@ def append_bm25_index(
     (n_docs, avgdl) and existing df values stay FROZEN at the base
     build's values (marked stale_stats in the manifest): new docs are
     immediately retrievable, IDF drifts until the next full rebuild —
-    the segment-merge trade-off, asserted in tests."""
+    the segment-merge trade-off, asserted in tests.
+
+    IDEMPOTENT under at-least-once delivery: doc_ids already present
+    in the stored doc-length table are dropped from the batch (a
+    batch-sized anti-join against doclens — cheap for a build job),
+    so a redelivered batch commits a content-identical version
+    instead of silently double-counting postings — the same
+    exactly-once discipline the KV replay layer certifies (C4)."""
     post0, terms0, dl0, manifest = read_bm25_index(spark, base_dir)
     cap = manifest["posting_cap"]
+    new_docs = new_docs.join(dl0.select("doc_id"), "doc_id", "left_anti")
     tok = new_docs.select("doc_id", F.explode(words("text")).alias("term"))
     tfn = tok.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")

@@ -248,6 +248,33 @@ def test_append_is_frozen_stats_and_immediately_retrievable(spark, sf_dir):
     assert post1.select("doc_id").distinct().count() <= m1["n_docs"]
 
 
+def test_append_is_idempotent_under_redelivery(spark, sf_dir):
+    """At-least-once delivery: re-appending an already-committed batch
+    must commit a content-IDENTICAL version (postings, doclens, terms)
+    instead of double-counting postings — the KV layer's exactly-once
+    discipline applied to index maintenance."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split_dir = tempfile.mkdtemp(prefix="bm25_idem_split_")
+    docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{split_dir}/documents.parquet"
+    )
+    base = tempfile.mkdtemp(prefix="bm25_idem_")
+    build_and_commit_bm25(spark, split_dir, base)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    append_bm25_index(spark, batch, base)
+    post2, terms2, dl2, m2 = read_bm25_index(spark, base)
+    key = lambda r: (r.term, r.doc_id, r.tf, r.dl)  # noqa: E731
+    want_post = {key(r) for r in post2.collect()}
+    want_dl = {(r.doc_id, r.dl) for r in dl2.collect()}
+    want_df = {(r.term, r.df) for r in terms2.collect()}
+    append_bm25_index(spark, batch, base)  # redelivery
+    post3, terms3, dl3, m3 = read_bm25_index(spark, base)
+    assert m3["version"] == m2["version"] + 1
+    assert {key(r) for r in post3.collect()} == want_post
+    assert {(r.doc_id, r.dl) for r in dl3.collect()} == want_dl
+    assert {(r.term, r.df) for r in terms3.collect()} == want_df
+
+
 def test_append_equals_full_rebuild_when_cap_never_binds(spark, sf_dir):
     """Segment-merge equivalence: as long as no posting list reaches
     the cap (true at the fixture SFs: max df << POSTING_CAP), the
