@@ -24,6 +24,11 @@ Layout under <base_dir>:
                           PARTITIONED BY tb = pmod(xxhash64(term), B)
   terms-<ver>/            parquet (term, df) — the full dictionary
   doclens-<ver>/          parquet (doc_id, dl) — kept for maintenance
+  positions-<ver>/        OPTIONAL positional component (term, doc_id,
+                          tf, positions array<int>), same tb layout —
+                          present when the build requested phrase
+                          support (with_positions=True); recorded in
+                          the manifest as positions_dir
 
 Why postings carry dl: BM25's length normalization needs the
 candidate doc's length at score time; denormalizing it into the
@@ -105,6 +110,7 @@ def write_bm25_index(
     base_dir: str,
     version: int = MANIFEST_VERSION,
     n_buckets: int = N_TERM_BUCKETS,
+    positions: DataFrame | None = None,
 ) -> str:
     """Commit a BM25 index version: `post` is (term, doc_id, tf, dl)
     — the impact-pruned postings with doc length denormalized in —
@@ -116,7 +122,14 @@ def write_bm25_index(
     `n_buckets` is this version's physical bucket count, recorded in
     the manifest as n_term_buckets — at 100 TB it scales with the
     index (more buckets => finer pruning and bounded files per
-    bucket), and readers must take it from the manifest."""
+    bucket), and readers must take it from the manifest.
+
+    `positions`, when given, is the positional component (term,
+    doc_id, tf, positions array<int>) for phrase/proximity queries;
+    it is written under the same tb layout and recorded in the
+    manifest as positions_dir. Versions without it simply omit the
+    key — readers that need phrase support must check (and tests pin
+    that append commits carry the component forward)."""
     post_dir = os.path.join(base_dir, f"postings-{version:03d}")
     terms_dir = os.path.join(base_dir, f"terms-{version:03d}")
     dl_dir = os.path.join(base_dir, f"doclens-{version:03d}")
@@ -141,6 +154,16 @@ def write_bm25_index(
         "n_term_buckets": n_buckets,
         **stats,
     }
+    if positions is not None:
+        pos_dir = os.path.join(base_dir, f"positions-{version:03d}")
+        (
+            positions.withColumn("tb", term_bucket(F.col("term"), n_buckets))
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(pos_dir)
+        )
+        manifest["positions_dir"] = pos_dir
     ver_path = os.path.join(base_dir, f"manifest-{version:03d}.json")
     ver_tmp = ver_path + ".tmp"
     with open(ver_tmp, "w") as f:
@@ -174,15 +197,54 @@ def read_bm25_index(
     return post, terms, doclens, manifest
 
 
+def positional_postings(docs: DataFrame, cap: int = POSTING_CAP) -> DataFrame:
+    """(term, doc_id, tf, positions array<int>) — each term's 0-based
+    token offsets within the doc, sorted, impact-pruned to the same
+    per-term cap as the scoring postings (tf DESC, doc_id tiebreak).
+    The build is one posexplode + one map-side-combined aggregate —
+    the indexer shuffle shape with the offset list riding along; the
+    per-row positions array is bounded by the doc's length, and the
+    prune bounds every term's list at `cap` docs, so phrase scoring
+    work per query stays <= PHRASE_LEN x cap candidate rows at any
+    corpus size (the doc_bm25_topk candidate-volume argument)."""
+    tok = docs.select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "term")
+    )
+    ptf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    return impact_prune(ptf, cap).select("term", "doc_id", "tf", "positions")
+
+
+def read_positional_postings(
+    spark: SparkSession, manifest: dict
+) -> DataFrame:
+    """Load the positional component a manifest points at, with the
+    physical bucket column restored for partition pruning. Raises
+    KeyError on a version built without phrase support — callers
+    must not silently degrade to phrase-less results."""
+    return spark.read.parquet(manifest["positions_dir"]).withColumn(
+        "tb", F.col("tb").cast("int")
+    )
+
+
 def build_and_commit_bm25(
-    spark: SparkSession, sf_dir: str, base_dir: str, version: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    version: int = 1,
+    with_positions: bool = False,
 ) -> str:
     """The scheduled build job: tokenize once, aggregate the index
     tables (the wc/indexer shuffle shape), impact-prune the postings,
     commit. The (doc, term, tf) relation is cached only ACROSS the
     build's writes — every write is an action, so the cache is
     provably dead when this returns and is unpersisted here, not
-    leaked to the serving session (ADVICE r9 on the in-query twin)."""
+    leaked to the serving session (ADVICE r9 on the in-query twin).
+    `with_positions=True` additionally builds and commits the
+    positional component for phrase queries (r11 staging; the default
+    path is byte-identical to the round-10 certified build)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
     tf = (
@@ -211,6 +273,11 @@ def build_and_commit_bm25(
             },
             base_dir,
             version=version,
+            positions=(
+                positional_postings(docs, POSTING_CAP)
+                if with_positions
+                else None
+            ),
         )
     finally:
         tf.unpersist()
@@ -271,10 +338,24 @@ def append_bm25_index(
         "posting_cap": cap,
         "stale_stats": True,
     }
+    # the positional component, when the base version carries one, is
+    # maintained under the same merge + re-prune contract: an appended
+    # index never silently loses phrase support
+    positions = None
+    if "positions_dir" in manifest:
+        pos0 = read_positional_postings(spark, manifest)
+        posn = positional_postings(new_docs, cap)
+        positions = impact_prune(
+            pos0.select("term", "doc_id", "tf", "positions").unionByName(
+                posn
+            ),
+            cap,
+        ).select("term", "doc_id", "tf", "positions")
     return write_bm25_index(
         merged, terms, doclens, stats, base_dir,
         version=manifest["version"] + 1,
         n_buckets=int(manifest["n_term_buckets"]),  # layout carried forward
+        positions=positions,
     )
 
 
@@ -371,6 +452,177 @@ def bm25_topk_from_index(
     return agg.withColumn("rank", F.row_number().over(wr).cast("long")).where(
         F.col("rank") <= BM25_TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase retrieval over the positional component (ROADMAP #24, staged
+# for the r11 gate window — the r10 window is full per the HARD
+# ARITHMETIC WARNING in plans/registry.py, so `retrieval_phrase_match`
+# is NOT registered yet; tests/test_phrase_index.py runs the identical
+# DuckDB-parity compare the registry gate would, at both fixture SFs).
+# ---------------------------------------------------------------------------
+
+PHRASE_LEN = 3
+PHRASE_TOP_K = 10
+
+# Oracle: positions derived by zipping the filtered token list with
+# its 0-based offsets (DuckDB zips parallel unnests); each query doc
+# contributes its FIRST PHRASE_LEN tokens as the phrase; a candidate's
+# score is the number of phrase START positions (consecutive-offset
+# three-way self-join), ranked hits DESC, doc_id ASC — integer-exact
+# end to end, no float discipline needed.
+PHRASE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+  FROM t
+),
+ptf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ptok GROUP BY 1, 2
+),
+keep AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id) AS prn
+    FROM ptf
+  ) WHERE prn <= {POSTING_CAP}
+),
+pp AS (
+  SELECT k.doc_id, k.term, p.pos
+  FROM keep k JOIN ptok p ON p.doc_id = k.doc_id AND p.term = k.term
+),
+q AS (
+  SELECT doc_id AS query_id, toks[1] AS w0, toks[2] AS w1, toks[3] AS w2
+  FROM t
+  WHERE {BM25_QUERY_FILTER} AND len(toks) >= {PHRASE_LEN}
+  ORDER BY doc_id LIMIT {BM25_QUERY_CAP}
+),
+cand AS (
+  SELECT q.query_id, p0.doc_id, CAST(count(*) AS BIGINT) AS hits
+  FROM q
+  JOIN pp p0 ON p0.term = q.w0
+  JOIN pp p1 ON p1.doc_id = p0.doc_id AND p1.term = q.w1
+            AND p1.pos = p0.pos + 1
+  JOIN pp p2 ON p2.doc_id = p0.doc_id AND p2.term = q.w2
+            AND p2.pos = p0.pos + 2
+  WHERE p0.doc_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, hits, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY hits DESC, doc_id) AS BIGINT) AS rank
+  FROM cand
+) WHERE rank <= {PHRASE_TOP_K}
+"""
+
+
+def phrase_topk_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    positional: DataFrame,
+    manifest: dict,
+) -> DataFrame:
+    """Exact phrase top-k served from the stored positional component:
+    each query doc's first PHRASE_LEN tokens form the phrase; a
+    candidate doc's score is how many times the phrase occurs
+    (consecutive token offsets), ranked hits DESC with doc_id
+    tiebreak. Integer-exact end to end.
+
+    Plan shape: the query block is collected (bounded: <=
+    BM25_QUERY_CAP rows — the repo's anchor-block discipline) so the
+    positional read PRUNES to the term buckets the phrase words hash
+    into; each phrase word then broadcast-joins its posting leg, the
+    <= PHRASE_LEN legs join on (query_id, doc_id) — every leg bounded
+    by the posting cap — and the phrase count is a shifted
+    intersection of the position arrays (start positions p where
+    p+i is in word i's list), entirely JVM-side array built-ins. The
+    per-query rank window's input is <= the smallest leg's cap. No
+    corpus-sized join, shuffle, or driver funnel anywhere on the
+    serve path — the corpus appears only through the pruned artifact.
+
+    Reference parity: positions are the natural extension of the
+    indexer app's posting lists (mrapps/indexer.go:20-39) from doc
+    ids to (doc id, offset) pairs — same build shuffle, same sink."""
+    nb = int(manifest["n_term_buckets"])
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = words(F.col("text"))
+    q = (
+        docs.where(F.expr(BM25_QUERY_FILTER))
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= PHRASE_LEN)
+        .orderBy("doc_id")
+        .limit(BM25_QUERY_CAP)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            *[F.col("toks")[i].alias(f"w{i}") for i in range(PHRASE_LEN)],
+        )
+    )
+    qrows = q.select(
+        "query_id",
+        *[F.col(f"w{i}") for i in range(PHRASE_LEN)],
+        *[
+            term_bucket(F.col(f"w{i}"), nb).alias(f"tb{i}")
+            for i in range(PHRASE_LEN)
+        ],
+    ).collect()  # bounded: <= BM25_QUERY_CAP rows
+
+    legs = []
+    for i in range(PHRASE_LEN):
+        buckets = sorted({r[f"tb{i}"] for r in qrows})
+        qi = spark.createDataFrame(
+            [(r.query_id, r[f"w{i}"]) for r in qrows],
+            "query_id long, term string",
+        )
+        legs.append(
+            positional.where(F.col("tb").isin(buckets))  # pruned read
+            .join(F.broadcast(qi), "term")
+            .select("query_id", "doc_id", F.col("positions").alias(f"p{i}"))
+        )
+    j = legs[0]
+    for i in range(1, PHRASE_LEN):
+        j = j.join(legs[i], ["query_id", "doc_id"])
+    starts = F.col("p0")
+    for i in range(1, PHRASE_LEN):
+        # eager capture of i is safe: F.transform invokes the lambda
+        # NOW to build the expression (and a 2-arg lambda would be
+        # misread as the (element, index) form)
+        starts = F.array_intersect(
+            starts, F.transform(F.col(f"p{i}"), lambda x: x - F.lit(i))
+        )
+    cand = (
+        j.where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(starts).cast("long").alias("hits"),
+        )
+        .where(F.col("hits") >= 1)
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("hits"), F.asc("doc_id"))
+    return cand.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).where(F.col("rank") <= PHRASE_TOP_K)
+
+
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build+commit the index WITH its positional component, reload
+    through the manifest, serve exact phrase top-k from the artifact.
+    Staged for r11 registration (oracle: PHRASE_ORACLE) — the r10
+    window is full; until then tests/test_phrase_index.py applies the
+    same compare."""
+    base = _scratch_dir("phrase_index_")
+    build_and_commit_bm25(spark, sf_dir, base, with_positions=True)
+    _post, _terms, _dl, manifest = read_bm25_index(spark, base)
+    positional = read_positional_postings(spark, manifest)
+    return phrase_topk_from_index(spark, sf_dir, positional, manifest)
 
 
 @register(
