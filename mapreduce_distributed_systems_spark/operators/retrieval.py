@@ -95,8 +95,16 @@ _TOKS_DUCK = (
 
 # BM25 oracle body (no trailing SELECT) so the fusion oracle can embed
 # it as a CTE chain. Every arithmetic expression is associated exactly
-# as the Spark side writes it.
-_BM25_CTES = f"""
+# as the Spark side writes it. Rendered by a function so the sampled
+# audit (retrieval_quality_sampled, staged r11) can re-render it with
+# a tighter query block; the default render is BYTE-IDENTICAL to the
+# round-9/10 certified text (pinned by tests/test_retrieval_sampled.py
+# ::test_default_cte_render_is_byte_identical), so no certified oracle
+# fingerprint moves.
+def _bm25_ctes(
+    query_filter: str = BM25_QUERY_FILTER, query_cap: int = BM25_QUERY_CAP
+) -> str:
+    return f"""
 tok AS (
   SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
 ),
@@ -123,7 +131,7 @@ post AS (
 ),
 q AS (
   SELECT doc_id AS query_id FROM documents
-  WHERE {BM25_QUERY_FILTER} ORDER BY doc_id LIMIT {BM25_QUERY_CAP}
+  WHERE {query_filter} ORDER BY doc_id LIMIT {query_cap}
 ),
 qt AS (
   SELECT query_id, term FROM (
@@ -156,6 +164,9 @@ bm25_ranked AS (
     PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
   FROM bm25_agg
 )"""
+
+
+_BM25_CTES = _bm25_ctes()
 
 BM25_ORACLE = f"""
 WITH {_BM25_CTES}
@@ -220,7 +231,11 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_ranked(
-    spark: SparkSession, sf_dir: str, cap: int | None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None,
+    query_filter: str = BM25_QUERY_FILTER,
+    query_cap: int = BM25_QUERY_CAP,
 ) -> DataFrame:
     """BM25 ranking (query_id, doc_id, bm25, rank) over the
     in-session index. `cap` is the impact-prune posting cap; None
@@ -228,6 +243,8 @@ def _bm25_ranked(
     measures the production rankers against (offline-audit shape:
     per-query work is bounded only by the selected low-df terms'
     true posting lengths, so it runs on samples, never as serving).
+    `query_filter`/`query_cap` select the query block — defaults are
+    the production stream; the sampled audit passes a tighter pair.
     Ranks are exact only up to BM25_TOP_K (the two-stage bounded cut
     below discards everything that cannot reach the global top-k);
     both consumers filter rank <= BM25_TOP_K."""
@@ -267,9 +284,9 @@ def _bm25_ranked(
     # the query block scans ONLY the doc_id column (column-pruned,
     # TakeOrdered-bounded); query terms come from the cached tf
     q = (
-        docs.where(F.expr(BM25_QUERY_FILTER))
+        docs.where(F.expr(query_filter))
         .orderBy("doc_id")
-        .limit(BM25_QUERY_CAP)
+        .limit(query_cap)
         .select(F.col("doc_id").alias("query_id"))
     )
     # query representation: the QUERY_TERMS lowest-df terms of the
@@ -722,6 +739,136 @@ def retrieval_quality_bm25_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_sys, "system", "left")
         .select(
             "system",
+            "n_queries",
+            F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+            "possible",
+            F.coalesce("dcg", F.lit(0).cast("long")).alias("dcg"),
+            "idcg",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sampled-truth retrieval audit (ROADMAP #22, staged for the r11 gate
+# window — the r10 window is full per plans/registry.py, so
+# `retrieval_quality_sampled` is NOT registered yet;
+# tests/test_retrieval_sampled.py applies the same parity compare).
+#
+# retrieval_quality_bm25_rrf's ground truth is honest but
+# corpus-proportional PER QUERY (unpruned posting lists, measured
+# 21.7/116.7/332.4 s across the decades) — an index-rollout audit,
+# not an always-on check. This variant bounds the whole audit by
+# sampling the QUERY population: the audit stride is a strict
+# subsample of the production query stream (doc_id % 400 = 0 is a
+# subset of % 100 = 0) capped at AUDIT_QUERY_CAP, so total truth work
+# is <= cap x sum(df of 8 low-df terms) — fixed per corpus snapshot,
+# small enough to run on every index build. Lexical-only by design:
+# the hybrid's dense leg keeps its certified audit in the r10 query.
+# --------------------------------------------------------------------------
+
+AUDIT_QUERY_FILTER = "doc_id % 400 = 0"
+AUDIT_QUERY_CAP = 64
+
+RETRIEVAL_QUALITY_SAMPLED_ORACLE = f"""
+WITH {_bm25_ctes(AUDIT_QUERY_FILTER, AUDIT_QUERY_CAP)},
+brute_cand AS (
+  SELECT qt.query_id, p.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (p.tf * ({BM25_K1} + 1.0))
+           / (p.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)) AS w
+  FROM qt
+  JOIN tf p USING (term)
+  JOIN df USING (term)
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN scal s
+  WHERE p.doc_id <> qt.query_id
+),
+brute_agg AS (
+  SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+  FROM brute_cand GROUP BY 1, 2
+),
+truth AS (
+  SELECT query_id, doc_id FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+    FROM brute_agg
+  ) WHERE rank <= {BM25_TOP_K}
+),
+pruned AS (
+  SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= {BM25_TOP_K}
+),
+hit AS (
+  SELECT s.rank
+  FROM pruned s JOIN truth t
+    ON t.query_id = s.query_id AND t.doc_id = s.doc_id
+),
+per_sys AS (
+  SELECT CAST(count(*) AS BIGINT) AS hits,
+         CAST(sum(({_DCG_W_SQL})[CAST(rank AS INT)]) AS BIGINT) AS dcg
+  FROM hit
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(n_t) AS BIGINT) AS possible,
+         CAST(sum(({_DCG_P_SQL})[CAST(n_t AS INT)]) AS BIGINT) AS idcg
+  FROM (SELECT query_id, count(*) AS n_t FROM truth GROUP BY 1)
+)
+SELECT 'bm25_pruned' AS system, t.n_queries,
+       coalesce(p.hits, 0) AS hits, t.possible,
+       coalesce(p.dcg, 0) AS dcg, t.idcg
+FROM tot t CROSS JOIN per_sys p
+"""
+
+
+def retrieval_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded always-on audit: recall@10 + integer DCG/IDCG of the
+    impact-pruned BM25 ranker against the unpruned truth, both
+    restricted to the AUDIT query sample (a strict subsample of the
+    production query stream). Same metrics machinery as
+    retrieval_quality_bm25_rrf; total cost is fixed by the sample cap
+    instead of growing with the query population. Staged for r11
+    registration (oracle: RETRIEVAL_QUALITY_SAMPLED_ORACLE)."""
+    truth = (
+        _bm25_ranked(
+            spark, sf_dir, None,
+            query_filter=AUDIT_QUERY_FILTER, query_cap=AUDIT_QUERY_CAP,
+        )
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id")
+    )
+    pruned = (
+        _bm25_ranked(
+            spark, sf_dir, POSTING_CAP,
+            query_filter=AUDIT_QUERY_FILTER, query_cap=AUDIT_QUERY_CAP,
+        )
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    w_arr = F.array(*[F.lit(w) for w in _DCG_W])
+    p_arr = F.array(*[F.lit(p) for p in _DCG_P])
+    hit = pruned.join(F.broadcast(truth), ["query_id", "doc_id"])
+    per_sys = hit.agg(
+        F.count("*").cast("long").alias("hits"),
+        F.sum(F.element_at(w_arr, F.col("rank").cast("int")))
+        .cast("long")
+        .alias("dcg"),
+    )
+    tot = (
+        truth.groupBy("query_id")
+        .agg(F.count("*").alias("n_t"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("n_t").cast("long").alias("possible"),
+            F.sum(F.element_at(p_arr, F.col("n_t").cast("int")))
+            .cast("long")
+            .alias("idcg"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(per_sys))
+        .select(
+            F.lit("bm25_pruned").alias("system"),
             "n_queries",
             F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
             "possible",
