@@ -203,6 +203,19 @@ GATE_ORDER = (
 # first), fill the remaining ~6 slots with never-certified/changed
 # queries, oldest r8 rows after that.
 #
+# Pre-staged candidates for those ~6 free slots (code + oracles +
+# dual-fixture parity tests already landed late in r10; registering
+# each is ONE @register line, consuming one never-certified slot):
+#   retrieval_phrase_match        storage/lexical_index.py (PHRASE_ORACLE)
+#   bm25_index_streaming_append   streaming/index_stream.py
+#                                 (STREAM_BM25_ORACLE; add the module
+#                                 to _OPERATOR_MODULES when registering)
+#   retrieval_quality_sampled     operators/retrieval.py
+#                                 (RETRIEVAL_QUALITY_SAMPLED_ORACLE)
+# plus one changed-fingerprint candidate: cap ann_ivf_probe's query
+# block with ANN_QUERY_CAP (ROADMAP #26 — bounds its 100x candidate
+# volume; fn+oracle edit, so it must enter the window that round).
+#
 # HARD ARITHMETIC WARNING for r11 (identical shape to r9 and r10,
 # both of which consumed their entire 5-slot budgets): ~44 must-gate
 # names leave only ~6 window slots for (never-certified +
