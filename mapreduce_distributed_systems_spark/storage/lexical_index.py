@@ -64,6 +64,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -235,6 +236,7 @@ def build_and_commit_bm25(
     base_dir: str,
     version: int = 1,
     with_positions: bool = False,
+    cap: int = POSTING_CAP,
 ) -> str:
     """The scheduled build job: tokenize once, aggregate the index
     tables (the wc/indexer shuffle shape), impact-prune the postings,
@@ -243,8 +245,10 @@ def build_and_commit_bm25(
     provably dead when this returns and is unpersisted here, not
     leaked to the serving session (ADVICE r9 on the in-query twin).
     `with_positions=True` additionally builds and commits the
-    positional component for phrase queries (r11 staging; the default
-    path is byte-identical to the round-10 certified build)."""
+    positional component for phrase queries; `cap` overrides the
+    impact-prune posting cap (planted-corpus tests use a tiny cap to
+    exercise eviction paths cheaply). Both default to the round-10
+    certified build's behavior exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
     tf = (
@@ -259,7 +263,7 @@ def build_and_commit_bm25(
             F.sum("dl").cast("double") / F.count("*"),
         ).first()
         terms = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-        post = impact_prune(tf, POSTING_CAP).join(dl, "doc_id").select(
+        post = impact_prune(tf, cap).join(dl, "doc_id").select(
             "term", "doc_id", "tf", "dl"
         )
         return write_bm25_index(
@@ -269,14 +273,12 @@ def build_and_commit_bm25(
             {
                 "n_docs": int(n_docs),
                 "avgdl": float(avgdl),
-                "posting_cap": POSTING_CAP,
+                "posting_cap": cap,
             },
             base_dir,
             version=version,
             positions=(
-                positional_postings(docs, POSTING_CAP)
-                if with_positions
-                else None
+                positional_postings(docs, cap) if with_positions else None
             ),
         )
     finally:
@@ -647,3 +649,151 @@ def doc_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_and_commit_bm25(spark, sf_dir, base)
     post, terms, _doclens, manifest = read_bm25_index(spark, base)
     return bm25_topk_from_index(spark, sf_dir, post, terms, manifest)
+
+
+# ---------------------------------------------------------------------------
+# Index version CDC (staged for r11 alongside the other lexical-index
+# work — see plans/registry.py rotation note): what an incremental
+# append CHANGED, certified. The lexical twin of kv_version_diff
+# (CDC between two committed snapshot versions, r7): postings present
+# in exactly one of two index versions, aggregated to a report-sized
+# churn summary. The subtle semantics this certifies is EVICTION —
+# when a term's merged posting list exceeds the cap, the re-prune
+# drops its lowest-(tf, doc_id)-ranked postings, so an append can
+# REMOVE base postings; the planted-corpus test pins that path with a
+# tiny cap, and at sf0.1 the production cap genuinely binds.
+# ---------------------------------------------------------------------------
+
+# the diff's split mirrors the streaming/append twin: base = even
+# doc_ids, appended batch = odd
+INDEX_DIFF_BASE = "doc_id % 2 = 0"
+
+BM25_INDEX_DIFF_TEMPLATE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({{toks}}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+post1 AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id) AS prn
+    FROM tf WHERE {INDEX_DIFF_BASE}
+  ) WHERE prn <= {{cap}}
+),
+post2 AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id) AS prn
+    FROM tf
+  ) WHERE prn <= {{cap}}
+),
+diff AS (
+  SELECT coalesce(a.term, b.term) AS term,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.tf, b.tf) AS tf,
+         CASE WHEN b.term IS NULL THEN 'removed' ELSE 'added' END AS change
+  FROM post1 a FULL OUTER JOIN post2 b
+    ON a.term = b.term AND a.doc_id = b.doc_id
+  WHERE a.term IS NULL OR b.term IS NULL
+),
+agg AS (
+  SELECT change,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS sum_tf
+  FROM diff GROUP BY 1
+),
+names AS (SELECT unnest(['added', 'removed']) AS change)
+SELECT n.change,
+       CAST(coalesce(a.n_postings, 0) AS BIGINT) AS n_postings,
+       CAST(coalesce(a.n_terms, 0) AS BIGINT) AS n_terms,
+       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(a.sum_tf, 0) AS BIGINT) AS sum_tf
+FROM names n LEFT JOIN agg a USING (change)
+"""
+
+
+def _index_diff_oracle(cap: int = POSTING_CAP) -> str:
+    """Render the CDC oracle for a cap (tests use tiny caps to bind
+    eviction on planted corpora; the staged registration uses the
+    production POSTING_CAP)."""
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        _TOKS_DUCK,
+    )
+
+    return BM25_INDEX_DIFF_TEMPLATE.format(toks=_TOKS_DUCK, cap=cap)
+
+
+def index_version_diff(
+    spark: SparkSession, base_dir: str, v_old: int, v_new: int
+) -> DataFrame:
+    """CDC between two committed index versions, straight off the
+    stored artifacts: postings present in exactly one version,
+    aggregated per change type. Index-sized (never corpus-text-sized)
+    work: one full-outer join of two pruned posting tables on
+    (term, doc_id), then a map-side-combined aggregate — the offline
+    audit a production rollout diffs two builds with."""
+    old, _, _, _ = read_bm25_index(spark, base_dir, version=v_old)
+    new, _, _, _ = read_bm25_index(spark, base_dir, version=v_new)
+    a = old.select("term", "doc_id", "tf")
+    b = new.select(
+        F.col("term").alias("term_b"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    j = a.join(
+        b,
+        (F.col("term") == F.col("term_b"))
+        & (F.col("doc_id") == F.col("doc_id_b")),
+        "full_outer",
+    ).where(F.col("term").isNull() | F.col("term_b").isNull())
+    diff = j.select(
+        F.coalesce("term", "term_b").alias("term"),
+        F.coalesce("doc_id", "doc_id_b").alias("doc_id"),
+        F.coalesce("tf", "tf_b").alias("tf"),
+        F.when(F.col("term_b").isNull(), "removed")
+        .otherwise("added")
+        .alias("change"),
+    )
+    agg = diff.groupBy("change").agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+    )
+    names = spark.createDataFrame([("added",), ("removed",)], "change string")
+    zero = F.lit(0).cast("long")
+    return names.join(agg, "change", "left").select(
+        "change",
+        F.coalesce("n_postings", zero).alias("n_postings"),
+        F.coalesce("n_terms", zero).alias("n_terms"),
+        F.coalesce("n_docs", zero).alias("n_docs"),
+        F.coalesce("sum_tf", zero).alias("sum_tf"),
+    )
+
+
+def bm25_index_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the base index from the even doc_id half, append the odd
+    half (version 2), diff the two committed versions. Staged for r11
+    registration (oracle: _index_diff_oracle()). The 'added' mass is
+    the appended batch's surviving postings; 'removed' is the base
+    postings the merged re-prune evicted — zero until the cap binds
+    (sf0.1 up at the production cap), certified either way by the
+    names-row zero-fill."""
+    base_dir = _scratch_dir("bm25_diff_idx_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split_dir = tempfile.mkdtemp(prefix="bm25_diff_split_")
+    docs.where(F.expr(INDEX_DIFF_BASE)).write.mode("overwrite").parquet(
+        f"{split_dir}/documents.parquet"
+    )
+    build_and_commit_bm25(spark, split_dir, base_dir)
+    append_bm25_index(
+        spark, docs.where(~F.expr(INDEX_DIFF_BASE)), base_dir
+    )
+    return index_version_diff(spark, base_dir, v_old=1, v_new=2)

@@ -319,12 +319,9 @@ def test_append_re_prunes_merged_lists_to_the_global_order(spark):
         "doc_id long, text string",
     )
     base_docs.write.mode("overwrite").parquet(f"{split_dir}/documents.parquet")
-    orig_cap = li.POSTING_CAP
-    try:
-        li.POSTING_CAP = 3
-        li.build_and_commit_bm25(spark, split_dir, base)
-    finally:
-        li.POSTING_CAP = orig_cap
+    # cap is an explicit builder parameter (late r10 — the old module-
+    # global monkeypatch no longer reaches the default argument)
+    li.build_and_commit_bm25(spark, split_dir, base, cap=3)
     post1, _, _, m1 = read_bm25_index(spark, base)
     assert m1["posting_cap"] == 3
     # base prune keeps the tf-top-3: docs 4, 3, 2
