@@ -212,9 +212,14 @@ GATE_ORDER = (
 #                                 to _OPERATOR_MODULES when registering)
 #   retrieval_quality_sampled     operators/retrieval.py
 #                                 (RETRIEVAL_QUALITY_SAMPLED_ORACLE)
+#   bm25_index_version_diff       storage/lexical_index.py
+#                                 (_index_diff_oracle() — index CDC
+#                                 incl. cap-eviction capture)
 # plus one changed-fingerprint candidate: cap ann_ivf_probe's query
 # block with ANN_QUERY_CAP (ROADMAP #26 — bounds its 100x candidate
 # volume; fn+oracle edit, so it must enter the window that round).
+# That is 5 of the ~6 free slots — hold further r11 fn/oracle edits
+# to <=1 unless something displaces one of these.
 #
 # HARD ARITHMETIC WARNING for r11 (identical shape to r9 and r10,
 # both of which consumed their entire 5-slot budgets): ~44 must-gate
