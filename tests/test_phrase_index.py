@@ -208,3 +208,28 @@ def test_default_build_manifest_shape_is_unchanged(spark, sf_dir):
     assert not any(
         p.startswith("positions-") for p in os.listdir(base)
     ), "default build must not write a positional dir"
+
+
+def test_phrase_serve_reads_prune_to_query_buckets(spark, sf_dir):
+    """The phrase legs must read the positional component through
+    tb partition filters (directory-level skipping to the buckets the
+    phrase words hash into) and keep tb out of every parquet
+    ReadSchema — same discipline test_lexical_index pins for the
+    scoring postings."""
+    import tempfile
+
+    from mapreduce_distributed_systems_spark.storage.lexical_index import (
+        read_bm25_index as _read,
+    )
+
+    base = tempfile.mkdtemp(prefix="phrase_prune_")
+    build_and_commit_bm25(spark, sf_dir, base, with_positions=True)
+    _, _, _, manifest = _read(spark, base)
+    positional = read_positional_postings(spark, manifest)
+    df = phrase_topk_from_index(spark, sf_dir, positional, manifest)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sections = plan.split("PartitionFilters: [")[1:]
+    assert sections, f"no partition filters in plan:\n{plan[:2000]}"
+    assert any("tb" in s[:200] for s in sections)
+    for rs in plan.split("ReadSchema: ")[1:]:
+        assert "tb" not in rs.split("\n", 1)[0]
