@@ -1,0 +1,173 @@
+"""Duplicated n-gram mass — the corpus measurement behind exact
+substring deduplication (Lee et al., "Deduplicating Training Data
+Makes Language Models Better", arXiv:2107.06499: substrings occurring
+>= 2 times anywhere in the corpus are dedup targets; this operator
+measures how much of each source's token stream that is, per source
+and at the worst single document).
+
+STAGED for a round-12 registration slot (plans/registry.py rotation
+note): the r10 gate window is exactly full and the ~6 r11 slots are
+claimed, so this ships code + oracle + dual-fixture parity tests
+WITHOUT an @register line. Registration later is one decorator.
+
+Reference parity: tokenization is the reference-exact `[^\\p{L}]+`
+letter-run tokenizer (mrapps/wc.go:24-27 semantics via
+functions/text.py), the same class every text operator in this repo
+pins.
+
+Scale shape (the reason this plan looks the way it does): the naive
+formulation joins every n-gram instance back to a (sid -> global
+count) table to label it duplicated — a corpus-sized shuffle whose
+join keys are exactly the HOT ones (boilerplate n-grams appear in a
+large fraction of documents; probe_rewrite_skew showed AQE's
+byte-based skew split can miss value-skew). This plan never joins on
+sid at all. Because an instance is duplicated unless its sid occurs
+exactly once corpus-wide, and a count-1 sid has exactly one owning
+document:
+
+    dup_instances(doc) = total_instances(doc) - #singleton_sids(doc)
+
+so one map-side-combined groupBy(sid) — where hot sids only ever
+aggregate into (count, min) pairs and skew is harmless by
+construction — plus doc-keyed (uniform) aggregations reproduce the
+per-document duplicated mass exactly. The n-gram STRING never
+shuffles: the 60-bit sid (functions shared with dedup.py's MinHash
+verification keys) is taken in the map stage.
+
+Shuffle inventory at 100 TB: one sid-keyed combine-heavy aggregate
+(8-byte keys, partial aggregation collapses hot n-grams before the
+exchange), one groupBy(doc_id) over singleton sids, one uniform
+doc_id join, one per-source rollup. No skewed join; no string keys;
+nothing funnels through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.sources import load_table
+
+# Span width in tokens. Lee et al. dedup 50-token substrings; 8 keeps
+# the statistic meaningful on the fixtures' shorter documents while
+# preserving the exact pipeline shape (the constant is the only knob).
+DUP_NGRAM_K = 8
+
+DUP_NGRAM_MASS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+eligible AS (
+  SELECT doc_id, source, len(t) - {DUP_NGRAM_K} + 1 AS total, t
+  FROM toks WHERE len(t) >= {DUP_NGRAM_K}
+),
+inst AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {DUP_NGRAM_K} + 2),
+                i -> ('0x' || substring(md5(array_to_string(
+                       list_slice(t, i, i + {DUP_NGRAM_K} - 1), ' ')),
+                       1, 15))::BIGINT)) AS sid
+  FROM eligible
+),
+g AS (
+  SELECT sid, count(*) AS c_tot, min(doc_id) AS d0 FROM inst GROUP BY sid
+),
+singles AS (
+  SELECT d0 AS doc_id, count(*) AS n_single FROM g WHERE c_tot = 1 GROUP BY d0
+),
+per_doc AS (
+  SELECT e.doc_id, e.source, e.total,
+         e.total - coalesce(s.n_single, 0) AS dup
+  FROM eligible e LEFT JOIN singles s USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(total)::BIGINT AS ngrams_total,
+       sum(dup)::BIGINT AS ngrams_dup,
+       round(sum(dup)::DOUBLE / sum(total), 6) AS dup_frac,
+       round(max(dup::DOUBLE / total), 6) AS max_doc_dup_frac
+FROM per_doc
+GROUP BY source
+"""
+
+# Same 60-bit id discipline as dedup.py's SID (md5 prefix -> BIGINT):
+# identical in both engines, so a collision would merge the same pair
+# of n-grams in both and parity stays exact rather than approximate.
+_NGRAM_SID_SPARK = (
+    f"transform(sequence(1, size(t) - {DUP_NGRAM_K} + 1), i -> "
+    f"cast(conv(substring(md5(concat_ws(' ', slice(t, i, {DUP_NGRAM_K}))), "
+    f"1, 15), 16, 10) as bigint))"
+)
+
+
+def dup_ngram_instances(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid) — one row per k-gram POSITION (duplicates kept:
+    within-document repeats are dedup targets too). Narrow: tokenize,
+    slide, hash, explode — the k-gram string dies in the map stage."""
+    toks = docs.select("doc_id", words("text").alias("t")).where(
+        F.size("t") >= DUP_NGRAM_K
+    )
+    return toks.select(
+        "doc_id", F.explode(F.expr(_NGRAM_SID_SPARK)).alias("sid")
+    )
+
+
+def dup_ngram_mass(docs: DataFrame) -> DataFrame:
+    """Per-source duplicated k-gram mass over any (doc_id, source,
+    text) frame — the singleton-complement plan documented in the
+    module docstring; no sid-keyed join anywhere."""
+    toks = docs.select("doc_id", "source", words("text").alias("t")).where(
+        F.size("t") >= DUP_NGRAM_K
+    )
+    eligible = toks.select(
+        "doc_id",
+        "source",
+        (F.size("t") - F.lit(DUP_NGRAM_K - 1)).cast("long").alias("total"),
+        "t",
+    )
+
+    inst = eligible.select(
+        "doc_id", F.explode(F.expr(_NGRAM_SID_SPARK)).alias("sid")
+    )
+    # hot n-grams collapse in the partial aggregate; min(doc_id) is
+    # only consumed for count-1 sids, where it IS the owning document
+    g = inst.groupBy("sid").agg(
+        F.count("*").alias("c_tot"), F.min("doc_id").alias("d0")
+    )
+    singles = (
+        g.where(F.col("c_tot") == 1)
+        .groupBy(F.col("d0").alias("doc_id"))
+        .agg(F.count("*").alias("n_single"))
+    )
+
+    per_doc = (
+        eligible.drop("t")
+        .join(singles, "doc_id", "left")
+        .select(
+            "source",
+            "total",
+            (F.col("total") - F.coalesce(F.col("n_single"), F.lit(0))).alias(
+                "dup"
+            ),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("total").alias("ngrams_total"),
+        F.sum("dup").alias("ngrams_dup"),
+        F.round(F.sum("dup") / F.sum("total"), 6).alias("dup_frac"),
+        F.round(F.max(F.col("dup") / F.col("total")), 6).alias(
+            "max_doc_dup_frac"
+        ),
+    )
+
+
+def doc_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r12 query (oracle: DUP_NGRAM_MASS_ORACLE): per-source
+    duplicated k-gram mass + worst-document fraction on the documents
+    table."""
+    return dup_ngram_mass(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,109 @@
+"""Duplicated n-gram mass (staged r12, operators/dup_spans.py):
+oracle parity, the singleton-complement identity on planted
+duplicates, and the skew-free plan shape (no sid-keyed join)."""
+
+from __future__ import annotations
+
+
+from mapreduce_distributed_systems_spark.operators.dup_spans import (
+    DUP_NGRAM_K,
+    DUP_NGRAM_MASS_ORACLE,
+    doc_dup_ngram_mass,
+    dup_ngram_instances,
+    dup_ngram_mass,
+)
+from tests.duck_oracle import compare_spark_vs_oracle
+
+
+def test_dup_ngram_mass_matches_oracle(spark, sf_dir):
+    """The compare the driver gate would run at registration."""
+    df = doc_dup_ngram_mass(spark, sf_dir)
+    compare_spark_vs_oracle(df, DUP_NGRAM_MASS_ORACLE, sf_dir)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _w(prefix: str, i: int) -> str:
+    """Letter-only distinct token (the reference tokenizer splits on
+    digits, so f\"w{i}\" would collapse to the same token)."""
+    return prefix + "abcdefghijklmnopqrstuvwxyz"[i % 26] * (i // 26 + 1)
+
+
+def test_planted_shared_span_is_counted_in_both_docs(spark):
+    """Two docs sharing one K-token span: each has exactly K-gram
+    positions covering the shared span duplicated, the rest unique."""
+    shared = " ".join(_w("common", i) for i in range(DUP_NGRAM_K))
+    a = shared + " " + " ".join(_w("aUniq", i) for i in range(DUP_NGRAM_K))
+    b = shared + " " + " ".join(_w("bUniq", i) for i in range(DUP_NGRAM_K))
+    out = dup_ngram_mass(
+        _docs(spark, [(1, "s", a), (2, "s", b)])
+    ).collect()[0]
+    # each doc: 2K tokens -> K+1 k-gram positions; only position 1
+    # (the pure shared span) repeats across docs
+    assert out.n_docs == 2
+    assert out.ngrams_total == 2 * (DUP_NGRAM_K + 1)
+    assert out.ngrams_dup == 2
+    assert abs(out.max_doc_dup_frac - round(1 / (DUP_NGRAM_K + 1), 6)) < 1e-12
+
+
+def test_within_doc_repeat_counts_as_duplicated(spark):
+    """Lee et al. semantics: a substring occurring twice in the SAME
+    document is duplicated mass too (c_tot counts instances, not
+    documents)."""
+    span = " ".join(_w("w", i) for i in range(DUP_NGRAM_K))
+    text = span + " xSep " + span
+    out = dup_ngram_mass(_docs(spark, [(1, "s", text)])).collect()[0]
+    # tokens = 2K+1 -> K+2 positions; the two pure-span positions
+    # (start, and start of the second copy) share a sid
+    assert out.ngrams_total == DUP_NGRAM_K + 2
+    assert out.ngrams_dup == 2
+
+
+def test_short_docs_are_excluded(spark):
+    out = dup_ngram_mass(
+        _docs(
+            spark,
+            [
+                (1, "s", " ".join(_w("t", i) for i in range(DUP_NGRAM_K - 1))),
+                (2, "s", ""),
+            ],
+        )
+    )
+    assert out.count() == 0
+
+
+def test_all_unique_corpus_has_zero_dup_mass(spark):
+    text = " ".join(_w("only", i) for i in range(3 * DUP_NGRAM_K))
+    out = dup_ngram_mass(_docs(spark, [(7, "s", text)])).collect()[0]
+    assert out.ngrams_dup == 0
+    assert out.dup_frac == 0.0
+
+
+def test_instance_table_keeps_positional_duplicates(spark):
+    """The instance stream must keep one row per POSITION — collapsing
+    to distinct sids would undercount within-doc repeats."""
+    span = " ".join(_w("w", i) for i in range(DUP_NGRAM_K))
+    text = span + " xSep " + span
+    inst = dup_ngram_instances(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    )
+    assert inst.count() == DUP_NGRAM_K + 2
+    assert inst.select("sid").distinct().count() == DUP_NGRAM_K + 1
+
+
+def test_plan_has_no_sid_keyed_join(spark, sf_dir):
+    """The scale contract this operator exists to demonstrate: hot
+    boilerplate n-grams never become join keys. The only join in the
+    plan is the uniform doc_id join of per-doc totals with singleton
+    counts."""
+    plan = doc_dup_ngram_mass(spark, sf_dir)._jdf.queryExecution().toString()
+    joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "doc_id" in ln
+    ]
+    assert not any("sid" in ln for ln in plan.splitlines() if "Join" in ln), (
+        "a sid-keyed join appeared — the skew-free singleton-complement "
+        "shape was lost"
+    )
+    assert joins, "expected the uniform doc_id totals/singles join"
