@@ -1,0 +1,110 @@
+"""SemDeDup (staged r12, operators/semdedup.py): oracle parity, the
+one-survivor-per-cluster contract, the paper's lowest-centroid-
+similarity keep-rule on planted frames, and cell-local clustering."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.operators.semdedup import (
+    SEMDEDUP_ORACLE,
+    SEMDEDUP_TAU,
+    dedup_semantic_semdedup,
+    semdedup_frame,
+)
+from tests.duck_oracle import compare_spark_vs_oracle
+
+
+def test_semdedup_matches_oracle(spark, sf_dir):
+    """The compare the driver gate would run at registration: the
+    full fit -> assign -> cell-local cluster -> survivor pipeline vs
+    the recursive-CTE DuckDB replay."""
+    df = dedup_semantic_semdedup(spark, sf_dir)
+    compare_spark_vs_oracle(df, SEMDEDUP_ORACLE, sf_dir)
+
+
+def test_every_vector_appears_once(spark, sf_dir):
+    out = dedup_semantic_semdedup(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+
+
+def test_exactly_one_survivor_per_cluster(spark, sf_dir):
+    out = dedup_semantic_semdedup(spark, sf_dir).cache()
+    bad = (
+        out.groupBy("cluster_rep")
+        .agg(F.sum(F.col("keep").cast("int")).alias("n_keep"))
+        .where(F.col("n_keep") != 1)
+        .count()
+    )
+    assert bad == 0
+    # rep is the min member id and a member itself
+    assert out.where(F.col("cluster_rep") > F.col("vec_id")).count() == 0
+    reps = out.select(F.col("cluster_rep").alias("vec_id")).distinct()
+    owners = out.select("vec_id", "cluster_rep").join(reps, "vec_id")
+    assert (
+        owners.where(F.col("cluster_rep") != F.col("vec_id")).count() == 0
+    ), "a cluster_rep row must belong to its own cluster"
+    # clusters never span cells (SemDeDup defines dups within a cell)
+    multi_cell = (
+        out.groupBy("cluster_rep")
+        .agg(F.countDistinct("cell").alias("nc"))
+        .where(F.col("nc") > 1)
+        .count()
+    )
+    assert multi_cell == 0
+    out.unpersist()
+
+
+def test_keep_rule_prefers_lowest_centroid_similarity():
+    """Planted frame: three near-identical vectors at different
+    magnitudes -> one cluster; the survivor is the LOWEST exact
+    centroid dot (the paper's diversity-preserving rule), not the
+    min id."""
+    cent = np.array([10, 0, 0, 0], dtype=np.int64)
+    m = np.array(
+        [
+            [100, 1, 0, 0],  # id 1: high centroid dot
+            [50, 1, 0, 0],   # id 2: medium
+            [20, 1, 0, 0],   # id 3: lowest centroid dot -> survivor
+        ],
+        dtype=np.int64,
+    )
+    rep, keep = semdedup_frame([1, 2, 3], m, cent, tau=0.99)
+    assert list(rep) == [1, 1, 1]
+    assert list(keep) == [False, False, True]
+
+
+def test_keep_rule_tie_breaks_on_min_id():
+    cent = np.array([1, 0], dtype=np.int64)
+    m = np.array([[3, 4], [3, 4]], dtype=np.int64)  # identical dots
+    rep, keep = semdedup_frame([7, 5], m, cent, tau=0.99)
+    assert list(rep) == [5, 5]
+    assert list(keep) == [False, True]  # id 5 wins the tie
+
+
+def test_below_tau_vectors_stay_singletons():
+    cent = np.array([1, 1], dtype=np.int64)
+    m = np.array([[5, 0], [0, 5]], dtype=np.int64)  # orthogonal
+    rep, keep = semdedup_frame([1, 2], m, cent, tau=SEMDEDUP_TAU)
+    assert list(rep) == [1, 2]
+    assert list(keep) == [True, True]
+
+
+def test_transitive_chain_forms_one_cluster():
+    """a~b and b~c above tau but a~c below: SemDeDup groups are
+    connected components, so all three join and two are dropped."""
+    cent = np.array([1, 0, 0], dtype=np.int64)
+    a = np.array([100, 60, 0], dtype=np.int64)
+    b = np.array([100, 0, 0], dtype=np.int64)
+    c = np.array([100, 0, 60], dtype=np.int64)
+    m = np.vstack([a, b, c])
+    cos_ab = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    cos_ac = (a @ c) / (np.linalg.norm(a) * np.linalg.norm(c))
+    tau = (cos_ab + cos_ac) / 2
+    assert cos_ac < tau < cos_ab
+    rep, keep = semdedup_frame([1, 2, 3], m, cent, tau=float(tau))
+    assert list(rep) == [1, 1, 1]
+    assert sum(keep) == 1
