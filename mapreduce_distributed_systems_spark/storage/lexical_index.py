@@ -64,6 +64,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -190,6 +191,19 @@ def read_bm25_index(
     )
     with open(os.path.join(base_dir, name)) as f:
         manifest = json.load(f)
+    # fail LOUDLY on a pinned read of a garbage-collected version —
+    # its manifest survives as a commit record, but the bytes are gone
+    # (gc_bm25_index below); without this gate the reader would die in
+    # a parquet scan with a path error that hides the real cause
+    gc_path = os.path.join(base_dir, GC_LEDGER)
+    if os.path.exists(gc_path):
+        with open(gc_path) as f:
+            if str(manifest["version"]) in json.load(f):
+                raise RuntimeError(
+                    f"index version {manifest['version']} was "
+                    "garbage-collected (see gc.json); pin a retained "
+                    "version or rebuild"
+                )
     post = spark.read.parquet(manifest["postings_dir"]).withColumn(
         "tb", F.col("tb").cast("int")
     )
@@ -797,3 +811,88 @@ def bm25_index_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs.where(~F.expr(INDEX_DIFF_BASE)), base_dir
     )
     return index_version_diff(spark, base_dir, v_old=1, v_new=2)
+
+
+# --------------------------------------------------------------------------
+# Version retention / GC (staged r12 maintenance op). Every append or
+# rebuild commits a SELF-CONTAINED version — the simple-files contract
+# that makes time travel and the CDC diff trivial also means N live
+# versions hold ~N copies of the index. At 100 TB that is the
+# dominant storage cost of the index chain, so retention is not
+# optional hygiene: production indexers run exactly this job on a
+# schedule. The GC contract mirrors what snapshot stores (Iceberg
+# expire_snapshots, Delta VACUUM) promise: collected versions'
+# BYTES go away, their manifests stay as immutable commit records, a
+# tombstone ledger makes pinned reads of a collected version fail
+# LOUDLY (never a half-readable index or a bare FileNotFoundError
+# deep in a parquet scan), the live pointer and a configurable tail
+# of recent versions are never collectable, and re-running GC is a
+# no-op.
+# --------------------------------------------------------------------------
+
+GC_LEDGER = "gc.json"
+
+
+def _gc_ledger(base_dir: str) -> dict:
+    path = os.path.join(base_dir, GC_LEDGER)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
+def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
+    """Collect index versions older than the newest `keep_latest`,
+    reclaiming their parquet bytes. The live manifest.json version is
+    never collected regardless of age; per-version manifest-*.json
+    commit records are never touched (history stays auditable); the
+    collected set is recorded in the gc.json ledger behind the same
+    atomic pointer-swap discipline as commits. Returns a summary
+    {collected, kept, reclaimed_bytes}. Idempotent: versions already
+    in the ledger are skipped, so a crashed-and-rerun GC converges."""
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    with open(os.path.join(base_dir, "manifest.json")) as f:
+        live_version = json.load(f)["version"]
+    versions = sorted(
+        int(name[len("manifest-") : -len(".json")])
+        for name in os.listdir(base_dir)
+        if name.startswith("manifest-") and name.endswith(".json")
+    )
+    keep = set(versions[-keep_latest:]) | {live_version}
+    ledger = _gc_ledger(base_dir)
+    collected: list[int] = []
+    reclaimed = 0
+    for v in versions:
+        if v in keep or str(v) in ledger:
+            continue
+        with open(os.path.join(base_dir, f"manifest-{v:03d}.json")) as f:
+            m = json.load(f)
+        freed = 0
+        for key in ("postings_dir", "terms_dir", "doclens_dir",
+                    "positions_dir"):
+            d = m.get(key)
+            if d and os.path.exists(d):
+                freed += _dir_bytes(d)
+                shutil.rmtree(d)
+        ledger[str(v)] = {"reclaimed_bytes": freed}
+        collected.append(v)
+        reclaimed += freed
+    path = os.path.join(base_dir, GC_LEDGER)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, path)
+    return {
+        "collected": collected,
+        "kept": sorted(keep & set(versions)),
+        "reclaimed_bytes": reclaimed,
+    }

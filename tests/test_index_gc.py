@@ -1,0 +1,111 @@
+"""Lexical-index version retention / GC (staged r12 maintenance op,
+storage/lexical_index.py gc_bm25_index): bytes reclaimed, retained
+versions byte-identical in content, fail-loudly tombstones, live
+pointer immunity, idempotence."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_distributed_systems_spark.sources import load_table
+from mapreduce_distributed_systems_spark.storage.lexical_index import (
+    append_bm25_index,
+    build_and_commit_bm25,
+    bm25_topk_from_index,
+    gc_bm25_index,
+    read_bm25_index,
+)
+
+
+def _three_version_chain(spark, sf_dir):
+    """v1 = even doc_ids, v2 = +half the odds, v3 = +the rest."""
+    base = tempfile.mkdtemp(prefix="bm25_gc_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = tempfile.mkdtemp(prefix="bm25_gc_split_")
+    docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{split}/documents.parquet"
+    )
+    build_and_commit_bm25(spark, split, base)
+    append_bm25_index(spark, docs.where(F.col("doc_id") % 4 == 1), base)
+    append_bm25_index(spark, docs.where(F.col("doc_id") % 4 == 3), base)
+    return base
+
+
+def test_gc_reclaims_old_versions_and_preserves_serving(spark, sf_dir):
+    base = _three_version_chain(spark, sf_dir)
+    post, terms, _dl, manifest = read_bm25_index(spark, base)
+    served_before = sorted(
+        tuple(r)
+        for r in bm25_topk_from_index(
+            spark, sf_dir, post, terms, manifest
+        ).collect()
+    )
+    v1_post_dir = json.load(open(os.path.join(base, "manifest-001.json")))[
+        "postings_dir"
+    ]
+    assert os.path.exists(v1_post_dir)
+
+    summary = gc_bm25_index(base, keep_latest=2)
+    assert summary["collected"] == [1]
+    assert summary["kept"] == [2, 3]
+    assert summary["reclaimed_bytes"] > 0
+    assert not os.path.exists(v1_post_dir)
+    # the commit record survives as history even though the bytes are
+    # gone
+    assert os.path.exists(os.path.join(base, "manifest-001.json"))
+
+    # retained versions are untouched: the serve path returns the
+    # exact same ranking
+    post, terms, _dl, manifest = read_bm25_index(spark, base)
+    served_after = sorted(
+        tuple(r)
+        for r in bm25_topk_from_index(
+            spark, sf_dir, post, terms, manifest
+        ).collect()
+    )
+    assert served_after == served_before
+    # the retained pinned version still resolves
+    post2, _, _, m2 = read_bm25_index(spark, base, version=2)
+    assert m2["version"] == 2 and post2.count() > 0
+
+
+def test_pinned_read_of_collected_version_fails_loudly(spark, sf_dir):
+    base = _three_version_chain(spark, sf_dir)
+    gc_bm25_index(base, keep_latest=2)
+    with pytest.raises(RuntimeError, match="garbage-collected"):
+        read_bm25_index(spark, base, version=1)
+
+
+def test_gc_is_idempotent(spark, sf_dir):
+    base = _three_version_chain(spark, sf_dir)
+    first = gc_bm25_index(base, keep_latest=2)
+    second = gc_bm25_index(base, keep_latest=2)
+    assert first["collected"] == [1]
+    assert second["collected"] == []
+    assert second["reclaimed_bytes"] == 0
+    # ledger still carries the v1 record
+    ledger = json.load(open(os.path.join(base, "gc.json")))
+    assert "1" in ledger and ledger["1"]["reclaimed_bytes"] > 0
+
+
+def test_gc_never_touches_the_live_version(spark, sf_dir):
+    """Even keep_latest=1 must keep the version manifest.json points
+    at — the live pointer is immune by construction, not by luck."""
+    base = _three_version_chain(spark, sf_dir)
+    summary = gc_bm25_index(base, keep_latest=1)
+    assert summary["collected"] == [1, 2]
+    assert summary["kept"] == [3]
+    post, terms, _dl, manifest = read_bm25_index(spark, base)
+    served = bm25_topk_from_index(spark, sf_dir, post, terms, manifest)
+    assert served.count() > 0
+
+
+def test_gc_rejects_zero_retention(spark, sf_dir):
+    base = _three_version_chain(spark, sf_dir)
+    with pytest.raises(ValueError):
+        gc_bm25_index(base, keep_latest=0)
