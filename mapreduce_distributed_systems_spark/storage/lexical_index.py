@@ -896,3 +896,31 @@ def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
         "kept": sorted(keep & set(versions)),
         "reclaimed_bytes": reclaimed,
     }
+
+
+def doc_bm25_serve_post_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r12 query (oracle: BM25_ORACLE, identical to
+    doc_bm25_serve — GC, like persistence itself, must be invisible
+    to content): build the index, commit two scheduled-rebuild
+    versions on top (read stored tables, write as version+1 — the
+    nightly-rebuild shape), collect everything but the head with
+    gc_bm25_index, then serve from what remains. Certifies the
+    retention path end to end: a post-GC index returns byte-identical
+    rankings, or the driver hash catches it."""
+    base = _scratch_dir("bm25_gc_serve_")
+    build_and_commit_bm25(spark, sf_dir, base)
+    for v in (2, 3):
+        post, terms, doclens, m = read_bm25_index(spark, base)
+        write_bm25_index(
+            post.select("term", "doc_id", "tf", "dl"),
+            terms,
+            doclens,
+            {k: m[k] for k in ("n_docs", "avgdl", "posting_cap")},
+            base,
+            version=v,
+            n_buckets=int(m["n_term_buckets"]),
+        )
+    summary = gc_bm25_index(base, keep_latest=1)
+    assert summary["collected"] == [1, 2], summary  # the chain WAS collected
+    post, terms, _doclens, manifest = read_bm25_index(spark, base)
+    return bm25_topk_from_index(spark, sf_dir, post, terms, manifest)

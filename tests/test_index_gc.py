@@ -109,3 +109,19 @@ def test_gc_rejects_zero_retention(spark, sf_dir):
     base = _three_version_chain(spark, sf_dir)
     with pytest.raises(ValueError):
         gc_bm25_index(base, keep_latest=0)
+
+
+def test_post_gc_serve_matches_bm25_oracle(spark, sf_dir):
+    """The staged r12 query doc_bm25_serve_post_gc: rebuild-chain ->
+    GC to retention 1 -> serve must equal the exact BM25 SQL — the
+    same compare the driver gate would run at registration."""
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        BM25_ORACLE,
+    )
+    from mapreduce_distributed_systems_spark.storage.lexical_index import (
+        doc_bm25_serve_post_gc,
+    )
+    from tests.duck_oracle import compare_spark_vs_oracle
+
+    df = doc_bm25_serve_post_gc(spark, sf_dir)
+    compare_spark_vs_oracle(df, BM25_ORACLE, sf_dir)
