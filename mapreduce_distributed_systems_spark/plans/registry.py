@@ -221,6 +221,22 @@ GATE_ORDER = (
 # That is 5 of the ~6 free slots — hold further r11 fn/oracle edits
 # to <=1 unless something displaces one of these.
 #
+# Pre-staged candidates for ROUND-12 slots (code + oracles +
+# dual-fixture parity tests landed in the r10 continuation session;
+# the r12 treadmill eases — r8 cohort minus everything re-certified
+# in r10/r11 — so these should fit alongside the must-gate head):
+#   doc_dup_ngram_mass         operators/dup_spans.py
+#                              (DUP_NGRAM_MASS_ORACLE — Lee-et-al
+#                              substring-dup mass, skew-free
+#                              singleton-complement plan)
+#   dedup_semantic_semdedup    operators/semdedup.py
+#                              (SEMDEDUP_ORACLE — cell-local
+#                              components + lowest-centroid-dot
+#                              survivor over the shared int8 fit)
+#   doc_bm25_serve_post_gc     storage/lexical_index.py
+#                              (oracle = BM25_ORACLE — retention GC
+#                              certified content-invisible)
+#
 # HARD ARITHMETIC WARNING for r11 (identical shape to r9 and r10,
 # both of which consumed their entire 5-slot budgets): ~44 must-gate
 # names leave only ~6 window slots for (never-certified +
