@@ -222,9 +222,14 @@ GATE_ORDER = (
 # to <=1 unless something displaces one of these.
 #
 # Pre-staged candidates for ROUND-12 slots (code + oracles +
-# dual-fixture parity tests landed in the r10 continuation session;
-# the r12 treadmill eases — r8 cohort minus everything re-certified
-# in r10/r11 — so these should fit alongside the must-gate head):
+# dual-fixture parity tests landed in the r10 continuation session).
+# r12 arithmetic, pre-computed: at the r12 session the hard >3-stale
+# floor binds NOTHING (r6 refreshed r10, r7 refreshes r11; the r8
+# cohort of 49 is exactly-3 = planning trigger), so the r12 window =
+# these 3 never-certified + 47 of the 49 r8-cohort names; the 2
+# spilled r8 names then HEAD the r13 window (hard floor) alongside
+# the r9 cohort's planning refresh — recompute the exact spill pair
+# from cert_state at r12 open:
 #   doc_dup_ngram_mass         operators/dup_spans.py
 #                              (DUP_NGRAM_MASS_ORACLE — Lee-et-al
 #                              substring-dup mass, skew-free
