@@ -107,3 +107,49 @@ def test_plan_has_no_sid_keyed_join(spark, sf_dir):
         "shape was lost"
     )
     assert joins, "expected the uniform doc_id totals/singles join"
+
+
+def test_seeded_random_differential_vs_oracle(spark):
+    """Seeded random corpora from a tiny vocabulary (forcing genuine
+    k-gram collisions within and across docs) must match the DuckDB
+    oracle exactly — the impact_prune differential discipline applied
+    to the dup-mass plan."""
+    import random
+    import tempfile
+
+    import duckdb
+
+    from mapreduce_distributed_systems_spark.operators.dup_spans import (
+        dup_ngram_mass,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = []
+        for doc_id in range(40):
+            n_tok = rng.randint(0, 3 * DUP_NGRAM_K)
+            text = " ".join(rng.choice(vocab) for _ in range(n_tok))
+            rows.append((doc_id, rng.choice(["web", "book"]), text))
+        d = tempfile.mkdtemp(prefix=f"dupmass_rand_{seed}_")
+        sdf = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        sdf.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+        got = sorted(
+            tuple(r)
+            for r in dup_ngram_mass(
+                spark.read.parquet(f"{d}/documents.parquet")
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        want = sorted(
+            (r[0], r[1], int(r[2]), int(r[3]), r[4], r[5])
+            for r in con.execute(DUP_NGRAM_MASS_ORACLE).fetchall()
+        )
+        assert got == want, f"seed {seed} diverged"

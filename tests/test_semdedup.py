@@ -108,3 +108,52 @@ def test_transitive_chain_forms_one_cluster():
     rep, keep = semdedup_frame([1, 2, 3], m, cent, tau=float(tau))
     assert list(rep) == [1, 1, 1]
     assert sum(keep) == 1
+
+
+def test_seeded_random_differential_vs_oracle(spark):
+    """Seeded random embedding corpora with PLANTED near-dups (scaled
+    copies quantize to identical int8 vectors -> cos exactly 1) must
+    match the DuckDB replay end to end — fit, assignment, cell-local
+    components, survivor rule."""
+    import random
+    import tempfile
+
+    import duckdb
+
+    from mapreduce_distributed_systems_spark.operators.similarity import DIM
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = []
+        base_vecs = []
+        for vec_id in range(90):
+            v = [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+            base_vecs.append(v)
+            rows.append((vec_id, v))
+        # planted duplicates: scaled copies of the first 10 vectors
+        # (max-abs int8 quantization is scale-invariant, so the copy
+        # lands on the SAME quantized vector in both engines)
+        for j in range(10):
+            rows.append((1000 + j, [x * 0.5 for x in base_vecs[j]]))
+        d = tempfile.mkdtemp(prefix=f"semdedup_rand_{seed}_")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+        got = sorted(
+            tuple(r) for r in dedup_semantic_semdedup(spark, d).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        want = sorted(
+            (int(r[0]), int(r[1]), int(r[2]), bool(r[3]))
+            for r in con.execute(SEMDEDUP_ORACLE).fetchall()
+        )
+        assert got == want, f"seed {seed} diverged"
+        # the planted copies really did cluster with their originals
+        rep_of = {r[0]: r[2] for r in got}
+        joined = sum(1 for j in range(10) if rep_of[1000 + j] == rep_of[j])
+        assert joined == 10
