@@ -252,6 +252,18 @@ GATE_ORDER = (
 # arbitrate. Budget slots before writing code. The treadmill eases at
 # r12: the r8 cohort (49 rows at r10 open) shrinks by everything
 # re-certified in r10/r11 — recompute from cert_state at r12 open.
+#
+# REGISTRY-SIZE CEILING (steady-state arithmetic, recorded r10
+# continuation session so no future round re-derives it the hard
+# way): the driver window refreshes 50 rows/round and the enforced
+# staleness floor (tests/test_registry_gate.py
+# test_stale_certifications_queued_in_window) allows a row to age at
+# most 4 rounds, so the registry can sustain AT MOST 50 x 4 = 200
+# registered queries. Current trajectory: 191 + 4 (r11 staged) + 3
+# (r12 staged) = 198 — effectively AT the ceiling. From r12 onward,
+# registering a new query requires retiring/merging another (or a
+# deliberate, documented policy change to the floor). Prefer
+# deepening existing certified families over net-new registrations.
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see
