@@ -153,3 +153,23 @@ def test_seeded_random_differential_vs_oracle(spark):
             for r in con.execute(DUP_NGRAM_MASS_ORACLE).fetchall()
         )
         assert got == want, f"seed {seed} diverged"
+
+
+def test_scan_is_column_pruned(spark, sf_dir):
+    """The documents scan must read only (doc_id, source, text) — a
+    dup-mass pass over 100 TB must not drag the table's other columns
+    through the explode."""
+    plan = (
+        doc_dup_ngram_mass(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for rs in plan.split("ReadSchema: ")[1:]:
+        schema = rs.splitlines()[0]
+        read_cols = {
+            c.split(":")[0] for c in schema.split("<", 1)[1].rstrip(">").split(",")
+        }
+        assert read_cols <= {"doc_id", "source", "text"}, (
+            f"documents scan reads extra columns: {read_cols}"
+        )
