@@ -209,3 +209,27 @@ def test_driver_queries_wrapper_isolates_cache(spark, sf_dir):
     lvl = leftover.storageLevel
     assert not (lvl.useMemory or lvl.useDisk), "previous query's cache survived"
     assert df.count() > 0
+
+
+def test_window_planner_reproduces_the_committed_window():
+    """tools/plan_window.py automates the HARD ARITHMETIC: against the
+    committed CORRECTNESS/cert_state evidence it must propose exactly
+    the window the round committed. If this fails after a deliberate
+    GATE_ORDER deviation, either fix the planner's priority order or
+    document why the round departed from it."""
+    import subprocess
+
+    out = subprocess.run(
+        ["python", os.path.join(_REPO_ROOT, "tools", "plan_window.py")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    import re
+
+    names = re.findall(r'^    "([a-z0-9_]+)",$', out.stdout, re.M)
+    assert set(names) == set(GATE_ORDER), (
+        "planner window != committed GATE_ORDER; diff: "
+        f"planner-only={sorted(set(names) - set(GATE_ORDER))}, "
+        f"committed-only={sorted(set(GATE_ORDER) - set(names))}"
+    )
+    assert "INFEASIBLE" not in out.stdout
