@@ -125,3 +125,55 @@ def test_post_gc_serve_matches_bm25_oracle(spark, sf_dir):
 
     df = doc_bm25_serve_post_gc(spark, sf_dir)
     compare_spark_vs_oracle(df, BM25_ORACLE, sf_dir)
+
+
+def test_gc_after_streaming_appends_preserves_head_content(spark, sf_dir):
+    """The realistic 24/7 ops sequence: base build -> streamed
+    microbatch appends (version per batch) -> retention GC. The
+    surviving head must be content-identical to the pre-GC head, old
+    versions' bytes gone, and a pinned read of a collected version
+    must fail loudly — the full maintenance loop in one test."""
+    import tempfile
+
+    from mapreduce_distributed_systems_spark.storage.lexical_index import (
+        build_and_commit_bm25,
+    )
+    from mapreduce_distributed_systems_spark.streaming.index_stream import (
+        BM25_STREAM_BASE,
+        run_append_stream,
+        stage_stream_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split_dir = tempfile.mkdtemp(prefix="idxgc_split_")
+    docs.where(F.expr(BM25_STREAM_BASE)).write.mode("overwrite").parquet(
+        f"{split_dir}/documents.parquet"
+    )
+    new_docs = docs.where(~F.expr(BM25_STREAM_BASE))
+    src = stage_stream_source(new_docs, n_files=3)
+
+    base = tempfile.mkdtemp(prefix="idxgc_idx_")
+    build_and_commit_bm25(spark, split_dir, base)
+    ckpt = tempfile.mkdtemp(prefix="idxgc_ckpt_")
+    run_append_stream(
+        spark, src, new_docs.schema, base, ckpt, max_files_per_trigger=1
+    )
+
+    post, terms, _dl, manifest = read_bm25_index(spark, base)
+    assert manifest["version"] == 4  # base + 3 streamed appends
+    head_before = sorted(
+        tuple(r)
+        for r in post.select("term", "doc_id", "tf", "dl").collect()
+    )
+
+    summary = gc_bm25_index(base, keep_latest=1)
+    assert summary["collected"] == [1, 2, 3]
+    post_after, _, _, m_after = read_bm25_index(spark, base)
+    assert m_after["version"] == 4
+    head_after = sorted(
+        tuple(r)
+        for r in post_after.select("term", "doc_id", "tf", "dl").collect()
+    )
+    assert head_after == head_before
+    with pytest.raises(RuntimeError, match="garbage-collected"):
+        read_bm25_index(spark, base, version=2)
