@@ -264,6 +264,13 @@ GATE_ORDER = (
 # registering a new query requires retiring/merging another (or a
 # deliberate, documented policy change to the floor). Prefer
 # deepening existing certified families over net-new registrations.
+# Merge candidates if a slot must be freed (each pair certifies the
+# same machinery twice): ann_recall_at_k into ann_recall_curve (the
+# curve is the at-k measurement swept over n_probe; parameterize the
+# curve to include the deployed operating point), and
+# retrieval_rrf_fusion into retrieval_rrf_fusion_ivf (the brute-leg
+# fusion is the ivf-leg query's calibration baseline — one query can
+# emit both legs' fused lists keyed by a dense_leg column).
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see
