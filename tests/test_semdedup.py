@@ -157,3 +157,74 @@ def test_seeded_random_differential_vs_oracle(spark):
         rep_of = {r[0]: r[2] for r in got}
         joined = sum(1 for j in range(10) if rep_of[1000 + j] == rep_of[j])
         assert joined == 10
+
+
+# ---- property-based invariants on the cell-local decision ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _frames(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    dim = draw(st.integers(min_value=2, max_value=6))
+    ids = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    vals = st.integers(min_value=-127, max_value=127)
+    m = draw(
+        st.lists(
+            st.lists(vals, min_size=dim, max_size=dim).filter(
+                lambda v: any(x != 0 for x in v)  # zero vectors have no cosine
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    cent = draw(st.lists(vals, min_size=dim, max_size=dim))
+    tau = draw(st.floats(min_value=-0.5, max_value=0.999))
+    return ids, m, cent, tau
+
+
+@given(_frames())
+@settings(max_examples=60, deadline=None)
+def test_frame_invariants_hold_on_random_inputs(frame):
+    """For ANY cell contents: output covers every vector exactly once,
+    rep is the min member id of a component containing the vector,
+    exactly one keeper per component, and the keeper is the member
+    with the lexicographically smallest (centroid_dot, vec_id)."""
+    ids, m, cent, tau = frame
+    rep, keep = semdedup_frame(ids, m, cent, tau=tau)
+    ids_a = np.asarray(ids)
+    m_a = np.asarray(m, dtype=np.int64)
+    cent_a = np.asarray(cent, dtype=np.int64)
+    assert len(rep) == len(keep) == len(ids)
+
+    clusters: dict[int, list[int]] = {}
+    for i, r in enumerate(rep):
+        clusters.setdefault(int(r), []).append(i)
+    for r, members in clusters.items():
+        # rep is the min member id and a member
+        assert r == min(ids_a[members])
+        # exactly one keeper, and it is the (cdot, id)-argmin
+        kept = [i for i in members if keep[i]]
+        assert len(kept) == 1
+        cd = m_a[members] @ cent_a
+        want = min(zip(cd, ids_a[members]))
+        got = (int(m_a[kept[0]] @ cent_a), int(ids_a[kept[0]]))
+        assert got == (int(want[0]), int(want[1]))
+        # component soundness: every member is connected to its
+        # cluster through >=tau edges (spot-check: each member has at
+        # least one >=tau neighbor within the cluster, unless alone)
+        if len(members) > 1:
+            for i in members:
+                cos_i = [
+                    (m_a[i] @ m_a[j])
+                    / (np.linalg.norm(m_a[i]) * np.linalg.norm(m_a[j]))
+                    for j in members
+                    if j != i
+                ]
+                assert max(cos_i) >= tau - 1e-12
