@@ -42,6 +42,11 @@ WINDOW = 50
 
 
 def main() -> None:
+    # --preview: simulate NEXT round's composition by assuming the
+    # current GATE_ORDER all certifies green this round (the round-end
+    # driver run) — what the next round's open will face, computable
+    # BEFORE the driver runs. Useful for budgeting staged work.
+    preview = "--preview" in sys.argv
     specs = all_specs()
 
     certified: set[str] = set()
@@ -61,6 +66,20 @@ def main() -> None:
     )
     with open(cert_state_path) as f:
         cert_state = json.load(f)
+
+    if preview:
+        from mapreduce_distributed_systems_spark.plans.registry import (
+            GATE_ORDER,
+        )
+
+        newest_round += 1
+        for name in GATE_ORDER:
+            certified.add(name)
+            cert_state[name] = {
+                "round": newest_round,
+                "fingerprint": fn_fingerprint(specs[name]),
+            }
+        print(f"(preview: assuming GATE_ORDER certifies at r{newest_round})")
 
     never = sorted(n for n in specs if n not in certified)
     changed = sorted(
