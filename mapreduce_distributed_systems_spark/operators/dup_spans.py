@@ -171,3 +171,148 @@ def doc_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated k-gram mass + worst-document fraction on the documents
     table."""
     return dup_ngram_mass(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Span-level dedup rewrite (staged r13 candidate) — the operation the
+# dup-mass measurement motivates, i.e. Lee et al.'s actual dedup at
+# k-gram granularity: every duplicated k-gram keeps exactly its
+# GLOBALLY-FIRST occurrence (min (doc_id, pos)); every other
+# occurrence's token window is removed, overlapping removed windows
+# union into regions, and each document is rebuilt from its surviving
+# tokens. A duplicated region longer than K removes coherently: all
+# of its windows share the same first-occurrence document, so the
+# first copy survives whole and later copies vanish whole.
+#
+# Scale shape — the dup-mass discipline generalized: the global
+# first-occurrence table is ONE map-side-combined min(struct(doc_id,
+# pos)) per sid (hot boilerplate sids collapse in the partial
+# aggregate), and it re-keys by its OWN doc_id to flow back to
+# documents over a uniform doc_id join — the per-instance "am I the
+# first?" decision never joins on the n-gram key. The rebuild is
+# doc-local: per token an exists() probe over the doc's removed-start
+# list (O(L x R) per doc, R = removed windows; R is 0 for clean docs
+# and bounded by L, so the worst case is O(L^2) on a fully-duplicated
+# long doc — acceptable because L is document length, never corpus
+# length, and the probe runs in whole-stage codegen).
+# --------------------------------------------------------------------------
+
+SPAN_REWRITE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+eligible AS (SELECT doc_id, source, t FROM toks WHERE len(t) >= {DUP_NGRAM_K}),
+inst AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - {DUP_NGRAM_K} + 2)) AS pos,
+         unnest(list_transform(range(1, len(t) - {DUP_NGRAM_K} + 2),
+                i -> ('0x' || substring(md5(array_to_string(
+                       list_slice(t, i, i + {DUP_NGRAM_K} - 1), ' ')),
+                       1, 15))::BIGINT)) AS sid
+  FROM eligible
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY sid ORDER BY doc_id, pos) AS rn
+  FROM inst
+),
+keeps AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS kp
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT e.doc_id, e.source, e.t,
+         list_filter(range(1, len(e.t) - {DUP_NGRAM_K} + 2),
+                     p -> NOT list_contains(coalesce(k.kp, []), p)) AS rs
+  FROM eligible e LEFT JOIN keeps k USING (doc_id)
+),
+surv AS (
+  SELECT doc_id, source, len(t) AS n_before,
+         list_filter(list_transform(range(1, len(t) + 1),
+           i -> CASE WHEN len(list_filter(rs,
+                  r -> r <= i AND i < r + {DUP_NGRAM_K})) = 0
+                THEN t[i] END), x -> x IS NOT NULL) AS kept
+  FROM rebuilt
+)
+SELECT doc_id, source, n_before::BIGINT AS n_before,
+       len(kept)::BIGINT AS n_after,
+       coalesce(array_to_string(kept, ' '), '') AS new_text
+FROM surv
+UNION ALL
+SELECT doc_id, source, len(t)::BIGINT AS n_before, len(t)::BIGINT AS n_after,
+       coalesce(array_to_string(t, ' '), '') AS new_text
+FROM toks WHERE len(t) < {DUP_NGRAM_K}
+"""
+
+
+def span_dedup_rewrite(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_before, n_after, new_text) for every doc:
+    the span-dedup rewrite over any (doc_id, source, text) frame."""
+    toks = docs.select("doc_id", "source", words("text").alias("t"))
+    eligible = toks.where(F.size("t") >= DUP_NGRAM_K)
+    short = toks.where(F.size("t") < DUP_NGRAM_K).select(
+        "doc_id",
+        "source",
+        F.size("t").cast("long").alias("n_before"),
+        F.size("t").cast("long").alias("n_after"),
+        F.concat_ws(" ", "t").alias("new_text"),
+    )
+
+    inst = eligible.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {DUP_NGRAM_K} + 1), i -> "
+                f"struct(i as pos, cast(conv(substring(md5(concat_ws(' ', "
+                f"slice(t, i, {DUP_NGRAM_K}))), 1, 15), 16, 10) as bigint) "
+                f"as sid))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.sid").alias("sid"))
+
+    # ONE combine-friendly aggregate on the 8-byte sid; the winner
+    # re-keys by its own doc_id — no instance-to-sid join anywhere
+    firsts = inst.groupBy("sid").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    keeps = (
+        firsts.select(F.col("f.doc_id").alias("doc_id"), F.col("f.pos").alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("kp"))
+    )
+
+    rebuilt = eligible.join(keeps, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "t",
+        F.expr(
+            f"filter(sequence(1, size(t) - {DUP_NGRAM_K} + 1), "
+            f"p -> NOT array_contains(coalesce(kp, array()), p))"
+        ).alias("rs"),
+    )
+    surv = rebuilt.select(
+        "doc_id",
+        "source",
+        F.size("t").cast("long").alias("n_before"),
+        F.expr(
+            f"filter(transform(sequence(1, size(t)), i -> CASE WHEN NOT "
+            f"exists(rs, r -> r <= i AND i < r + {DUP_NGRAM_K}) THEN "
+            f"element_at(t, i) END), x -> x IS NOT NULL)"
+        ).alias("kept"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_before",
+        F.size("kept").cast("long").alias("n_after"),
+        F.concat_ws(" ", "kept").alias("new_text"),
+    )
+    return surv.unionByName(short)
+
+
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r13 query (oracle: SPAN_REWRITE_ORACLE): the span-level
+    dedup rewrite on the documents table."""
+    return span_dedup_rewrite(load_table(spark, sf_dir, "documents"))

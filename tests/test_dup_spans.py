@@ -173,3 +173,112 @@ def test_scan_is_column_pruned(spark, sf_dir):
         assert read_cols <= {"doc_id", "source", "text"}, (
             f"documents scan reads extra columns: {read_cols}"
         )
+
+
+# ---- span-level dedup rewrite (staged r13) -------------------------------
+
+from mapreduce_distributed_systems_spark.operators.dup_spans import (  # noqa: E402
+    SPAN_REWRITE_ORACLE,
+    dedup_span_rewrite,
+    span_dedup_rewrite,
+)
+
+
+def test_span_rewrite_matches_oracle(spark, sf_dir):
+    """The compare the driver gate would run at registration."""
+    df = dedup_span_rewrite(spark, sf_dir)
+    compare_spark_vs_oracle(df, SPAN_REWRITE_ORACLE, sf_dir)
+
+
+def test_second_occurrence_is_removed_first_survives(spark):
+    shared = " ".join(_w("common", i) for i in range(DUP_NGRAM_K))
+    fill1 = " ".join(_w("one", i) for i in range(DUP_NGRAM_K))
+    fill2 = " ".join(_w("two", i) for i in range(DUP_NGRAM_K))
+    out = {
+        r.doc_id: r
+        for r in span_dedup_rewrite(
+            _docs(
+                spark,
+                [(1, "s", shared + " " + fill1), (2, "s", shared + " " + fill2)],
+            )
+        ).collect()
+    }
+    # doc 1 owns every global first -> untouched
+    assert out[1].n_after == out[1].n_before == 2 * DUP_NGRAM_K
+    assert out[1].new_text == shared + " " + fill1
+    # doc 2's copy of the shared span is removed whole
+    assert out[2].n_before == 2 * DUP_NGRAM_K
+    assert out[2].n_after == DUP_NGRAM_K
+    assert out[2].new_text == fill2
+
+
+def test_within_doc_repeat_keeps_only_the_first_copy(spark):
+    span = " ".join(_w("w", i) for i in range(DUP_NGRAM_K))
+    text = span + " xSep " + span
+    row = span_dedup_rewrite(_docs(spark, [(1, "s", text)])).collect()[0]
+    assert row.n_before == 2 * DUP_NGRAM_K + 1
+    assert row.n_after == DUP_NGRAM_K + 1
+    assert row.new_text == span + " xSep"
+
+
+def test_short_and_empty_docs_pass_through_tokenized(spark):
+    out = {
+        r.doc_id: r
+        for r in span_dedup_rewrite(
+            _docs(spark, [(1, "s", "just a few words"), (2, "s", "")])
+        ).collect()
+    }
+    assert out[1].n_before == out[1].n_after == 4
+    assert out[1].new_text == "just a few words"
+    assert out[2].n_after == 0 and out[2].new_text == ""
+
+
+def test_span_rewrite_seeded_random_differential(spark):
+    """Seeded tiny-vocabulary corpora (heavy genuine span duplication)
+    vs the DuckDB oracle, exact."""
+    import random
+    import tempfile
+
+    import duckdb
+
+    vocab = ["alpha", "beta", "gamma"]
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        rows = []
+        for doc_id in range(30):
+            n_tok = rng.randint(0, 3 * DUP_NGRAM_K)
+            text = " ".join(rng.choice(vocab) for _ in range(n_tok))
+            rows.append((doc_id, rng.choice(["web", "book"]), text))
+        d = tempfile.mkdtemp(prefix=f"spanrw_rand_{seed}_")
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+        got = sorted(
+            tuple(r)
+            for r in span_dedup_rewrite(
+                spark.read.parquet(f"{d}/documents.parquet")
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        want = sorted(
+            (int(r[0]), r[1], int(r[2]), int(r[3]), r[4])
+            for r in con.execute(SPAN_REWRITE_ORACLE).fetchall()
+        )
+        assert got == want, f"seed {seed} diverged"
+
+
+def test_span_rewrite_plan_has_no_sid_keyed_join(spark, sf_dir):
+    """Same scale contract as the mass query: the first-occurrence
+    winners re-key by their own doc_id; no join ever keys on sid."""
+    plan = (
+        dedup_span_rewrite(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not any("sid" in ln for ln in plan.splitlines() if "Join" in ln)
