@@ -241,6 +241,14 @@ GATE_ORDER = (
 #   doc_bm25_serve_post_gc     storage/lexical_index.py
 #                              (oracle = BM25_ORACLE — retention GC
 #                              certified content-invisible)
+# And one ROUND-13 candidate (same staging discipline, landed the
+# same session):
+#   dedup_span_rewrite         operators/dup_spans.py
+#                              (SPAN_REWRITE_ORACLE — Lee-et-al span
+#                              dedup, global-first-occurrence
+#                              survivors, sid-join-free)
+# Registering it at r13 pairs naturally with one of the merge
+# candidates below (ceiling note).
 #
 # HARD ARITHMETIC WARNING for r11 (identical shape to r9 and r10,
 # both of which consumed their entire 5-slot budgets): ~44 must-gate
