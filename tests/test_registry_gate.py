@@ -233,3 +233,46 @@ def test_window_planner_reproduces_the_committed_window():
         f"committed-only={sorted(set(GATE_ORDER) - set(names))}"
     )
     assert "INFEASIBLE" not in out.stdout
+
+
+def test_window_planner_ignores_untracked_correctness_files():
+    """VERDICT r10 item 1: the driver writes CORRECTNESS_r{N}.json
+    AFTER the round's final commit, so an untracked newer file exists
+    at every judge evaluation. The planner must scope its evidence to
+    git-TRACKED files (like _committed_correctness_paths above) or it
+    proposes NEXT round's window while GATE_ORDER still holds the
+    current one — a structurally guaranteed red. Simulate the judge's
+    tree: plant an untracked newest round marking the whole committed
+    window green and assert the planner's proposal does not move."""
+    import subprocess
+
+    def run_planner() -> str:
+        out = subprocess.run(
+            ["python", os.path.join(_REPO_ROOT, "tools", "plan_window.py")],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        return out.stdout
+
+    import re
+
+    baseline = re.findall(r'^    "([a-z0-9_]+)",$', run_planner(), re.M)
+    fake = os.path.join(_REPO_ROOT, "CORRECTNESS_r98.json")
+    assert not os.path.exists(fake)
+    try:
+        with open(fake, "w") as f:
+            json.dump(
+                {n: {"hash_match": True, "rows_match": True,
+                     "schema_match": True, "err": None}
+                 for n in GATE_ORDER},
+                f,
+            )
+        with_untracked = re.findall(
+            r'^    "([a-z0-9_]+)",$', run_planner(), re.M
+        )
+    finally:
+        os.remove(fake)
+    assert set(with_untracked) == set(baseline), (
+        "planner proposal moved when an untracked CORRECTNESS file "
+        "appeared — it is reading evidence the round has not landed"
+    )

@@ -6,17 +6,32 @@ r12's pre-compute is mechanical, so make the machine do it).
     python tools/plan_window.py
 
 Reads, in this priority order:
-  1. never-certified queries (no green row in any CORRECTNESS_r*.json)
-     — MUST be in the window (test_all_never_certified_queries_...)
+  1. never-certified queries (no green row in any git-COMMITTED
+     CORRECTNESS_r*.json) — MUST be in the window
+     (test_all_never_certified_queries_...)
   2. changed-fingerprint queries (tree fingerprint differs from the
      certified one in plans/cert_state.json) — MUST be in the window
      (test_changed_queries_queued_in_window)
   3. hard-stale queries (newest green row > 3 rounds older than the
-     newest on-disk CORRECTNESS round) — MUST be in the window
+     newest committed CORRECTNESS round) — MUST be in the window
      (test_stale_certifications_queued_in_window)
   4. the planning cohort (exactly 3 rounds old) — fill remaining
      slots oldest-first so nothing crosses the hard floor next round;
      whatever spills is next round's guaranteed head.
+
+Evidence scope (VERDICT r10 item 1): only git-TRACKED CORRECTNESS
+files count. The driver writes CORRECTNESS_r{N}.json AFTER the
+round's final commit, so an untracked newer file exists at every
+judge evaluation by construction; reading it would make the planner
+propose NEXT round's window while GATE_ORDER still holds the current
+one — a structurally guaranteed mismatch (the same failure class the
+r9 doc gate fixed). Folding the fresh file (git add at round open)
+brings it into scope.
+
+Certified predicate: a green row is hash_match or rows_match — the
+SAME predicate tests/test_registry_gate.py uses (ADVICE r10: the old
+extra `err == 'no_oracle'` branch could certify a query the gate
+tests still counted as never-certified, letting the two disagree).
 
 Prints the composition, the spill, and a paste-ready GATE_ORDER
 block. Run it at round open AFTER folding the driver's fresh
@@ -28,6 +43,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -41,6 +57,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
+def committed_correctness_paths() -> list[str]:
+    """CORRECTNESS files the round has actually LANDED (git-tracked);
+    mirrors tests/test_registry_gate._committed_correctness_paths so
+    the planner and the gate tests read the same evidence. Falls back
+    to the on-disk glob only when git is unavailable (exported tree)."""
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        )
+        tracked = sorted(ln for ln in out.stdout.splitlines() if ln.strip())
+        if out.returncode == 0 and tracked:
+            return [os.path.join(REPO, p) for p in tracked]
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+    return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+
+
 def main() -> None:
     # --preview: simulate NEXT round's composition by assuming the
     # current GATE_ORDER all certifies green this round (the round-end
@@ -51,14 +85,12 @@ def main() -> None:
 
     certified: set[str] = set()
     newest_round = 0
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in committed_correctness_paths():
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):].split(".")[0])
         newest_round = max(newest_round, rnd)
         with open(path) as f:
             for name, row in json.load(f).items():
-                if row.get("hash_match") or row.get("rows_match") or (
-                    row.get("err") == "no_oracle" and row.get("rows", 0) >= 0
-                ):
+                if row.get("hash_match") or row.get("rows_match"):
                     certified.add(name)
 
     cert_state_path = os.path.join(
