@@ -821,14 +821,26 @@ FROM tot t CROSS JOIN per_sys p
 """
 
 
+@register(
+    "retrieval_quality_sampled",
+    oracle=RETRIEVAL_QUALITY_SAMPLED_ORACLE,
+    tags=("retrieval", "quality", "stats"),
+    doc="Bounded ALWAYS-ON twin of retrieval_quality_bm25_rrf: the "
+    "same recall@10 + integer-exact DCG/IDCG metrics, but the audited "
+    "query population is a strict subsample of the production query "
+    "stream (doc_id % 400 = 0, capped at 64), so total truth-pass "
+    "work is fixed per corpus snapshot instead of growing with the "
+    "query load — cheap enough to gate every index build, not just "
+    "rollouts.",
+)
 def retrieval_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded always-on audit: recall@10 + integer DCG/IDCG of the
     impact-pruned BM25 ranker against the unpruned truth, both
     restricted to the AUDIT query sample (a strict subsample of the
     production query stream). Same metrics machinery as
     retrieval_quality_bm25_rrf; total cost is fixed by the sample cap
-    instead of growing with the query population. Staged for r11
-    registration (oracle: RETRIEVAL_QUALITY_SAMPLED_ORACLE)."""
+    instead of growing with the query population.
+    Registered r11 (oracle: RETRIEVAL_QUALITY_SAMPLED_ORACLE)."""
     truth = (
         _bm25_ranked(
             spark, sf_dir, None,

@@ -628,12 +628,24 @@ def phrase_topk_from_index(
     ).where(F.col("rank") <= PHRASE_TOP_K)
 
 
+@register(
+    "retrieval_phrase_match",
+    oracle=PHRASE_ORACLE,
+    tags=("retrieval", "text", "index", "storage"),
+    doc="Exact phrase retrieval from the persisted index's POSITIONAL "
+    "component: build+commit the index with per-(term,doc) position "
+    "arrays, reload through the manifest, and serve phrase top-k by "
+    "intersecting the phrase terms' postings (rarest-first, partition-"
+    "pruned bucket scans) then verifying adjacency against the stored "
+    "positions — candidates bounded by PHRASE_LEN x the rarest term's "
+    "posting cap, never a corpus scan. Ranked by hit count with a "
+    "deterministic doc_id tiebreak.",
+)
 def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build+commit the index WITH its positional component, reload
     through the manifest, serve exact phrase top-k from the artifact.
-    Staged for r11 registration (oracle: PHRASE_ORACLE) — the r10
-    window is full; until then tests/test_phrase_index.py applies the
-    same compare."""
+    Registered r11 (oracle: PHRASE_ORACLE);
+    tests/test_phrase_index.py applies the same compare."""
     base = _scratch_dir("phrase_index_")
     build_and_commit_bm25(spark, sf_dir, base, with_positions=True)
     _post, _terms, _dl, manifest = read_bm25_index(spark, base)
@@ -792,10 +804,22 @@ def index_version_diff(
     )
 
 
+@register(
+    "bm25_index_version_diff",
+    oracle=_index_diff_oracle(),
+    tags=("retrieval", "index", "storage", "cdc"),
+    doc="Index CDC: the churn summary between two committed index "
+    "versions (postings/terms/docs/tf mass added and removed), "
+    "computed by full-outer anti-matching the two versions' posting "
+    "relations — including base postings the merged re-prune EVICTED "
+    "(capture pinned by a planted cap=2 test). This is the change "
+    "feed an incremental downstream (cache invalidation, replica "
+    "shipping) consumes instead of re-reading the whole artifact.",
+)
 def bm25_index_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the base index from the even doc_id half, append the odd
-    half (version 2), diff the two committed versions. Staged for r11
-    registration (oracle: _index_diff_oracle()). The 'added' mass is
+    half (version 2), diff the two committed versions. Registered r11
+    (oracle: _index_diff_oracle()). The 'added' mass is
     the appended batch's surviving postings; 'removed' is the base
     postings the merged re-prune evicted — zero until the cap binds
     (sf0.1 up at the production cap), certified either way by the

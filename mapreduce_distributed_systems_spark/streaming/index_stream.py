@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.operators.retrieval import (
     BM25_B,
     BM25_K1,
@@ -203,6 +204,20 @@ def run_append_stream(
     return q
 
 
+@register(
+    "bm25_index_streaming_append",
+    oracle=STREAM_BM25_ORACLE,
+    tags=("streaming", "retrieval", "index", "storage"),
+    doc="BM25 top-k served from a STREAM-MAINTAINED persisted index: "
+    "base build over half the corpus, the other half ingested as a "
+    "document file stream whose microbatches drive idempotent "
+    "append_bm25_index commits through foreachBatch (at-least-once "
+    "redelivery upgraded to exactly-once index content by the "
+    "doc-id anti-join), then scored from the final manifest version. "
+    "The hash match certifies the whole maintenance loop: build, "
+    "stream discovery, per-batch merge + re-prune, manifest pointer "
+    "swaps, and the serve path's frozen-stats arithmetic.",
+)
 def bm25_index_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k served from a STREAM-MAINTAINED index: base build
     over the even doc_id half, the odd half ingested as a document
@@ -211,8 +226,7 @@ def bm25_index_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     STREAM_BM25_ORACLE (frozen-stats BM25 over the same split) — the
     hash match certifies the whole loop: build, stream discovery,
     per-batch merge + re-prune, manifest pointer swaps, and the
-    serve path's stored-stats arithmetic. Staged for r11
-    registration."""
+    serve path's stored-stats arithmetic. Registered r11."""
     base_dir = _scratch_dir("bm25_stream_idx_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     split_dir = tempfile.mkdtemp(prefix="bm25_stream_split_")
