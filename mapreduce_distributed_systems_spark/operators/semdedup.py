@@ -52,6 +52,16 @@ from mapreduce_distributed_systems_spark.sources import load_table
 # 0.95 would make every cell all-singletons and certify nothing.
 SEMDEDUP_TAU = 0.3
 
+# Memory guard on the cell-local dense Gram (ADVICE r10): one cell of
+# n rows costs two n x n matrices (int64 dots + float64 cos) in a
+# single Arrow batch. ivf_k_for targets ~IVF_TARGET_CELL(=250) rows,
+# but a COLLAPSED quantizer fit can funnel thousands of vectors into
+# one cell (the r7 starved-fit probe measured max cell 7944 — ~1 GB
+# of Gram). 4096 gives 16x headroom over the target while keeping the
+# worst batch ~270 MB; beyond it the operator fails LOUDLY with the
+# refit instruction instead of silently OOMing an executor.
+SEMDEDUP_CELL_CAP = 4096
+
 
 def _semdedup_oracle() -> str:
     prev = f"cents{IVF_KMEANS_ITER}"
@@ -64,7 +74,9 @@ pairs AS (
   FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN q8 qa ON qa.vec_id = a.vec_id
   JOIN q8 qb ON qb.vec_id = b.vec_id
-  WHERE CAST(list_dot_product(qa.qv, qb.qv) AS DOUBLE) /
+  WHERE list_dot_product(qa.qv, qa.qv) > 0
+    AND list_dot_product(qb.qv, qb.qv) > 0
+    AND CAST(list_dot_product(qa.qv, qb.qv) AS DOUBLE) /
           (sqrt(CAST(list_dot_product(qa.qv, qa.qv) AS DOUBLE)) *
            sqrt(CAST(list_dot_product(qb.qv, qb.qv) AS DOUBLE)))
         >= {SEMDEDUP_TAU}
@@ -119,6 +131,13 @@ def semdedup_frame(ids, m, cent, tau: float = SEMDEDUP_TAU):
     cent = np.asarray(cent, dtype=np.int64)
     cdot = m @ cent
     n_rows = len(ids)
+    if n_rows > SEMDEDUP_CELL_CAP:
+        raise RuntimeError(
+            f"SemDeDup cell holds {n_rows} vectors "
+            f"(> SEMDEDUP_CELL_CAP={SEMDEDUP_CELL_CAP}); the quantizer "
+            "fit has collapsed — refit with a larger sample or raise k "
+            "(ivf_k_for) instead of densifying an O(n^2) Gram batch"
+        )
     parent = np.arange(n_rows)
 
     def find(i: int) -> int:
@@ -130,7 +149,17 @@ def semdedup_frame(ids, m, cent, tau: float = SEMDEDUP_TAU):
     if n_rows > 1:
         dots = m @ m.T
         nrm = np.sqrt(np.diag(dots).astype(np.float64))
-        cos = dots.astype(np.float64) / np.outer(nrm, nrm)
+        # zero-norm rows (all-zero quantized vectors) are non-dups BY
+        # DEFINITION on both sides (ADVICE r10): numpy would yield
+        # NaN cosines (NaN >= tau is False) while DuckDB's total order
+        # puts NaN above tau — so both the kernel and the SQL oracle
+        # exclude them explicitly instead of leaning on NaN semantics.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots.astype(np.float64) / np.outer(nrm, nrm)
+        zero = nrm == 0.0
+        if zero.any():
+            cos[zero, :] = -np.inf
+            cos[:, zero] = -np.inf
         iu, ju = np.nonzero(np.triu(cos >= tau, k=1))
         for i, j in zip(iu, ju):
             ri, rj = find(int(i)), find(int(j))

@@ -873,15 +873,30 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _write_gc_ledger(base_dir: str, ledger: dict) -> None:
+    path = os.path.join(base_dir, GC_LEDGER)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, path)
+
+
 def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
     """Collect index versions older than the newest `keep_latest`,
     reclaiming their parquet bytes. The live manifest.json version is
     never collected regardless of age; per-version manifest-*.json
     commit records are never touched (history stays auditable); the
     collected set is recorded in the gc.json ledger behind the same
-    atomic pointer-swap discipline as commits. Returns a summary
-    {collected, kept, reclaimed_bytes}. Idempotent: versions already
-    in the ledger are skipped, so a crashed-and-rerun GC converges."""
+    atomic pointer-swap discipline as commits. TOMBSTONE-FIRST
+    (ADVICE r10): each version's ledger entry is atomically committed
+    BEFORE its directories are removed, so a crash mid-GC can never
+    leave a half-deleted version without a tombstone — the pinned-read
+    gate (read_bm25_index) stays loud across the crash, and the rerun
+    finishes the interrupted deletion instead of surfacing a raw
+    parquet path error. Returns a summary {collected, kept,
+    reclaimed_bytes}. Idempotent: fully collected versions are
+    skipped; tombstoned versions whose bytes survived a crash are
+    re-swept, so a crashed-and-rerun GC converges."""
     if keep_latest < 1:
         raise ValueError("keep_latest must be >= 1")
     with open(os.path.join(base_dir, "manifest.json")) as f:
@@ -896,25 +911,31 @@ def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
     collected: list[int] = []
     reclaimed = 0
     for v in versions:
-        if v in keep or str(v) in ledger:
+        if v in keep:
             continue
         with open(os.path.join(base_dir, f"manifest-{v:03d}.json")) as f:
             m = json.load(f)
-        freed = 0
-        for key in ("postings_dir", "terms_dir", "doclens_dir",
-                    "positions_dir"):
-            d = m.get(key)
-            if d and os.path.exists(d):
-                freed += _dir_bytes(d)
-                shutil.rmtree(d)
-        ledger[str(v)] = {"reclaimed_bytes": freed}
-        collected.append(v)
+        dirs = [
+            m[key]
+            for key in ("postings_dir", "terms_dir", "doclens_dir",
+                        "positions_dir")
+            if m.get(key)
+        ]
+        existing = [d for d in dirs if os.path.exists(d)]
+        if str(v) in ledger:
+            if not existing:
+                continue  # fully collected on a prior run
+            # tombstoned but bytes survived a crash: finish the sweep
+            freed = sum(_dir_bytes(d) for d in existing)
+        else:
+            freed = sum(_dir_bytes(d) for d in existing)
+            ledger[str(v)] = {"reclaimed_bytes": freed}
+            _write_gc_ledger(base_dir, ledger)  # tombstone BEFORE rmtree
+            collected.append(v)
+        for d in existing:
+            shutil.rmtree(d)
         reclaimed += freed
-    path = os.path.join(base_dir, GC_LEDGER)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(ledger, f)
-    os.replace(tmp, path)
+    _write_gc_ledger(base_dir, ledger)
     return {
         "collected": collected,
         "kept": sorted(keep & set(versions)),

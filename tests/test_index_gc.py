@@ -93,6 +93,47 @@ def test_gc_is_idempotent(spark, sf_dir):
     assert "1" in ledger and ledger["1"]["reclaimed_bytes"] > 0
 
 
+def test_gc_crash_between_tombstone_and_delete_stays_loud(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r10: the ledger entry must be committed BEFORE the
+    version's directories are removed. Simulate a crash exactly
+    between the two: the tombstone must already be on disk (so a
+    pinned read fails with the loud RuntimeError, not a raw parquet
+    path error), and a rerun must finish the interrupted deletion."""
+    import mapreduce_distributed_systems_spark.storage.lexical_index as li
+
+    base = _three_version_chain(spark, sf_dir)
+    v1_post_dir = json.load(open(os.path.join(base, "manifest-001.json")))[
+        "postings_dir"
+    ]
+
+    def crash_rmtree(path, *a, **k):
+        raise OSError("injected crash before any bytes are removed")
+
+    monkeypatch.setattr(li.shutil, "rmtree", crash_rmtree)
+    with pytest.raises(OSError, match="injected crash"):
+        gc_bm25_index(base, keep_latest=2)
+    monkeypatch.undo()
+
+    # tombstone landed first: the gate is loud even though the bytes
+    # are still on disk
+    ledger = json.load(open(os.path.join(base, "gc.json")))
+    assert "1" in ledger
+    assert os.path.exists(v1_post_dir)
+    with pytest.raises(RuntimeError, match="garbage-collected"):
+        read_bm25_index(spark, base, version=1)
+
+    # rerun converges: finishes the sweep without re-reporting v1
+    summary = gc_bm25_index(base, keep_latest=2)
+    assert summary["collected"] == []
+    assert summary["reclaimed_bytes"] > 0
+    assert not os.path.exists(v1_post_dir)
+    # and a further run is a true no-op
+    again = gc_bm25_index(base, keep_latest=2)
+    assert again["collected"] == [] and again["reclaimed_bytes"] == 0
+
+
 def test_gc_never_touches_the_live_version(spark, sf_dir):
     """Even keep_latest=1 must keep the version manifest.json points
     at — the live pointer is immune by construction, not by luck."""

@@ -159,6 +159,35 @@ def test_seeded_random_differential_vs_oracle(spark):
         assert joined == 10
 
 
+def test_zero_norm_vectors_are_singletons():
+    """ADVICE r10: an all-zero quantized vector has no cosine. numpy
+    yields NaN (NaN >= tau is False) while DuckDB's total order ranks
+    NaN above tau — both sides now EXCLUDE zero-norm rows from the dup
+    graph explicitly, so a zero vector is always its own singleton
+    cluster (and survives), even next to an identical zero vector."""
+    m = [[0, 0, 0], [0, 0, 0], [3, 4, 0]]
+    rep, keep = semdedup_frame([10, 20, 30], m, [1, 1, 1], tau=-0.5)
+    assert list(rep) == [10, 20, 30]  # nobody clusters with anybody
+    assert list(keep) == [True, True, True]
+
+
+def test_cell_above_cap_fails_loudly():
+    """ADVICE r10: a collapsed quantizer fit funnels thousands of rows
+    into one cell; the dense Gram would OOM an executor. The kernel
+    must refuse BEFORE allocating, naming the refit lever."""
+    import pytest
+
+    from mapreduce_distributed_systems_spark.operators.semdedup import (
+        SEMDEDUP_CELL_CAP,
+    )
+
+    n = SEMDEDUP_CELL_CAP + 1
+    ids = np.arange(n, dtype=np.int64)
+    m = np.ones((n, 2), dtype=np.int64)
+    with pytest.raises(RuntimeError, match="SEMDEDUP_CELL_CAP"):
+        semdedup_frame(ids, m, [1, 1])
+
+
 # ---- property-based invariants on the cell-local decision ----------------
 
 from hypothesis import given, settings
@@ -176,11 +205,12 @@ def _frames(draw):
         )
     )
     vals = st.integers(min_value=-127, max_value=127)
+    # zero vectors ARE generated: the kernel defines zero-norm rows as
+    # non-duplicates (singletons), matching the oracle's explicit
+    # norm>0 pair guard (ADVICE r10)
     m = draw(
         st.lists(
-            st.lists(vals, min_size=dim, max_size=dim).filter(
-                lambda v: any(x != 0 for x in v)  # zero vectors have no cosine
-            ),
+            st.lists(vals, min_size=dim, max_size=dim),
             min_size=n, max_size=n,
         )
     )
