@@ -192,44 +192,22 @@ GATE_ORDER = (
     "unpivot_status_priority",
 )
 
-# Round-11 rotation note: the r7-certified rows (44 names in
-# cert_state at r10 open: ann_ivf_kmeans, asof_purchase_view,
-# corpus_decontamination, curation_top_quality_per_source,
-# dedup_embedding_cosine{,_ivf}, dedup_method_agreement,
-# dedup_paragraph_rewrite, events_json_malformed_audit,
-# events_malformed_streaming, ...) will be 4 rounds old at r11 close
-# and MUST head the r11 window — compute the exact set from
-# plans/cert_state.json at round open (fold CORRECTNESS_r10.json
-# first), fill the remaining ~6 slots with never-certified/changed
-# queries, oldest r8 rows after that.
+# Round-12 rotation note (pre-computed at r11 with
+# tools/plan_window.py --preview, which simulates the committed r11
+# window certifying): the hard >3-stale floor binds NOTHING at r12
+# (r6 refreshed r10, r7 refreshed r11); the planning cohort is the 48
+# names whose newest row will be exactly 3 rounds old (the r8 cohort
+# of 49 minus ann_recall_at_k, retired by the r11 merge, plus
+# quality-family names refreshed since). Window = the 3 staged
+# never-certified registrations + 47 of the 48 planning names; ONE
+# planning name spills and HEADS the r13 window (hard floor).
+# Recompute the exact spill from cert_state at r12 open (fold
+# CORRECTNESS_r11.json first — round-open checklist step 1), then run
+# tools/plan_window.py and paste.
 #
-# Pre-staged candidates for those ~6 free slots (code + oracles +
-# dual-fixture parity tests already landed late in r10; registering
-# each is ONE @register line, consuming one never-certified slot):
-#   retrieval_phrase_match        storage/lexical_index.py (PHRASE_ORACLE)
-#   bm25_index_streaming_append   streaming/index_stream.py
-#                                 (STREAM_BM25_ORACLE; add the module
-#                                 to _OPERATOR_MODULES when registering)
-#   retrieval_quality_sampled     operators/retrieval.py
-#                                 (RETRIEVAL_QUALITY_SAMPLED_ORACLE)
-#   bm25_index_version_diff       storage/lexical_index.py
-#                                 (_index_diff_oracle() — index CDC
-#                                 incl. cap-eviction capture)
-# plus one changed-fingerprint candidate: cap ann_ivf_probe's query
-# block with ANN_QUERY_CAP (ROADMAP #26 — bounds its 100x candidate
-# volume; fn+oracle edit, so it must enter the window that round).
-# That is 5 of the ~6 free slots — hold further r11 fn/oracle edits
-# to <=1 unless something displaces one of these.
-#
-# Pre-staged candidates for ROUND-12 slots (code + oracles +
-# dual-fixture parity tests landed in the r10 continuation session).
-# r12 arithmetic, pre-computed: at the r12 session the hard >3-stale
-# floor binds NOTHING (r6 refreshed r10, r7 refreshes r11; the r8
-# cohort of 49 is exactly-3 = planning trigger), so the r12 window =
-# these 3 never-certified + 47 of the 49 r8-cohort names; the 2
-# spilled r8 names then HEAD the r13 window (hard floor) alongside
-# the r9 cohort's planning refresh — recompute the exact spill pair
-# from cert_state at r12 open:
+# Pre-staged candidates for the 3 r12 never-certified slots (code +
+# DuckDB oracle + dual-fixture parity tests + cold decade probes all
+# landed r10/r11; registering each is ONE @register line):
 #   doc_dup_ngram_mass         operators/dup_spans.py
 #                              (DUP_NGRAM_MASS_ORACLE — Lee-et-al
 #                              substring-dup mass, skew-free
@@ -237,48 +215,38 @@ GATE_ORDER = (
 #   dedup_semantic_semdedup    operators/semdedup.py
 #                              (SEMDEDUP_ORACLE — cell-local
 #                              components + lowest-centroid-dot
-#                              survivor over the shared int8 fit)
+#                              survivor over the shared int8 fit;
+#                              r11 hardening: SEMDEDUP_CELL_CAP loud
+#                              guard + zero-norm exclusion on BOTH
+#                              sides)
 #   doc_bm25_serve_post_gc     storage/lexical_index.py
 #                              (oracle = BM25_ORACLE — retention GC
-#                              certified content-invisible)
-# And one ROUND-13 candidate (same staging discipline, landed the
-# same session):
+#                              certified content-invisible; r11
+#                              hardening: tombstone-first crash-safe
+#                              ledger)
+# And one ROUND-13 candidate (same staging discipline):
 #   dedup_span_rewrite         operators/dup_spans.py
 #                              (SPAN_REWRITE_ORACLE — Lee-et-al span
 #                              dedup, global-first-occurrence
 #                              survivors, sid-join-free)
-# Registering it at r13 pairs naturally with one of the merge
-# candidates below (ceiling note).
+# r13 arithmetic: 1 spilled r8 name + dedup_span_rewrite + the r9
+# planning cohort (~46 names at r11 close: 48 r9 rows minus the two
+# refreshed since) — tight but feasible; if the planner reports a
+# squeeze, execute the remaining documented merge below.
 #
-# HARD ARITHMETIC WARNING for r11 (identical shape to r9 and r10,
-# both of which consumed their entire 5-slot budgets): ~44 must-gate
-# names leave only ~6 window slots for (never-certified +
-# changed-fingerprint) queries. Either (a) hold new registrations and
-# fn/oracle edits to <=6 combined, or (b) edit only queries already
-# inside the must-gate head (their slots double up), or (c) do the
-# code work EARLY and let test_changed_queries_queued_in_window
-# arbitrate. Budget slots before writing code. The treadmill eases at
-# r12: the r8 cohort (49 rows at r10 open) shrinks by everything
-# re-certified in r10/r11 — recompute from cert_state at r12 open.
-#
-# REGISTRY-SIZE CEILING (steady-state arithmetic, recorded r10
-# continuation session so no future round re-derives it the hard
-# way): the driver window refreshes 50 rows/round and the enforced
-# staleness floor (tests/test_registry_gate.py
+# REGISTRY-SIZE CEILING (steady-state arithmetic): the driver window
+# refreshes 50 rows/round and the enforced staleness floor
+# (tests/test_registry_gate.py
 # test_stale_certifications_queued_in_window) allows a row to age at
 # most 4 rounds, so the registry can sustain AT MOST 50 x 4 = 200
-# registered queries. Current trajectory: 191 + 4 (r11 staged) + 3
-# (r12 staged) = 198 — effectively AT the ceiling. From r12 onward,
-# registering a new query requires retiring/merging another (or a
-# deliberate, documented policy change to the floor). Prefer
-# deepening existing certified families over net-new registrations.
-# Merge candidates if a slot must be freed (each pair certifies the
-# same machinery twice): ann_recall_at_k into ann_recall_curve (the
-# curve is the at-k measurement swept over n_probe; parameterize the
-# curve to include the deployed operating point), and
-# retrieval_rrf_fusion into retrieval_rrf_fusion_ivf (the brute-leg
-# fusion is the ivf-leg query's calibration baseline — one query can
-# emit both legs' fused lists keyed by a dense_leg column).
+# registered queries. Trajectory after the r11 merge retired
+# ann_recall_at_k: 194 now + 3 (r12 staged) = 197, + 1 (r13
+# span-rewrite) = 198. Remaining documented merge if another slot
+# must be freed: retrieval_rrf_fusion into retrieval_rrf_fusion_ivf
+# (the brute-leg fusion is the ivf-leg query's calibration baseline —
+# one query can emit both legs' fused lists keyed by a dense_leg
+# column). Prefer deepening existing certified families over net-new
+# registrations.
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see
