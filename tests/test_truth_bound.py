@@ -152,6 +152,33 @@ def test_bound_actually_engages_on_adversarial_corpus(spark, adversarial_dir):
     assert per_q.where(F.col("count") >= QUERY_TERMS).count() == 0
 
 
+def test_bounded_truth_equals_unpruned_on_seeded_random_corpora(spark):
+    """Seeded random-text differential (the repo's third-engine
+    discipline): corpora drawn from zipf-ish synthetic vocabularies of
+    varying size and doc length — including shapes where theta prunes
+    hard AND shapes where it cannot — must all produce identical
+    top-k from the bounded and unpruned plans."""
+    import random
+
+    for seed, vocab_n, n_docs in [(7, 30, 120), (11, 200, 150), (13, 9, 80)]:
+        rng = random.Random(seed)
+        vocab = [f"w{seed}x{i}" for i in range(vocab_n)]
+        out = tempfile.mkdtemp(prefix=f"bm25_rand{seed}_")
+        rows = []
+        for d in range(n_docs):
+            n_toks = rng.randint(3, 40)
+            # zipf-flavored pick: low ids much more likely
+            toks = [
+                vocab[min(int(rng.expovariate(1 / (vocab_n / 6))), vocab_n - 1)]
+                for _ in range(n_toks)
+            ]
+            rows.append((d, " ".join(toks)))
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            2
+        ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        _assert_truth_equal(spark, out, "doc_id % 7 = 0", 12)
+
+
 def test_bounded_truth_degrades_safely_below_k_candidates(spark):
     """A corpus where every query has FEWER than k=10 scoring docs:
     theta never exists, every term stays essential, and the bounded
