@@ -82,6 +82,16 @@ def main() -> None:
     io: dict[str, dict[str, int]] = {}
     # floor at 3 warm runs so the median is a real central tendency
     n_passes = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    # Load telemetry (VERDICT r11 item 1): the protocol is
+    # load-sensitive — a leg run while another suite settles measures
+    # 1.3-1.4x slow UNIFORMLY — so the artifact carries the evidence a
+    # reader needs to adjudicate noise vs regression without prose:
+    # loadavg at the run's ends, per-query 1-min loadavg at its cold
+    # start, and the wall-vs-reported factor (whole-run wall over
+    # sum-of-medians; ~4x on a quiet box because each query pays one
+    # untimed cold + n_passes timed passes plus session setup).
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    bench_t0 = time.perf_counter()
     spark = None
     for name in names:
         # one fresh session per query: no session-age drift, no slot
@@ -99,6 +109,7 @@ def main() -> None:
         # the wall must include, or moving work into fn() would game
         # the bench
         i0, r0, w0 = executor_totals(spark)
+        q_load = os.getloadavg()[0]
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -109,6 +120,7 @@ def main() -> None:
             "input_bytes": i1 - i0,
             "shuffle_read_bytes": r1 - r0,
             "shuffle_write_bytes": w1 - w0,
+            "loadavg_1m": round(q_load, 2),
         }
         spark.catalog.clearCache()
         for _ in range(n_passes):
@@ -122,12 +134,20 @@ def main() -> None:
 
     timings = {n: round(statistics.median(passes[n]), 4) for n in names}
     total = round(sum(timings.values()), 4)
+    bench_wall = round(time.perf_counter() - bench_t0, 4)
+    load = {
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "wall_sec": bench_wall,
+        "wall_vs_reported": round(bench_wall / total, 3) if total else None,
+    }
     # io bytes: sidecar file + an early line (NOT part of the final line
     # — the driver's stdout tail must always end with the compact JSON)
     io_doc = {
         "metric": "headline_queries_io_bytes",
         "io": io,
         "sf": sf,
+        "load": load,
         # raw per-pass walls behind the medians, for drift forensics
         "passes": passes,
     }
@@ -148,6 +168,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load": load,
             }
         )
     )

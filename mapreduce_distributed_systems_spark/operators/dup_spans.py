@@ -5,10 +5,10 @@ Makes Language Models Better", arXiv:2107.06499: substrings occurring
 measures how much of each source's token stream that is, per source
 and at the worst single document).
 
-STAGED for a round-12 registration slot (plans/registry.py rotation
-note): the r10 gate window is exactly full and the ~6 r11 slots are
-claimed, so this ships code + oracle + dual-fixture parity tests
-WITHOUT an @register line. Registration later is one decorator.
+Staged r10/r11 (code + oracle + dual-fixture parity tests, no
+@register while the gate windows were full); doc_dup_ngram_mass is
+REGISTERED round 12 per the plans/registry.py rotation note.
+dedup_span_rewrite remains staged for its r13 slot.
 
 Reference parity: tokenization is the reference-exact `[^\\p{L}]+`
 letter-run tokenizer (mrapps/wc.go:24-27 semantics via
@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
 
 # Span width in tokens. Lee et al. dedup 50-token substrings; 8 keeps
@@ -166,8 +167,19 @@ def dup_ngram_mass(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "doc_dup_ngram_mass",
+    oracle=DUP_NGRAM_MASS_ORACLE,
+    tags=("dedup", "text"),
+    bench=True,
+    doc="Lee-et-al (arXiv:2107.06499) duplicated k-gram mass per source "
+    "+ worst-document fraction. Singleton-complement plan: "
+    "dup = total - singletons, so hot boilerplate n-grams only ever "
+    "hit a map-side-combined (count, min) aggregate on 8-byte sids — "
+    "no sid-keyed join, no string shuffle, skew-free by construction.",
+)
 def doc_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged r12 query (oracle: DUP_NGRAM_MASS_ORACLE): per-source
+    """Registered r12 (oracle: DUP_NGRAM_MASS_ORACLE): per-source
     duplicated k-gram mass + worst-document fraction on the documents
     table."""
     return dup_ngram_mass(load_table(spark, sf_dir, "documents"))

@@ -395,7 +395,7 @@ def _bm25_truth_topk(
     bounding (ROADMAP #31; Turtle & Flood 1995 / Broder et al. 2003 —
     public IR literature): identical output to
     `_bm25_ranked(cap=None).where(rank <= BM25_TOP_K)` (differential-
-    pinned in tests/test_retrieval_sampled.py), but the corpus-sized
+    pinned in tests/test_truth_bound.py), but the corpus-sized
     candidate stream never reaches the heavy (query, doc) aggregate
     for docs that provably cannot enter the top-k.
 
@@ -578,26 +578,21 @@ FROM rrf_ranked WHERE rank <= {RRF_TOP_K}
 """
 
 
-@register(
-    "retrieval_rrf_fusion",
-    oracle=RRF_ORACLE,
-    tags=("retrieval", "similarity", "ann", "hybrid"),
-    bench=True,
-    doc="Hybrid retrieval: reciprocal-rank fusion (Cormack et al. "
-    "2009) of the dense cosine top-10 (ann_cosine_topk, vec_id "
-    "queries) and the lexical BM25 top-10 (doc_bm25_topk, doc_id "
-    "queries) — each doc's fused score is the sum over systems of "
-    "round(1e9/(60+rank)) as integers, so the certification is "
-    "hash-exact with no float discipline needed. The fusion joins two "
-    "ALREADY-ranked top-k lists (<= 2k rows per query), so every "
-    "stage past the two rankers is bounded by construction; queries "
-    "ranked by only one system fuse from that list alone (documents "
-    "and embeddings strides diverge above sf0.01).",
-)
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure composition: both legs are the registered rankers'
-    callables, so their certified plans (bounded query blocks,
-    per-partition pruned kernels) are reused verbatim."""
+    """Brute-dense RRF hybrid — reciprocal-rank fusion (Cormack et al.
+    2009) of the dense cosine top-10 (ann_cosine_topk) and the lexical
+    BM25 top-10 (doc_bm25_topk); integer contributions
+    round(1e9/(60+rank)) so certification needs no float discipline.
+
+    Certified r9 as a registered query; MERGED round 12 into the
+    dense_leg-keyed `retrieval_rrf_fusion_ivf` (the registry-ceiling
+    rotation's second documented merge, plans/registry.py) — the
+    brute leg is that query's calibration baseline. The callable
+    stays: retrieval_quality_bm25_rrf composes it and
+    tests/test_retrieval.py pins its semantics; the merged query's
+    oracle embeds RRF_ORACLE verbatim and both now fuse through the
+    same _rrf_fuse helper, so the external hash cert covers this
+    shape through the merged query's 'brute' leg."""
     contrib = F.round(F.lit(RRF_SCALE) / (F.lit(RRF_K) + F.col("rank"))).cast(
         "long"
     )
@@ -609,42 +604,15 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         contrib.alias("c_dense"),
     )
-    fused = (
-        lex.withColumnRenamed("query_id", "lq")
-        .withColumnRenamed("doc_id", "ld")
-        .join(
-            dense.withColumnRenamed("query_id", "dq").withColumnRenamed(
-                "doc_id", "dd"
-            ),
-            (F.col("lq") == F.col("dq")) & (F.col("ld") == F.col("dd")),
-            "full_outer",
-        )
-        .select(
-            F.coalesce("lq", "dq").alias("query_id"),
-            F.coalesce("ld", "dd").alias("doc_id"),
-            (
-                F.coalesce("c_lex", F.lit(0)) + F.coalesce("c_dense", F.lit(0))
-            ).alias("rrf_score"),
-            (
-                F.when(F.col("ld").isNull(), 0).otherwise(1)
-                + F.when(F.col("dd").isNull(), 0).otherwise(1)
-            ).cast("long").alias("n_systems"),
-        )
-    )
-    wr = W.partitionBy("query_id").orderBy(
-        F.desc("rrf_score"), F.asc("doc_id")
-    )
-    return fused.withColumn(
-        "rank", F.row_number().over(wr).cast("long")
-    ).where(F.col("rank") <= RRF_TOP_K)
+    return _rrf_fuse(lex, dense)
 
 
 def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
     """Integer-exact RRF of two (query_id, doc_id, c_*) contribution
     tables: full outer on (query, doc), summed contributions, top-k by
-    (score desc, doc). Byte-identical logic to retrieval_rrf_fusion's
-    inline body — kept inline THERE to preserve its r9-certified
-    fingerprint; new fusion variants compose through this helper."""
+    (score desc, doc). Was kept inline in retrieval_rrf_fusion while
+    its r9-certified fingerprint had to hold; since the r12 merge all
+    fusion variants compose through this helper."""
     fused = (
         lex.withColumnRenamed("query_id", "lq")
         .withColumnRenamed("doc_id", "ld")
@@ -678,12 +646,17 @@ def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # Production hybrid (round 10, VERDICT r9 next #6): RRF with the IVF
 # ranker as the dense leg — the plan a 100 TB deployment serves (the
-# brute-cosine leg in retrieval_rrf_fusion is the audit/baseline
-# shape). Same integer-exact fusion machinery; since the lists it
-# fuses differ from the brute hybrid's exactly where IVF recall
-# drops, the certified pair (retrieval_rrf_fusion vs _ivf) doubles as
-# a hybrid-recall measurement — retrieval_quality_bm25_rrf puts a
-# number on it.
+# brute-cosine leg is the audit/baseline shape). Same integer-exact
+# fusion machinery; since the lists it fuses differ from the brute
+# hybrid's exactly where IVF recall drops, the certified brute/ivf
+# pair doubles as a hybrid-recall measurement —
+# retrieval_quality_bm25_rrf puts a number on it.
+#
+# Round 12: the two hybrids MERGED into one registered query keyed by
+# a dense_leg column ('brute' | 'ivf') — the second documented
+# registry-ceiling merge (plans/registry.py). One query now certifies
+# both fusion shapes AND computes the shared lexical leg once instead
+# of twice.
 # --------------------------------------------------------------------------
 
 RRF_IVF_ORACLE = f"""
@@ -718,37 +691,61 @@ SELECT query_id, doc_id, rrf_score, n_systems, rank
 FROM rrf_ranked WHERE rank <= {RRF_TOP_K}
 """
 
+# Both hybrids under one dense_leg key. DuckDB evaluates each full
+# WITH-chain inside its own derived table, keeping the two certified
+# oracle texts verbatim (RRF_ORACLE / RRF_IVF_ORACLE) — the merge
+# changes packaging, not semantics.
+RRF_DUAL_ORACLE = f"""
+SELECT 'brute' AS dense_leg, * FROM ({RRF_ORACLE}) brute_leg
+UNION ALL
+SELECT 'ivf' AS dense_leg, * FROM ({RRF_IVF_ORACLE}) ivf_leg
+"""
+
 
 @register(
     "retrieval_rrf_fusion_ivf",
-    oracle=RRF_IVF_ORACLE,
+    oracle=RRF_DUAL_ORACLE,
     tags=("retrieval", "similarity", "ann", "hybrid", "ivf"),
     bench=True,
-    doc="PRODUCTION hybrid retrieval: reciprocal-rank fusion of the "
-    "lexical BM25 top-10 with the IVF-SQ8 approximate dense top-10 "
-    "(ann_ivf_kmeans — learned integer-exact quantizer, n_probe cell "
-    "scan) instead of the brute cosine leg. This is the plan a 100 TB "
-    "deployment actually serves: both legs are index-backed and "
-    "corpus-sublinear per query. Fusion itself is unchanged "
-    "(integer contributions round(1e9/(60+rank)), <= 2k rows per "
-    "query); the DuckDB oracle replays the full IVF fit + probe + "
-    "fusion bit-for-bit.",
+    doc="PRODUCTION hybrid retrieval + its calibration baseline in one "
+    "certified query, keyed by dense_leg: reciprocal-rank fusion of "
+    "the lexical BM25 top-10 with ('ivf') the IVF-SQ8 approximate "
+    "dense top-10 — learned integer-exact quantizer, n_probe cell "
+    "scan, the plan a 100 TB deployment serves (both legs "
+    "index-backed, corpus-sublinear per query) — and ('brute') the "
+    "exact-cosine dense top-10, the audit shape whose divergence from "
+    "the ivf leg IS the hybrid recall loss. Fusion is integer "
+    "contributions round(1e9/(60+rank)) over <= 2k rows per query; "
+    "the shared lexical ranking is computed once and cached. Merged "
+    "r12 from the separate retrieval_rrf_fusion (r9-certified) per "
+    "the registry-ceiling rotation; both oracle texts are embedded "
+    "verbatim.",
 )
 def retrieval_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same composition discipline as retrieval_rrf_fusion: both legs
-    are the registered rankers' callables, fused by _rrf_fuse."""
+    """Same composition discipline as retrieval_rrf_fusion: every leg
+    is a registered ranker's callable, fused by _rrf_fuse. The
+    lexical leg feeds both fusions, so it is cached (bounded:
+    <= queries x BM25_TOP_K rows); the bench/driver session evicts
+    caches at query boundaries."""
     contrib = F.round(F.lit(RRF_SCALE) / (F.lit(RRF_K) + F.col("rank"))).cast(
         "long"
     )
     lex = doc_bm25_topk(spark, sf_dir).select(
         "query_id", "doc_id", contrib.alias("c_lex")
-    )
-    dense = ann_ivf_kmeans(spark, sf_dir).select(
+    ).cache()
+    brute = ann_cosine_topk(spark, sf_dir).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         contrib.alias("c_dense"),
     )
-    return _rrf_fuse(lex, dense)
+    ivf = ann_ivf_kmeans(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        contrib.alias("c_dense"),
+    )
+    return _rrf_fuse(lex, brute).withColumn(
+        "dense_leg", F.lit("brute")
+    ).unionByName(_rrf_fuse(lex, ivf).withColumn("dense_leg", F.lit("ivf")))
 
 
 # --------------------------------------------------------------------------

@@ -5,9 +5,9 @@ keep exactly one document per group — the paper's keep-rule retains
 the example with the LOWEST similarity to its cell centroid (keeping
 "outliers" preserves diversity; §3.1 of the paper).
 
-STAGED for a round-12 registration slot (plans/registry.py rotation
-note): the r10 window is full and the r11 slots are claimed, so this
-ships code + oracle + dual-fixture parity tests WITHOUT @register.
+Staged r10/r11 (code + oracle + dual-fixture parity tests, no
+@register while the gate windows were full); REGISTERED round 12 per
+the plans/registry.py rotation note.
 
 Relationship to the existing dedup stack: dedup_embedding_cosine_ivf
 emits the near-dup PAIRS inside learned cells; dedup_cluster_* turns
@@ -45,6 +45,7 @@ from mapreduce_distributed_systems_spark.operators.similarity import (
     _kmeans_cells_sql,
     ivf_k_for,
 )
+from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
 
 # Same bar as dedup_embedding_cosine_ivf's label-blocked twin: the
@@ -177,8 +178,20 @@ def semdedup_frame(ids, m, cent, tau: float = SEMDEDUP_TAU):
     return rep, keep
 
 
+@register(
+    "dedup_semantic_semdedup",
+    oracle=SEMDEDUP_ORACLE,
+    tags=("dedup", "embedding"),
+    bench=True,
+    doc="SemDeDup (arXiv:2303.09540) end-to-end keep decision: int8 "
+    "k-means cells, cell-LOCAL union-find inside the scoring Arrow "
+    "batch (no global pointer-jumping phase), lowest-centroid-dot "
+    "survivor. Pair work bounded by ivf_k_for's ~constant cell size; "
+    "SEMDEDUP_CELL_CAP turns a silent O(cell^2) blowup into a loud "
+    "refit error.",
+)
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged r12 query (oracle: SEMDEDUP_ORACLE): one row per vector
+    """Registered r12 (oracle: SEMDEDUP_ORACLE): one row per vector
     with its cell, its within-cell near-dup cluster representative
     (min vec_id), and the SemDeDup keep decision (lowest centroid
     similarity survives; exact int64 dot, tie -> min vec_id)."""

@@ -1033,7 +1033,9 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline stage (the number a production index rollout gates on).
 # --------------------------------------------------------------------------
 
-RECALL_CURVE_PROBES = (1, 2, N_PROBE, 4)
+# sorted-set so a retune of N_PROBE into {1, 2, 4} cannot produce
+# duplicate (n_probe, recall) rows in the query or its oracle
+RECALL_CURVE_PROBES = tuple(sorted({1, 2, N_PROBE, 4}))
 
 
 def _recall_curve_oracle() -> str:

@@ -732,75 +732,197 @@ agg AS (
          CAST(count(*) AS BIGINT) AS n_postings,
          CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         CAST(sum(tf) AS BIGINT) AS sum_tf
+         CAST(sum(tf) AS BIGINT) AS sum_tf,
+         CAST(0 AS BIGINT) AS pos_mass
   FROM diff GROUP BY 1
 ),
-names AS (SELECT unnest(['added', 'removed']) AS change)
+{{pos_ctes}}
+names AS (SELECT unnest(
+  ['added', 'removed', 'pos_added', 'pos_removed']) AS change),
+allagg AS (SELECT * FROM agg{{pos_union}})
 SELECT n.change,
        CAST(coalesce(a.n_postings, 0) AS BIGINT) AS n_postings,
        CAST(coalesce(a.n_terms, 0) AS BIGINT) AS n_terms,
        CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
-       CAST(coalesce(a.sum_tf, 0) AS BIGINT) AS sum_tf
-FROM names n LEFT JOIN agg a USING (change)
+       CAST(coalesce(a.sum_tf, 0) AS BIGINT) AS sum_tf,
+       CAST(coalesce(a.pos_mass, 0) AS BIGINT) AS pos_mass
+FROM names n LEFT JOIN allagg a USING (change)
+"""
+
+# The positional relation is pruned with the SAME (tf DESC, doc_id)
+# order and cap as the scoring relation over the same tf table, so on
+# an index built with phrase support its (term, doc_id) churn MUST
+# mirror the scoring churn exactly — the oracle derives it from first
+# principles (token offsets via generate_subscripts), the Spark side
+# reads the two stored positional artifacts, and any maintenance bug
+# that desynchronizes the components (append dropping positions, a
+# divergent prune order, corrupted offset arrays via pos_mass) breaks
+# the hash. Versions built without the component diff as empty.
+_POS_DIFF_CTES = f"""tokpos AS (
+  SELECT d.doc_id, t.term, t.pos
+  FROM (SELECT doc_id, {{toks}} AS toks FROM documents) d,
+       LATERAL (SELECT unnest(d.toks) AS term,
+                       generate_subscripts(d.toks, 1) - 1 AS pos) t
+),
+ptf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(sum(pos) AS BIGINT) AS pos_mass
+  FROM tokpos GROUP BY 1, 2
+),
+ppost1 AS (
+  SELECT term, doc_id, tf, pos_mass FROM (
+    SELECT term, doc_id, tf, pos_mass,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id) AS prn
+    FROM ptf WHERE {INDEX_DIFF_BASE}
+  ) WHERE prn <= {{cap}}
+),
+ppost2 AS (
+  SELECT term, doc_id, tf, pos_mass FROM (
+    SELECT term, doc_id, tf, pos_mass,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id) AS prn
+    FROM ptf
+  ) WHERE prn <= {{cap}}
+),
+pdiff AS (
+  SELECT coalesce(a.term, b.term) AS term,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.tf, b.tf) AS tf,
+         coalesce(a.pos_mass, b.pos_mass) AS pos_mass,
+         CASE WHEN b.term IS NULL THEN 'pos_removed'
+              ELSE 'pos_added' END AS change
+  FROM ppost1 a FULL OUTER JOIN ppost2 b
+    ON a.term = b.term AND a.doc_id = b.doc_id
+  WHERE a.term IS NULL OR b.term IS NULL
+),
+pagg AS (
+  SELECT change,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS sum_tf,
+         CAST(sum(pos_mass) AS BIGINT) AS pos_mass
+  FROM pdiff GROUP BY 1
+),
 """
 
 
-def _index_diff_oracle(cap: int = POSTING_CAP) -> str:
+def _index_diff_oracle(
+    cap: int = POSTING_CAP, with_positions: bool = True
+) -> str:
     """Render the CDC oracle for a cap (tests use tiny caps to bind
-    eviction on planted corpora; the staged registration uses the
-    production POSTING_CAP)."""
+    eviction on planted corpora; the registration uses the production
+    POSTING_CAP). `with_positions=False` models versions committed
+    without the positional component: the pos_* rows zero-fill."""
     from mapreduce_distributed_systems_spark.operators.retrieval import (
         _TOKS_DUCK,
     )
 
-    return BM25_INDEX_DIFF_TEMPLATE.format(toks=_TOKS_DUCK, cap=cap)
+    pos_ctes = (
+        _POS_DIFF_CTES.format(toks=_TOKS_DUCK, cap=cap)
+        if with_positions
+        else ""
+    )
+    pos_union = " UNION ALL SELECT * FROM pagg" if with_positions else ""
+    return BM25_INDEX_DIFF_TEMPLATE.format(
+        toks=_TOKS_DUCK, cap=cap, pos_ctes=pos_ctes, pos_union=pos_union
+    )
+
+
+_POS_MASS = (
+    "aggregate(positions, cast(0 as bigint), (acc, x) -> acc + x)"
+)
+
+
+def _presence_diff(
+    a: DataFrame, b: DataFrame, removed: str, added: str
+) -> DataFrame:
+    """Rows of (term, doc_id, tf, pos_mass) present in exactly one of
+    two index relations, labeled with the given change types — the
+    report-sized full-outer anti-match both CDC components share."""
+    cols = ["term", "doc_id", "tf", "pos_mass"]
+    bb = b.select(*[F.col(c).alias(f"{c}_b") for c in cols])
+    j = a.select(*cols).join(
+        bb,
+        (F.col("term") == F.col("term_b"))
+        & (F.col("doc_id") == F.col("doc_id_b")),
+        "full_outer",
+    ).where(F.col("term").isNull() | F.col("term_b").isNull())
+    return j.select(
+        F.coalesce("term", "term_b").alias("term"),
+        F.coalesce("doc_id", "doc_id_b").alias("doc_id"),
+        F.coalesce("tf", "tf_b").alias("tf"),
+        F.coalesce("pos_mass", "pos_mass_b").alias("pos_mass"),
+        F.when(F.col("term_b").isNull(), removed)
+        .otherwise(added)
+        .alias("change"),
+    )
+
+
+def _positions_or_empty(spark: SparkSession, manifest: dict) -> DataFrame:
+    """The positional component a manifest points at, or the empty
+    relation for versions committed without phrase support — so the
+    CDC treats 'component added/dropped across versions' as ordinary
+    (total) churn instead of a special case."""
+    if "positions_dir" in manifest:
+        return read_positional_postings(spark, manifest)
+    return spark.createDataFrame(
+        [], "term string, doc_id bigint, tf bigint, positions array<int>"
+    )
 
 
 def index_version_diff(
     spark: SparkSession, base_dir: str, v_old: int, v_new: int
 ) -> DataFrame:
     """CDC between two committed index versions, straight off the
-    stored artifacts: postings present in exactly one version,
-    aggregated per change type. Index-sized (never corpus-text-sized)
-    work: one full-outer join of two pruned posting tables on
-    (term, doc_id), then a map-side-combined aggregate — the offline
-    audit a production rollout diffs two builds with."""
-    old, _, _, _ = read_bm25_index(spark, base_dir, version=v_old)
-    new, _, _, _ = read_bm25_index(spark, base_dir, version=v_new)
-    a = old.select("term", "doc_id", "tf")
-    b = new.select(
-        F.col("term").alias("term_b"),
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("tf").alias("tf_b"),
+    stored artifacts: rows present in exactly one version, aggregated
+    per change type — 'added'/'removed' for the scoring postings,
+    'pos_added'/'pos_removed' for the positional component phrase
+    queries serve from (r12 extension: a consumer of the phrase path
+    needs its change feed too). pos_mass sums the changed rows'
+    token offsets, so corrupted position arrays break the hash even
+    when row membership is right. Index-sized (never
+    corpus-text-sized) work: two full-outer joins of pruned index
+    relations on (term, doc_id), then a map-side-combined aggregate —
+    the offline audit a production rollout diffs two builds with."""
+    old, _, _, m_old = read_bm25_index(spark, base_dir, version=v_old)
+    new, _, _, m_new = read_bm25_index(spark, base_dir, version=v_new)
+    zero = F.lit(0).cast("long")
+    score_diff = _presence_diff(
+        old.withColumn("pos_mass", zero),
+        new.withColumn("pos_mass", zero),
+        "removed",
+        "added",
     )
-    j = a.join(
-        b,
-        (F.col("term") == F.col("term_b"))
-        & (F.col("doc_id") == F.col("doc_id_b")),
-        "full_outer",
-    ).where(F.col("term").isNull() | F.col("term_b").isNull())
-    diff = j.select(
-        F.coalesce("term", "term_b").alias("term"),
-        F.coalesce("doc_id", "doc_id_b").alias("doc_id"),
-        F.coalesce("tf", "tf_b").alias("tf"),
-        F.when(F.col("term_b").isNull(), "removed")
-        .otherwise("added")
-        .alias("change"),
+    pos_diff = _presence_diff(
+        _positions_or_empty(spark, m_old).withColumn(
+            "pos_mass", F.expr(_POS_MASS)
+        ),
+        _positions_or_empty(spark, m_new).withColumn(
+            "pos_mass", F.expr(_POS_MASS)
+        ),
+        "pos_removed",
+        "pos_added",
     )
-    agg = diff.groupBy("change").agg(
+    agg = score_diff.unionByName(pos_diff).groupBy("change").agg(
         F.count("*").cast("long").alias("n_postings"),
         F.countDistinct("term").cast("long").alias("n_terms"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.sum("tf").cast("long").alias("sum_tf"),
+        F.sum("pos_mass").cast("long").alias("pos_mass"),
     )
-    names = spark.createDataFrame([("added",), ("removed",)], "change string")
-    zero = F.lit(0).cast("long")
+    names = spark.createDataFrame(
+        [("added",), ("removed",), ("pos_added",), ("pos_removed",)],
+        "change string",
+    )
     return names.join(agg, "change", "left").select(
         "change",
         F.coalesce("n_postings", zero).alias("n_postings"),
         F.coalesce("n_terms", zero).alias("n_terms"),
         F.coalesce("n_docs", zero).alias("n_docs"),
         F.coalesce("sum_tf", zero).alias("sum_tf"),
+        F.coalesce("pos_mass", zero).alias("pos_mass"),
     )
 
 
@@ -812,25 +934,33 @@ def index_version_diff(
     "versions (postings/terms/docs/tf mass added and removed), "
     "computed by full-outer anti-matching the two versions' posting "
     "relations — including base postings the merged re-prune EVICTED "
-    "(capture pinned by a planted cap=2 test). This is the change "
-    "feed an incremental downstream (cache invalidation, replica "
-    "shipping) consumes instead of re-reading the whole artifact.",
+    "(capture pinned by a planted cap=2 test). r12: the positional "
+    "component phrase queries serve from gets its own change rows "
+    "(pos_added/pos_removed + a token-offset mass), certifying off "
+    "the stored artifacts that append maintains phrase support in "
+    "lockstep with the scoring postings. This is the change feed an "
+    "incremental downstream (cache invalidation, replica shipping) "
+    "consumes instead of re-reading the whole artifact.",
 )
 def bm25_index_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the base index from the even doc_id half, append the odd
-    half (version 2), diff the two committed versions. Registered r11
-    (oracle: _index_diff_oracle()). The 'added' mass is
-    the appended batch's surviving postings; 'removed' is the base
-    postings the merged re-prune evicted — zero until the cap binds
-    (sf0.1 up at the production cap), certified either way by the
-    names-row zero-fill."""
+    """Build the base index from the even doc_id half WITH the
+    positional component, append the odd half (version 2), diff the
+    two committed versions. Registered r11; extended r12 with the
+    positional change rows (oracle: _index_diff_oracle()). The
+    'added' mass is the appended batch's surviving postings;
+    'removed' is the base postings the merged re-prune evicted —
+    zero until the cap binds (sf0.1 up at the production cap),
+    certified either way by the names-row zero-fill. The pos_* rows
+    must mirror the scoring rows' membership exactly (same tf, same
+    prune) — the oracle recomputes them independently from token
+    offsets, so a desynchronized append breaks the hash."""
     base_dir = _scratch_dir("bm25_diff_idx_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     split_dir = tempfile.mkdtemp(prefix="bm25_diff_split_")
     docs.where(F.expr(INDEX_DIFF_BASE)).write.mode("overwrite").parquet(
         f"{split_dir}/documents.parquet"
     )
-    build_and_commit_bm25(spark, split_dir, base_dir)
+    build_and_commit_bm25(spark, split_dir, base_dir, with_positions=True)
     append_bm25_index(
         spark, docs.where(~F.expr(INDEX_DIFF_BASE)), base_dir
     )
@@ -923,7 +1053,7 @@ def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
         ]
         existing = [d for d in dirs if os.path.exists(d)]
         if str(v) in ledger:
-            if not existing:
+            if ledger[str(v)].get("swept") or not existing:
                 continue  # fully collected on a prior run
             # tombstoned but bytes survived a crash: finish the sweep
             freed = sum(_dir_bytes(d) for d in existing)
@@ -934,6 +1064,12 @@ def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
             collected.append(v)
         for d in existing:
             shutil.rmtree(d)
+        # deletion completed: mark the tombstone swept so the ledger
+        # distinguishes "deletion in flight (crash possible, bytes may
+        # be partial)" from "bytes verifiably gone" (ADVICE r11 — the
+        # pre-deletion estimate stands as the cumulative total, which
+        # a finished sweep makes exact)
+        ledger[str(v)]["swept"] = True
         reclaimed += freed
     _write_gc_ledger(base_dir, ledger)
     return {
@@ -943,8 +1079,18 @@ def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
     }
 
 
+@register(
+    "doc_bm25_serve_post_gc",
+    oracle=BM25_ORACLE,  # GC, like persistence, must be content-invisible
+    tags=("retrieval", "storage"),
+    doc="Retention GC certified end to end: build, commit two "
+    "scheduled-rebuild versions, collect everything but the head "
+    "(tombstone-first crash-safe ledger), then serve from what "
+    "remains — a post-GC index must return byte-identical BM25 "
+    "rankings or the driver hash catches it.",
+)
 def doc_bm25_serve_post_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged r12 query (oracle: BM25_ORACLE, identical to
+    """Registered r12 (oracle: BM25_ORACLE, identical to
     doc_bm25_serve — GC, like persistence itself, must be invisible
     to content): build the index, commit two scheduled-rebuild
     versions on top (read stored tables, write as version+1 — the

@@ -72,3 +72,15 @@ def test_bench_emits_parseable_final_line():
     for name, walls in io["passes"].items():
         assert len(walls) >= 3, f"{name}: {len(walls)} passes"
         assert final["queries"][name] == round(statistics.median(walls), 4)
+    # load telemetry (VERDICT r11 item 1): the artifact itself must
+    # carry what noise adjudication needs — loadavg at both ends, the
+    # whole-run wall, and the wall-vs-reported factor — in BOTH the
+    # final driver line and the sidecar, plus a per-query 1-min
+    # loadavg snapshot in the io map
+    for load in (final["load"], io["load"]):
+        assert len(load["loadavg_start"]) == 3
+        assert len(load["loadavg_end"]) == 3
+        assert load["wall_sec"] > 0
+        assert load["wall_vs_reported"] >= 1.0  # wall includes setup
+    for stats in io["io"].values():
+        assert isinstance(stats["loadavg_1m"], (int, float))

@@ -117,18 +117,23 @@ def test_gc_crash_between_tombstone_and_delete_stays_loud(
     monkeypatch.undo()
 
     # tombstone landed first: the gate is loud even though the bytes
-    # are still on disk
+    # are still on disk — and NOT yet marked swept, so the ledger
+    # records deletion-in-flight honestly (ADVICE r11)
     ledger = json.load(open(os.path.join(base, "gc.json")))
     assert "1" in ledger
+    assert not ledger["1"].get("swept")
     assert os.path.exists(v1_post_dir)
     with pytest.raises(RuntimeError, match="garbage-collected"):
         read_bm25_index(spark, base, version=1)
 
-    # rerun converges: finishes the sweep without re-reporting v1
+    # rerun converges: finishes the sweep without re-reporting v1,
+    # and marks the tombstone swept now that the bytes are gone
     summary = gc_bm25_index(base, keep_latest=2)
     assert summary["collected"] == []
     assert summary["reclaimed_bytes"] > 0
     assert not os.path.exists(v1_post_dir)
+    ledger = json.load(open(os.path.join(base, "gc.json")))
+    assert ledger["1"]["swept"] is True
     # and a further run is a true no-op
     again = gc_bm25_index(base, keep_latest=2)
     assert again["collected"] == [] and again["reclaimed_bytes"] == 0

@@ -142,17 +142,24 @@ def test_rrf_fusion_is_exact_composition_of_both_rankers(spark, sf_dir):
     for q, lst in by_q.items():
         for rank, (neg_s, d, ns) in enumerate(sorted(lst)[:RRF_TOP_K], 1):
             want[(q, d)] = (-neg_s, ns, rank)
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        retrieval_rrf_fusion,
+    )
+
     got = {
         (r.query_id, r.doc_id): (r.rrf_score, r.n_systems, r.rank)
-        for r in get_spec("retrieval_rrf_fusion").fn(spark, sf_dir).collect()
+        for r in retrieval_rrf_fusion(spark, sf_dir).collect()
     }
     assert got == want
 
 
 def test_rrf_ivf_fusion_is_exact_composition_of_both_rankers(spark, sf_dir):
-    """retrieval_rrf_fusion_ivf must be byte-derivable from the BM25
-    and IVF legs' outputs — the same composition contract as the
-    brute-dense hybrid, with the production dense leg."""
+    """The merged dual-leg query's 'ivf' slice must be byte-derivable
+    from the BM25 and IVF legs' outputs — the same composition
+    contract as the brute-dense hybrid, with the production dense
+    leg; its 'brute' slice must equal the unregistered
+    retrieval_rrf_fusion baseline row-for-row (the merge changed
+    packaging, not semantics)."""
     from mapreduce_distributed_systems_spark.operators.retrieval import (
         RRF_K,
         RRF_SCALE,
@@ -181,13 +188,28 @@ def test_rrf_ivf_fusion_is_exact_composition_of_both_rankers(spark, sf_dir):
     for q, lst in by_q.items():
         for rank, (neg_s, d, ns) in enumerate(sorted(lst)[:RRF_TOP_K], 1):
             want[(q, d)] = (-neg_s, ns, rank)
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        retrieval_rrf_fusion,
+    )
+
+    rows = get_spec("retrieval_rrf_fusion_ivf").fn(spark, sf_dir).collect()
+    assert {r.dense_leg for r in rows} == {"brute", "ivf"}
     got = {
         (r.query_id, r.doc_id): (r.rrf_score, r.n_systems, r.rank)
-        for r in get_spec("retrieval_rrf_fusion_ivf")
-        .fn(spark, sf_dir)
-        .collect()
+        for r in rows
+        if r.dense_leg == "ivf"
     }
     assert got == want
+    got_brute = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.n_systems, r.rank)
+        for r in rows
+        if r.dense_leg == "brute"
+    }
+    baseline = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.n_systems, r.rank)
+        for r in retrieval_rrf_fusion(spark, sf_dir).collect()
+    }
+    assert got_brute == baseline
 
 
 def test_retrieval_quality_matches_python_rederivation(spark, sf_dir):
@@ -208,9 +230,13 @@ def test_retrieval_quality_matches_python_rederivation(spark, sf_dir):
         (r.query_id, r.doc_id, r.rank)
         for r in get_spec("doc_bm25_topk").fn(spark, sf_dir).collect()
     ]
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        retrieval_rrf_fusion,
+    )
+
     fused = [
         (r.query_id, r.doc_id, r.rank)
-        for r in get_spec("retrieval_rrf_fusion").fn(spark, sf_dir).collect()
+        for r in retrieval_rrf_fusion(spark, sf_dir).collect()
     ]
     want = {}
     for name, lst in (("bm25_pruned", pruned), ("rrf_hybrid", fused)):

@@ -67,11 +67,18 @@ def committed_correctness_paths() -> list[str]:
             ["git", "ls-files", "CORRECTNESS_r*.json"],
             cwd=REPO, capture_output=True, text=True, timeout=30,
         )
-        tracked = sorted(ln for ln in out.stdout.splitlines() if ln.strip())
-        if out.returncode == 0 and tracked:
+        if out.returncode == 0:
+            # git succeeded: its answer is authoritative, INCLUDING an
+            # empty one (ADVICE r11: falling through to the glob when
+            # zero files are tracked would silently read untracked
+            # evidence — the exact failure this scoping fixes)
+            tracked = sorted(
+                ln for ln in out.stdout.splitlines() if ln.strip()
+            )
             return [os.path.join(REPO, p) for p in tracked]
     except (OSError, subprocess.TimeoutExpired):
         pass
+    # git failed or unavailable (exported tree): on-disk glob
     return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
 
 

@@ -43,16 +43,28 @@ try:
     li.phrase_topk_from_index(spark, sf, positional, manifest).write.format(
         "noop"
     ).mode("overwrite").save()
+    # the served block is min(cap, docs matching the probe filter) —
+    # divide by the ACTUAL count, not the cap, or the per-query figure
+    # is understated on corpora smaller than cap x 10 (ADVICE r11)
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    n_matching = (
+        load_table(spark, sf, "documents")
+        .where("doc_id % 10 = 0")
+        .count()
+    )
     for cap in caps:
         li.BM25_QUERY_CAP = cap
         li.BM25_QUERY_FILTER = "doc_id % 10 = 0"
+        n_q = min(cap, n_matching)
         t0 = time.perf_counter()
         df = li.phrase_topk_from_index(spark, sf, positional, manifest)
         n_rows = df.count()
         wall = time.perf_counter() - t0
         print(
-            f"phrase serve cap={cap:5d} rows={n_rows:6d} wall={wall:7.2f} s "
-            f"({wall / cap * 1000:6.2f} ms/query, no build in the loop)",
+            f"phrase serve cap={cap:5d} served={n_q:6d} rows={n_rows:6d} "
+            f"wall={wall:7.2f} s ({wall / n_q * 1000:6.2f} ms/query, "
+            "no build in the loop)",
             flush=True,
         )
 finally:
