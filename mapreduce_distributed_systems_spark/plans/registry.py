@@ -124,14 +124,17 @@ def _load() -> None:
 #       (Lee-et-al dup mass, ROADMAP #33), dedup_semantic_semdedup
 #       (SemDeDup end-to-end), doc_bm25_serve_post_gc (retention GC
 #       content-invisible);
-#   (b) two changed-fingerprint queries: retrieval_rrf_fusion_ivf
+#   (b) three changed-fingerprint queries: retrieval_rrf_fusion_ivf
 #       (the second documented registry-ceiling merge — now emits
 #       both hybrids keyed by dense_leg; retrieval_rrf_fusion retired
-#       from the registry, its callable and semantics kept) and
+#       from the registry, its callable and semantics kept),
 #       bm25_index_version_diff (VERDICT r11 #5 — CDC extended to the
-#       positional component with an offset-mass column);
-#   (c) 45 of the 48 r8-certified planning names (exactly 3 rounds
-#       old); the 3 spilled window_* names HEAD the r13 window as
+#       positional component with an offset-mass column), and
+#       retrieval_quality_sampled (VERDICT r11 #3 — the MaxScore
+#       bounded truth WIRED after the zipf natural-text leg measured
+#       it 2.1x faster at 500k docs; lossless, oracle unchanged);
+#   (c) 44 of the 48 r8-certified planning names (exactly 3 rounds
+#       old); the 4 spilled window_* names HEAD the r13 window as
 #       next round's hard-stale floor.
 # Everything outside the window stays covered by tests/test_parity.py,
 # which runs the same DuckDB oracles every session. Certified-by-round
@@ -141,10 +144,11 @@ GATE_ORDER = (
     "dedup_semantic_semdedup",
     "doc_bm25_serve_post_gc",
     "doc_dup_ngram_mass",
-    # -- changed-fingerprint (2) --
+    # -- changed-fingerprint (3) --
     "bm25_index_version_diff",
+    "retrieval_quality_sampled",
     "retrieval_rrf_fusion_ivf",
-    # -- planning refresh (45) --
+    # -- planning refresh (44) --
     "agg_distinct_priority",
     "agg_max_by",
     "agg_stats_segment",
@@ -189,19 +193,18 @@ GATE_ORDER = (
     "set_union",
     "string_funcs_ext",
     "window_lag_lead",
-    "window_range_30d",
 )
 
 # Round-13 rotation note (computed at r12 with tools/plan_window.py
-# --preview after the r12 window landed): the 3 r8-cohort names that
-# spilled at r12 (window_rank_top3, window_running_total,
-# window_value_picks) cross the hard >3-stale floor at r13 and MUST
-# head the window; the planning cohort is the ~47 names whose newest
-# row is r9. Window = 3 hard-stale + 1 never-certified
-# (dedup_span_rewrite, registered at r13 open) + 46 of the r9 cohort;
-# ~1 name spills to r14. Recompute from cert_state at r13 open (fold
-# CORRECTNESS_r12.json first — round-open checklist step 1), then run
-# tools/plan_window.py and paste.
+# --preview after the r12 window landed): the 4 r8-cohort names that
+# spilled at r12 (window_range_30d, window_rank_top3,
+# window_running_total, window_value_picks) cross the hard >3-stale
+# floor at r13 and MUST head the window; the planning cohort is the
+# ~47 names whose newest row is r9. Window = 4 hard-stale + 1
+# never-certified (dedup_span_rewrite, registered at r13 open) + 45
+# of the r9 cohort; ~2 names spill to r14. Recompute from cert_state
+# at r13 open (fold CORRECTNESS_r12.json first — round-open checklist
+# step 1), then run tools/plan_window.py and paste.
 #
 # The ROUND-13 registration candidate (staged r10 with code + oracle
 # + dual-fixture parity tests + decade probes, same discipline the
