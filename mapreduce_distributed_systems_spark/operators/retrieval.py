@@ -1007,37 +1007,45 @@ FROM tot t CROSS JOIN per_sys p
     "stream (doc_id % 400 = 0, capped at 64), so total truth-pass "
     "work is fixed per corpus snapshot instead of growing with the "
     "query load — cheap enough to gate every index build, not just "
-    "rollouts. The truth side runs the MaxScore-bounded exact scorer "
-    "(lossless; wired r12 after it measured 2.1x FASTER on 500k-doc "
-    "natural-zipf text — the corpus family production audits run on).",
+    "rollouts.",
 )
 def retrieval_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded always-on audit: recall@10 + integer DCG/IDCG of the
-    impact-pruned BM25 ranker against the unpruned-equivalent truth,
-    both restricted to the AUDIT query sample (a strict subsample of
-    the production query stream). Same metrics machinery as
+    impact-pruned BM25 ranker against the unpruned truth, both
+    restricted to the AUDIT query sample (a strict subsample of the
+    production query stream). Same metrics machinery as
     retrieval_quality_bm25_rrf; total cost is fixed by the sample cap
     instead of growing with the query population. Registered r11
     (oracle: RETRIEVAL_QUALITY_SAMPLED_ORACLE).
 
-    Truth-side plan choice, MEASURED r11 + r12 (BENCH_NOTES): the
-    MaxScore-bounded exact scorer (_bm25_truth_topk, ROADMAP #31;
-    identical output, differential-pinned in tests/test_truth_bound.py)
-    was held back in r11 because the repo's closed-vocabulary probe
-    corpora concentrate every doc's score-sum just below theta (the
-    bound's extra passes cost 2.3x there, 92.7 s vs 40.5 s at the
-    100x dir). The r12 natural-text leg (tools/gen_zipf_corpus.py +
-    tools/probe_truth_bound.py, 500k docs, V=50k) measured the bound
-    2.1x FASTER on natural-zipf text and 2.0x on a tail-capped
-    mixed-df variant — the corpus family a production audit actually
-    runs on — so it is WIRED here per the stated criterion. The
-    closed-vocab fixture regression is bounded by the audit caps
-    (64 queries) and recorded in BENCH_NOTES; the audit's production
-    lever at any scale remains the SAMPLED query block."""
-    truth = _bm25_truth_topk(
-        spark, sf_dir,
-        query_filter=AUDIT_QUERY_FILTER, query_cap=AUDIT_QUERY_CAP,
-    ).select("query_id", "doc_id")
+    Truth-side plan choice, MEASURED r11 AND r12 (BENCH_NOTES): the
+    MaxScore-bounded exact scorer (_bm25_truth_topk, ROADMAP #31) is
+    kept as a drop-in — identical results, differential-pinned in
+    tests/test_truth_bound.py — but NOT wired here, now on two
+    independent refutations. r11: the repo's closed-vocabulary probe
+    corpora concentrate every doc's score-sum just below theta, so
+    any single-term admissible bound keeps ~26M of 26.1M candidates
+    (2.3x slower). r12: on PROPER 500k-doc zipf corpora
+    (tools/gen_zipf_corpus.py, letters-only tokens, V=50k) the
+    unpruned truth wins 3.3x (natural tail) and 4.1x (tail-capped
+    mixed-df) — because this engine's query representation already
+    selects each query doc's LOWEST-df terms, the truth pass is
+    per-query bounded by short selective posting lists and WAND has
+    nothing left to prune; its extra corpus passes are pure overhead.
+    (The r12 first-cut zipf dir accidentally tokenized to a V=1
+    corpus and showed the bound winning 2x exactly there — the
+    single-dominant-term regime where per-doc score spread IS
+    per-term weight spread; recorded in BENCH_NOTES so the boundary
+    of the bound's usefulness is data, not prose.) The audit's
+    production lever at any scale remains the SAMPLED query block."""
+    truth = (
+        _bm25_ranked(
+            spark, sf_dir, None,
+            query_filter=AUDIT_QUERY_FILTER, query_cap=AUDIT_QUERY_CAP,
+        )
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id")
+    )
     pruned = (
         _bm25_ranked(
             spark, sf_dir, POSTING_CAP,

@@ -130,9 +130,10 @@ def _load() -> None:
 #       from the registry, its callable and semantics kept),
 #       bm25_index_version_diff (VERDICT r11 #5 — CDC extended to the
 #       positional component with an offset-mass column), and
-#       retrieval_quality_sampled (VERDICT r11 #3 — the MaxScore
-#       bounded truth WIRED after the zipf natural-text leg measured
-#       it 2.1x faster at 500k docs; lossless, oracle unchanged);
+#       retrieval_quality_sampled (VERDICT r11 #3 — the zipf
+#       natural-text leg CONFIRMED the r11 refutation, unpruned truth
+#       3.3-4.1x faster at 500k docs; plan unchanged, docstring now
+#       records both refutations — the fingerprint moved with it);
 #   (c) 44 of the 48 r8-certified planning names (exactly 3 rounds
 #       old); the 4 spilled window_* names HEAD the r13 window as
 #       next round's hard-stale floor.

@@ -60,6 +60,14 @@ def main() -> None:
     )
     if mode == "capped":
         rank = f"least({rank}, {MAX_RANK})"
+    # LETTERS-ONLY token encoding: the engine's tokenizer is the
+    # reference-exact [^\p{{L}}]+ letter-run splitter, so digits are
+    # SEPARATORS — a 'w123'-style term would tokenize to the single
+    # term 'w' and collapse the whole corpus to V=1 (the r12 first-cut
+    # bug: both truth plans measured a degenerate one-term corpus).
+    # translate() maps each rank digit to a letter, keeping ranks
+    # distinct and the token one letter-run.
+    term = f"concat('w', translate(cast({rank} as string), '0123456789', 'abcdefghij'))"
     docs = (
         spark.range(n_docs)
         .select(F.col("id").alias("doc_id"))
@@ -69,7 +77,7 @@ def main() -> None:
             F.expr(
                 "array_join(transform("
                 f"sequence(1, {MIN_LEN} + pmod(doc_id, {LEN_SPREAD})),"
-                f" i -> concat('w', {rank})), ' ')"
+                f" i -> {term}), ' ')"
             ).alias("text"),
         )
         .select(
