@@ -201,11 +201,13 @@ GATE_ORDER = (
 # spilled at r12 (window_range_30d, window_rank_top3,
 # window_running_total, window_value_picks) cross the hard >3-stale
 # floor at r13 and MUST head the window; the planning cohort is the
-# ~47 names whose newest row is r9. Window = 4 hard-stale + 1
+# 46 names whose newest row is r9 (preview verified at r12 close with
+# tools/plan_window.py --preview). Window = 4 hard-stale + 1
 # never-certified (dedup_span_rewrite, registered at r13 open) + 45
-# of the r9 cohort; ~2 names spill to r14. Recompute from cert_state
-# at r13 open (fold CORRECTNESS_r12.json first — round-open checklist
-# step 1), then run tools/plan_window.py and paste.
+# of the r9 cohort; 1 name spills to r14 (plus 1 more per r13
+# fingerprint change). Recompute from cert_state at r13 open (fold
+# CORRECTNESS_r12.json first — round-open checklist step 1), then run
+# tools/plan_window.py and paste.
 #
 # The ROUND-13 registration candidate (staged r10 with code + oracle
 # + dual-fixture parity tests + decade probes, same discipline the
