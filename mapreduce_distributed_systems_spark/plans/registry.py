@@ -216,6 +216,14 @@ GATE_ORDER = (
 #                              (SPAN_REWRITE_ORACLE — Lee-et-al span
 #                              dedup, global-first-occurrence
 #                              survivors, sid-join-free)
+# Staged r12 for r13/r14 slots (operators/chunking.py — code + DuckDB
+# oracles + parity/boundary tests, narrow map-only split plan):
+#   doc_chunk_split            (CHUNK_SPLIT_ORACLE — overlapping
+#                              64-token windows at stride 48, the
+#                              relation a vector index ingests)
+#   doc_chunk_dedup            (CHUNK_DEDUP_ORACLE — per-source
+#                              chunk-level exact-dedup rates on
+#                              16-byte digests)
 #
 # REGISTRY-SIZE CEILING (steady-state arithmetic): the driver window
 # refreshes 50 rows/round and the enforced staleness floor
@@ -225,10 +233,13 @@ GATE_ORDER = (
 # registered queries. Trajectory: 194 after the r11 merge, +3 (r12
 # trio) -1 (r12 merge: retrieval_rrf_fusion retired into the
 # dense_leg-keyed retrieval_rrf_fusion_ivf — both documented merges
-# now EXECUTED) = 196 now, +1 (r13 span-rewrite) = 197. No further
-# merges are pre-identified; prefer deepening existing certified
-# families over net-new registrations, and identify the next merge
-# before registering past 198.
+# now EXECUTED) = 196 now, +1 (r13 span-rewrite) = 197, +2 (r14
+# chunking pair) = 199 — AT the practical ceiling. No further merges
+# are pre-identified; prefer deepening existing certified families
+# over net-new registrations, and identify the next merge before
+# registering past 198 (candidate: doc_chunk_split's relation is
+# derivable from doc_chunk_dedup's inputs — the pair could merge into
+# one relation-keyed query if a slot is ever needed).
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, gate-priority queries first (see
