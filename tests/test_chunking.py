@@ -164,3 +164,56 @@ def test_zero_token_docs_yield_no_chunks(spark, sf_dir):
     have 0 tokens, and every doc with >= 1 letter-run appears."""
     rel = doc_chunk_split(spark, sf_dir)
     assert rel.where(F.col("n_tokens") < 1).count() == 0
+
+
+# ---------------------------------------------------------------- #
+# Property: the windowing law holds for RANDOM corpora — lengths,
+# token shapes, and multi-doc batches the fixed boundary cases can't
+# enumerate. The python re-derivation is the independent third
+# engine (the same role it plays in test_overlap_and_coverage).
+# ---------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_doc_lengths = st.lists(
+    st.integers(min_value=0, max_value=3 * CHUNK_TOKENS + 2 * CHUNK_STRIDE),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(lengths=_doc_lengths)
+def test_window_law_on_random_corpora(spark, lengths):
+    import hashlib
+    import math
+
+    rows, want = [], set()
+    for doc_id, n in enumerate(lengths):
+        toks = [f"w{'q' * ((doc_id + i) % 4)}z" for i in range(n)]
+        # pad zero-token docs with punctuation so text is non-null
+        rows.append((doc_id, " ".join(toks) if toks else "..!"))
+        if n == 0:
+            continue
+        n_chunks = 1 + math.ceil(max(0, n - CHUNK_TOKENS) / CHUNK_STRIDE)
+        for i in range(n_chunks):
+            w = toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]
+            want.add(
+                (
+                    doc_id,
+                    i,
+                    len(w),
+                    hashlib.md5(" ".join(w).encode()).hexdigest(),
+                )
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_md5)
+        for r in chunk_relation(docs).collect()
+    }
+    assert got == want
