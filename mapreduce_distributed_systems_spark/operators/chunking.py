@@ -42,14 +42,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_distributed_systems_spark.functions.text import words
+from mapreduce_distributed_systems_spark.operators.retrieval import (
+    _TOKS_DUCK,  # canonical DuckDB tokenizer (ADVICE r12 #4: import,
+)  # don't duplicate — the lexical_index.py pattern)
 from mapreduce_distributed_systems_spark.sources import load_table
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16 tokens
-
-_TOKS_DUCK = (
-    "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
-)
 
 CHUNK_SPLIT_ORACLE = f"""
 WITH toks AS (

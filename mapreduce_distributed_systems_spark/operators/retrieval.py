@@ -720,6 +720,9 @@ SELECT 'ivf' AS dense_leg, * FROM ({RRF_IVF_ORACLE}) ivf_leg
     "r12 from the separate retrieval_rrf_fusion (r9-certified) per "
     "the registry-ceiling rotation; both oracle texts are embedded "
     "verbatim.",
+    helpers=(_rrf_fuse,),  # ADVICE r12 #2: the fusion body lives in
+    # the shared helper since the r12 merge — its source is part of
+    # this query's certified fingerprint
 )
 def retrieval_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same composition discipline as retrieval_rrf_fusion: every leg
@@ -733,6 +736,11 @@ def retrieval_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = doc_bm25_topk(spark, sf_dir).select(
         "query_id", "doc_id", contrib.alias("c_lex")
     ).cache()
+    # Materialize BEFORE fanning out (ADVICE r12 #1, the round-7
+    # _bm25_ranked precedent): the two fusion branches launch their
+    # stages concurrently, and a lazily populated cache lets them race
+    # to recompute the BM25 ranking — count() pins 'computed once'.
+    lex.count()
     brute = ann_cosine_topk(spark, sf_dir).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
@@ -868,6 +876,11 @@ FROM names n CROSS JOIN tot t LEFT JOIN per_sys p ON p.system = n.system
     "ground-truth pass runs on a query sample as an offline audit "
     "(it reads full posting lists by design); the certified number is "
     "what an index rollout gates on.",
+    helpers=(retrieval_rrf_fusion, _rrf_fuse),  # ADVICE r12 #2: the
+    # hybrid leg composes the RETIRED r12 callable, which fuses via
+    # the shared helper — both are part of this query's certified
+    # definition now that neither is fingerprinted by its own
+    # registration
 )
 def retrieval_quality_bm25_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composes three already-registered plans (unpruned _bm25_ranked,

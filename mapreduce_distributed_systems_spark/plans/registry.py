@@ -79,6 +79,15 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
     doc: str = ""
+    # Callables whose SOURCE participates in fn_fingerprint alongside
+    # the registered callable's own (ADVICE r12 #2): when a query's
+    # certified semantics live partly in a shared module-level helper
+    # (the r12 _rrf_fuse factoring), declare it here so an edit to the
+    # helper drifts the fingerprint and the staleness gate demands a
+    # re-cert — instead of silently bypassing the machinery the old
+    # inline body protected. Opt-in: helpers covered by test_parity.py
+    # alone stay outside, exactly as before.
+    helpers: tuple[Callable, ...] = field(default_factory=tuple)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -91,13 +100,14 @@ def register(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     doc: str = "",
+    helpers: tuple[Callable, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, tags=tuple(tags), bench=bench,
-            doc=doc or (fn.__doc__ or ""),
+            doc=doc or (fn.__doc__ or ""), helpers=tuple(helpers),
         )
         return fn
 
@@ -286,11 +296,19 @@ def fn_fingerprint(spec: QuerySpec) -> str:
     import hashlib
     import inspect
 
-    src_lines = inspect.getsource(spec.fn).splitlines(keepends=True)
-    first_def = next(
-        i for i, ln in enumerate(src_lines) if ln.lstrip().startswith("def ")
-    )
-    src = "".join(src_lines[first_def:])
+    def _fn_src(fn) -> str:
+        src_lines = inspect.getsource(fn).splitlines(keepends=True)
+        first_def = next(
+            i for i, ln in enumerate(src_lines)
+            if ln.lstrip().startswith("def ")
+        )
+        return "".join(src_lines[first_def:])
+
+    src = _fn_src(spec.fn)
+    # declared helpers (ADVICE r12 #2): their source is part of the
+    # certified definition — an edit must drift the fingerprint
+    for helper in spec.helpers:
+        src += "\x00" + _fn_src(helper)
     return hashlib.sha256(
         (src + "\x00" + (spec.oracle or "")).encode()
     ).hexdigest()

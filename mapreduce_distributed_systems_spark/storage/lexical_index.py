@@ -1053,8 +1053,17 @@ def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
         ]
         existing = [d for d in dirs if os.path.exists(d)]
         if str(v) in ledger:
-            if ledger[str(v)].get("swept") or not existing:
+            if ledger[str(v)].get("swept"):
                 continue  # fully collected on a prior run
+            if not existing:
+                # tombstoned, bytes already gone, but a crash between
+                # rmtree and the final ledger write lost the swept
+                # marker — upgrade to the terminal state here so the
+                # version converges to "bytes verifiably gone" instead
+                # of being re-stat'ed by every future GC (ADVICE r12)
+                ledger[str(v)]["swept"] = True
+                _write_gc_ledger(base_dir, ledger)
+                continue
             # tombstoned but bytes survived a crash: finish the sweep
             freed = sum(_dir_bytes(d) for d in existing)
         else:

@@ -139,6 +139,31 @@ def test_gc_crash_between_tombstone_and_delete_stays_loud(
     assert again["collected"] == [] and again["reclaimed_bytes"] == 0
 
 
+def test_gc_crash_after_delete_converges_to_swept(spark, sf_dir):
+    """ADVICE r12 #3: a crash between shutil.rmtree and the final
+    ledger write leaves a tombstone whose bytes are gone but whose
+    swept marker is unset. The resume path must upgrade it to
+    swept=True (and persist that) rather than bare-continue, so the
+    'bytes verifiably gone' terminal state is reachable and future
+    GCs stop re-opening the version's manifest."""
+    base = _three_version_chain(spark, sf_dir)
+    gc_bm25_index(base, keep_latest=2)
+    ledger_path = os.path.join(base, "gc.json")
+    ledger = json.load(open(ledger_path))
+    assert ledger["1"]["swept"] is True
+    # manufacture the crash state: bytes already gone, marker lost
+    del ledger["1"]["swept"]
+    with open(ledger_path, "w") as f:
+        json.dump(ledger, f)
+
+    summary = gc_bm25_index(base, keep_latest=2)
+    assert summary["collected"] == [] and summary["reclaimed_bytes"] == 0
+    ledger = json.load(open(ledger_path))
+    assert ledger["1"]["swept"] is True, (
+        "resume path must persist the terminal swept state"
+    )
+
+
 def test_gc_never_touches_the_live_version(spark, sf_dir):
     """Even keep_latest=1 must keep the version manifest.json points
     at — the live pointer is immune by construction, not by luck."""

@@ -124,7 +124,15 @@ def test_queries_doc_covers_newest_correctness_round():
 
 
 def _newest_round() -> int:
-    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    """Newest COMMITTED driver round — the staleness clock.
+
+    VERDICT r12 item 1: this used to glob the disk, so the untracked
+    CORRECTNESS_r{N}.json the driver writes after the final commit
+    advanced the clock one round past the committed GATE_ORDER and
+    turned the exactly-3-stale planning trigger into a phantom >3
+    hard-floor breach on every judge tree (the same class as VERDICT
+    r7/r10 item 1). The clock must tick only when a round LANDS."""
+    paths = _committed_correctness_paths()
     assert paths, "no CORRECTNESS files — driver has not run yet?"
     return int(os.path.basename(paths[-1])[len("CORRECTNESS_r"):].split(".")[0])
 
@@ -161,6 +169,32 @@ def test_stale_certifications_queued_in_window():
     )
 
 
+def test_staleness_clock_ignores_untracked_correctness_files():
+    """Regression for VERDICT r12 item 1 (third sighting of the
+    VERDICT r7/r10 class): the driver's post-commit untracked
+    CORRECTNESS file must not advance the staleness clock. Plant an
+    untracked far-future round and assert both the clock and the
+    staleness invariant are unmoved — exactly the planted-round trick
+    test_window_planner_ignores_untracked_correctness_files uses."""
+    before = _newest_round()
+    fake = os.path.join(_REPO_ROOT, "CORRECTNESS_r98.json")
+    assert not os.path.exists(fake)
+    try:
+        with open(fake, "w") as f:
+            json.dump(
+                {n: {"hash_match": True, "rows_match": True,
+                     "schema_match": True, "err": None}
+                 for n in GATE_ORDER},
+                f,
+            )
+        assert _newest_round() == before, (
+            "staleness clock advanced on an untracked CORRECTNESS file"
+        )
+        test_stale_certifications_queued_in_window()
+    finally:
+        os.remove(fake)
+
+
 def test_changed_queries_queued_in_window():
     """A query whose fn source or oracle SQL changed since its newest
     green driver row is running ahead of its external certification —
@@ -182,6 +216,40 @@ def test_changed_queries_queued_in_window():
     assert drifted == set(), (
         f"queries whose definition changed after their newest driver row "
         f"and are not queued for re-certification: {sorted(drifted)}"
+    )
+
+
+def test_declared_helpers_participate_in_fingerprint():
+    """ADVICE r12 #2: since the r12 merge, the RRF fusion body lives
+    in the shared _rrf_fuse helper, outside the registered callables'
+    own source — so fn_fingerprint must fold declared helpers in, or
+    a helper edit would change certified queries without tripping the
+    staleness/recert machinery. Pins (a) the two fusion queries
+    declare their helpers and (b) helper source actually moves the
+    fingerprint."""
+    import dataclasses
+
+    from mapreduce_distributed_systems_spark.plans.registry import (
+        fn_fingerprint,
+    )
+
+    specs = all_specs()
+    fused = specs["retrieval_rrf_fusion_ivf"]
+    helper_names = [h.__name__ for h in fused.helpers]
+    assert "_rrf_fuse" in helper_names
+    quality = specs["retrieval_quality_bm25_rrf"]
+    q_helpers = [h.__name__ for h in quality.helpers]
+    assert "_rrf_fuse" in q_helpers and "retrieval_rrf_fusion" in q_helpers
+
+    base = fn_fingerprint(fused)
+
+    def edited_rrf_fuse():
+        """stand-in for a future edit to the helper"""
+
+    tampered = dataclasses.replace(fused, helpers=(edited_rrf_fuse,))
+    assert fn_fingerprint(tampered) != base, (
+        "helper source does not move the fingerprint — the recert "
+        "machinery is bypassed for helper edits"
     )
 
 

@@ -212,6 +212,49 @@ def test_rrf_ivf_fusion_is_exact_composition_of_both_rankers(spark, sf_dir):
     assert got_brute == baseline
 
 
+def test_rrf_ivf_lexical_leg_cached_once_fed_to_both_fusions(spark, sf_dir):
+    """VERDICT r12 #6 / ADVICE r12 #1: the merged dual-leg query's
+    saving is that the lexical BM25 ranking is computed ONCE, cached
+    (bounded: <= queries x BM25_TOP_K rows), materialized BEFORE the
+    fan-out, and consumed by BOTH fusion branches from memory. Pin the
+    shape so a future edit can't silently double the build cost:
+    exactly two InMemoryTableScan consumers of the c_lex relation, the
+    cache already populated by the callable itself (the count() that
+    prevents the two concurrently-launched fusion stages racing to
+    recompute it), and the leg within its documented bound."""
+    from mapreduce_distributed_systems_spark.operators.retrieval import (
+        BM25_TOP_K,
+        doc_bm25_topk,
+    )
+
+    spark.catalog.clearCache()
+    df = get_spec("retrieval_rrf_fusion_ivf").fn(spark, sf_dir)
+
+    # materialized at call time, before any action on the result
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) >= 1, (
+        "lexical leg cache not populated by the callable — the fusion "
+        "branches will race to recompute the BM25 ranking"
+    )
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "InMemoryTableScan" in ln and "c_lex" in ln
+    ]
+    assert len(scans) == 2, (
+        f"expected both fusion branches to read the cached lexical leg "
+        f"(2 InMemoryTableScan of c_lex), found {len(scans)}:\n"
+        + "\n".join(s.strip()[:120] for s in scans)
+    )
+
+    lex = doc_bm25_topk(spark, sf_dir)
+    n_queries = lex.select("query_id").distinct().count()
+    assert lex.count() <= n_queries * BM25_TOP_K
+    spark.catalog.clearCache()
+
+
 def test_retrieval_quality_matches_python_rederivation(spark, sf_dir):
     """The quality query's ground truth (unpruned BM25) comes from the
     pure-python third engine; the metric aggregation (recall counts +
