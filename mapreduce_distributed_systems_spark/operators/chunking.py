@@ -45,6 +45,7 @@ from mapreduce_distributed_systems_spark.functions.text import words
 from mapreduce_distributed_systems_spark.operators.retrieval import (
     _TOKS_DUCK,  # canonical DuckDB tokenizer (ADVICE r12 #4: import,
 )  # don't duplicate — the lexical_index.py pattern)
+from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
 
 CHUNK_TOKENS = 64
@@ -157,13 +158,95 @@ def chunk_dedup_stats(docs: DataFrame) -> DataFrame:
 
 
 def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged query (oracle: CHUNK_SPLIT_ORACLE): the chunk relation
-    over the documents table — one row per overlapping 64-token
-    window at stride 48, content certified through chunk_md5."""
+    """The chunk relation over the documents table (oracle when run
+    standalone: CHUNK_SPLIT_ORACLE) — one row per overlapping
+    64-token window at stride 48, content certified through
+    chunk_md5. Registered THROUGH doc_chunking's 'chunk' leg (the
+    third documented registry-ceiling merge, plans/registry.py);
+    the callable stays for composition (chunk -> embed -> ANN
+    ingest) and for tests/test_chunking.py's parity pins."""
     return chunk_relation(load_table(spark, sf_dir, "documents"))
 
 
 def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged query (oracle: CHUNK_DEDUP_ORACLE): per-source
-    chunk-level exact-dedup rates on the documents table."""
+    """Per-source chunk-level exact-dedup rates on the documents
+    table (oracle when run standalone: CHUNK_DEDUP_ORACLE).
+    Registered THROUGH doc_chunking's 'stats' leg — see
+    doc_chunk_split."""
     return chunk_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+# Both chunking relations under one rel key — the third documented
+# registry-ceiling merge (plans/registry.py: the rotation note
+# pre-identified exactly this pair as merge candidates before either
+# registered, so the pair lands as ONE slot, 198/200). DuckDB
+# evaluates each certified oracle text verbatim inside its own
+# derived table; the 'chunk' leg NULL-pads the stats columns and vice
+# versa — the merge changes packaging, not semantics (the
+# RRF_DUAL_ORACLE discipline).
+CHUNKING_DUAL_ORACLE = f"""
+SELECT 'chunk' AS rel, doc_id, chunk_idx, n_tokens, chunk_md5,
+       CAST(NULL AS VARCHAR) AS source,
+       CAST(NULL AS BIGINT) AS n_chunks,
+       CAST(NULL AS BIGINT) AS n_distinct_chunks,
+       CAST(NULL AS BIGINT) AS n_dup_groups,
+       CAST(NULL AS DOUBLE) AS removable_frac
+FROM ({CHUNK_SPLIT_ORACLE}) chunk_leg
+UNION ALL
+SELECT 'stats' AS rel, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS BIGINT) AS chunk_idx,
+       CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS VARCHAR) AS chunk_md5,
+       source, n_chunks, n_distinct_chunks, n_dup_groups,
+       removable_frac
+FROM ({CHUNK_DEDUP_ORACLE}) stats_leg
+"""
+
+def _null_cols(**types: str) -> list:
+    """Typed NULL padding columns (built lazily — F.lit needs an
+    active SparkContext, so these cannot be module-level constants)."""
+    return [F.lit(None).cast(t).alias(n) for n, t in types.items()]
+
+
+@register(
+    "doc_chunking",
+    oracle=CHUNKING_DUAL_ORACLE,
+    tags=("chunking", "text", "dedup"),
+    bench=True,
+    doc="Document chunking certified as ONE rel-keyed query (the "
+    "third registry-ceiling merge): the 'chunk' leg is the full "
+    "overlapping-window chunk relation — 64-token windows at stride "
+    "48 over the reference-exact letter-run tokenizer, every chunk's "
+    "content pinned through its md5 — the unit a vector index "
+    "ingests; the 'stats' leg is per-source chunk-level exact-dedup "
+    "rates (total/distinct/dup groups/removable fraction) on the "
+    "16-byte digests. Both legs are Exchange-free until the stats "
+    "aggregate: tokenize -> sequence/slice -> explode in whole-stage "
+    "codegen, chunk text dying in the map stage; the dedup groups on "
+    "md5 with map-side combine so boilerplate skew collapses before "
+    "the shuffle. Deterministic windows make re-chunking appended "
+    "docs byte-stable — safe for frozen-centroid ANN index appends.",
+    helpers=(chunk_relation, chunk_dedup_stats),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered r13 (oracle: CHUNKING_DUAL_ORACLE): the chunk
+    relation and its per-source dedup rates under one rel key, each
+    leg the staged callable's exact plan. No shared cache: the chunk
+    relation is corpus-sized (caching it is wrong at 100 TB); the
+    double documents scan is two narrow map passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunk_leg = chunk_relation(docs).select(
+        F.lit("chunk").alias("rel"), "doc_id", "chunk_idx", "n_tokens",
+        "chunk_md5",
+        *_null_cols(source="string", n_chunks="long",
+                    n_distinct_chunks="long", n_dup_groups="long",
+                    removable_frac="double"),
+    )
+    stats_leg = chunk_dedup_stats(docs).select(
+        F.lit("stats").alias("rel"),
+        *_null_cols(doc_id="long", chunk_idx="long", n_tokens="long",
+                    chunk_md5="string"),
+        "source", "n_chunks", "n_distinct_chunks", "n_dup_groups",
+        "removable_frac",
+    )
+    return chunk_leg.unionByName(stats_leg)

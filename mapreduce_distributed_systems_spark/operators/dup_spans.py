@@ -324,7 +324,23 @@ def span_dedup_rewrite(docs: DataFrame) -> DataFrame:
     return surv.unionByName(short)
 
 
+@register(
+    "dedup_span_rewrite",
+    oracle=SPAN_REWRITE_ORACLE,
+    tags=("dedup", "text"),
+    bench=True,
+    doc="Lee-et-al (arXiv:2107.06499) exact-substring dedup REWRITE — "
+    "the operation doc_dup_ngram_mass measures: every duplicated "
+    "k-gram keeps its globally-first occurrence, other occurrences' "
+    "token windows union into removed regions, documents rebuilt from "
+    "surviving tokens. The first-occurrence table is ONE map-side-"
+    "combined min(struct(doc_id,pos)) per 8-byte sid re-keyed by its "
+    "own doc_id — the per-instance decision never joins on the n-gram "
+    "key, so hot boilerplate sids stay skew-free; the rebuild is "
+    "doc-local in whole-stage codegen.",
+)
 def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged r13 query (oracle: SPAN_REWRITE_ORACLE): the span-level
-    dedup rewrite on the documents table."""
+    """Registered r13 per the plans/registry.py rotation note
+    (oracle: SPAN_REWRITE_ORACLE): the span-level dedup rewrite on
+    the documents table."""
     return span_dedup_rewrite(load_table(spark, sf_dir, "documents"))

@@ -33,6 +33,49 @@ def test_chunk_dedup_matches_oracle(spark, sf_dir):
     )
 
 
+def test_merged_chunking_is_exact_composition_of_both_legs(spark, sf_dir):
+    """The registered rel-keyed doc_chunking (third registry-ceiling
+    merge) must slice back to the staged callables row-for-row — the
+    merge changed packaging, not semantics (the RRF-merge discipline
+    from tests/test_retrieval.py)."""
+    from mapreduce_distributed_systems_spark.plans.registry import get_spec
+
+    rows = get_spec("doc_chunking").fn(spark, sf_dir).collect()
+    assert {r.rel for r in rows} == {"chunk", "stats"}
+
+    got_chunk = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_md5)
+        for r in rows
+        if r.rel == "chunk"
+    )
+    want_chunk = sorted(
+        tuple(r) for r in doc_chunk_split(spark, sf_dir).collect()
+    )
+    assert got_chunk == want_chunk
+
+    got_stats = sorted(
+        (r.source, r.n_chunks, r.n_distinct_chunks, r.n_dup_groups,
+         r.removable_frac)
+        for r in rows
+        if r.rel == "stats"
+    )
+    want_stats = sorted(
+        tuple(r) for r in doc_chunk_dedup(spark, sf_dir).collect()
+    )
+    assert got_stats == want_stats
+    # and the off-leg columns are NULL, never garbage
+    assert all(
+        r.source is None and r.n_chunks is None
+        for r in rows
+        if r.rel == "chunk"
+    )
+    assert all(
+        r.doc_id is None and r.chunk_md5 is None
+        for r in rows
+        if r.rel == "stats"
+    )
+
+
 def _mk_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
