@@ -273,36 +273,59 @@ def span_dedup_rewrite(docs: DataFrame) -> DataFrame:
         F.concat_ws(" ", "t").alias("new_text"),
     )
 
+    # (doc_id, pos) packed into ONE bigint (doc_id * 2^20 + pos) so
+    # min() is a plain bigint aggregate: min over a STRUCT falls to
+    # SortAggregate (the round-5 string-min lesson — non-hashable agg
+    # buffer), and at corpus scale the sid-keyed aggregate is the hot
+    # one. The encoding is exact while pos < 2^20 and doc_id < 2^43;
+    # both are guarded with raise_error, so growth past the bound is
+    # LOUD, never a silently wrong min.
     inst = eligible.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(t) - {DUP_NGRAM_K} + 1), i -> "
-                f"struct(i as pos, cast(conv(substring(md5(concat_ws(' ', "
+                f"struct(if(doc_id < 8796093022208 and i < 1048576, "
+                f"doc_id * 1048576 + i, cast(raise_error('dedup_span_rewrite:"
+                f" (doc_id, pos) exceeds the 2^43/2^20 packed-bigint bound — "
+                f"widen the encoding') as bigint)) as enc, "
+                f"cast(conv(substring(md5(concat_ws(' ', "
                 f"slice(t, i, {DUP_NGRAM_K}))), 1, 15), 16, 10) as bigint) "
                 f"as sid))"
             )
         ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.sid").alias("sid"))
+    ).select(F.col("w.enc").alias("enc"), F.col("w.sid").alias("sid"))
 
-    # ONE combine-friendly aggregate on the 8-byte sid; the winner
+    # ONE combine-friendly HashAggregate on the 8-byte sid; the winner
     # re-keys by its own doc_id — no instance-to-sid join anywhere
-    firsts = inst.groupBy("sid").agg(
-        F.min(F.struct("doc_id", "pos")).alias("f")
-    )
+    firsts = inst.groupBy("sid").agg(F.min("enc").alias("e"))
     keeps = (
-        firsts.select(F.col("f.doc_id").alias("doc_id"), F.col("f.pos").alias("pos"))
+        firsts.select(
+            # integer div/mod — float division would lose bits past
+            # doc_id ~ 2^33 (doubles carry 53 significand bits)
+            F.expr("e div 1048576").alias("doc_id"),
+            F.expr("cast(e % 1048576 as int)").alias("pos"),
+        )
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("kp"))
     )
 
+    # Rebuild, hash-based (profiled r13: the lambda-probe formulation —
+    # exists() per token over the removed list, array_contains per
+    # window over the kept list — was O(L x R) per doc and carried the
+    # whole 10.7 s pipeline at sf0.1; array_except builds a hash set of
+    # its second argument, making the doc rebuild O(L + R x K) while
+    # preserving the first array's order, i.e. token order):
+    #   rs      = window starts NOT kept  = all starts \ kp
+    #   covered = union of removed windows (each start spans K tokens)
+    #   kept    = positions 1..L \ covered, then index back into t
     rebuilt = eligible.join(keeps, "doc_id", "left").select(
         "doc_id",
         "source",
         "t",
         F.expr(
-            f"filter(sequence(1, size(t) - {DUP_NGRAM_K} + 1), "
-            f"p -> NOT array_contains(coalesce(kp, array()), p))"
+            f"array_except(sequence(1, size(t) - {DUP_NGRAM_K} + 1), "
+            f"coalesce(kp, array()))"
         ).alias("rs"),
     )
     surv = rebuilt.select(
@@ -310,9 +333,9 @@ def span_dedup_rewrite(docs: DataFrame) -> DataFrame:
         "source",
         F.size("t").cast("long").alias("n_before"),
         F.expr(
-            f"filter(transform(sequence(1, size(t)), i -> CASE WHEN NOT "
-            f"exists(rs, r -> r <= i AND i < r + {DUP_NGRAM_K}) THEN "
-            f"element_at(t, i) END), x -> x IS NOT NULL)"
+            f"transform(array_except(sequence(1, size(t)), "
+            f"array_distinct(flatten(transform(rs, r -> "
+            f"sequence(r, r + {DUP_NGRAM_K - 1}))))), i -> element_at(t, i))"
         ).alias("kept"),
     ).select(
         "doc_id",

@@ -89,7 +89,24 @@ def render() -> str:
         )
         n_ex = len({re.sub(r"#\d+L?|plan_id=\d+", "", ln) for ln in ex_lines})
         n_bc = plan.count("BroadcastHashJoin")
-        n_cg = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        # codegen spans deduped by id-stripped CONTENT, same trick as
+        # the exchange column: tree printing repeats shared subtrees
+        # (two InMemoryTableScans of one cached relation print its
+        # child plan twice, with fresh codegen ids the second time, or
+        # collapse — an AQE print race observed flipping the raw
+        # distinct-id count 10<->11 across otherwise identical
+        # sessions on retrieval_rrf_fusion_ivf after its r13 cache
+        # materialization). Distinct REAL spans with byte-identical
+        # stripped content collapse to one — the same documented
+        # undercount class as repeated-key exchanges.
+        cg_spans: dict[str, list[str]] = {}
+        for ln in plan.splitlines():
+            m = re.search(r"\*\((\d+)\)", ln)
+            if m:
+                cg_spans.setdefault(m.group(1), []).append(
+                    re.sub(r"#\d+L?|plan_id=\d+|\*\(\d+\)", "", ln)
+                )
+        n_cg = len({"\n".join(v) for v in cg_spans.values()})
         n_sp = plan.count("Exchange SinglePartition")
         pushed = "yes" if "PushedFilters: [" in plan and "PushedFilters: []" not in plan else ""
         lines.append(

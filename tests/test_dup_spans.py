@@ -233,6 +233,40 @@ def test_short_and_empty_docs_pass_through_tokenized(spark):
     assert out[2].n_after == 0 and out[2].new_text == ""
 
 
+def test_span_rewrite_first_occurrence_agg_is_hash_not_sort(spark, sf_dir):
+    """r13 profile finding (the round-5 string-min lesson recurring):
+    min over a STRUCT falls to SortAggregate, so the (doc_id, pos)
+    winner is packed into one bigint to keep the corpus-sized
+    sid-keyed aggregate a HashAggregate. Pin it, plus the absence of
+    any sid-keyed join (the same scale contract as the mass query)."""
+    plan = (
+        dedup_span_rewrite(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in plan, (
+        "the first-occurrence aggregate regressed to SortAggregate — "
+        "a non-hashable aggregate buffer crept back in"
+    )
+    assert not any(
+        "sid" in ln for ln in plan.splitlines() if "Join" in ln
+    ), "a sid-keyed join appeared in the rewrite plan"
+
+
+def test_span_rewrite_packed_encoding_bound_is_loud(spark):
+    """Past-the-bound coordinates must raise, never silently produce a
+    wrong min. 2^20 tokens per doc is the pos bound; build a doc just
+    over it cheaply by repeating one word (the raise fires during the
+    explode, before any aggregate)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    text = " ".join("w" for _ in range(1048576 + DUP_NGRAM_K))
+    with pytest.raises(SparkRuntimeException, match="packed-bigint bound"):
+        span_dedup_rewrite(_docs(spark, [(1, "s", text)])).collect()
+
+
 def test_span_rewrite_seeded_random_differential(spark):
     """Seeded tiny-vocabulary corpora (heavy genuine span duplication)
     vs the DuckDB oracle, exact."""
