@@ -210,16 +210,17 @@ GATE_ORDER = (
     "text_token_rarity",
 )
 
-# Round-14 rotation note (computed at r13 with tools/plan_window.py
-# after the r13 window landed): the 4 r9-cohort names that spilled at
-# r13 (token_count_methods, wc, wc_mr_facade, window_ntile_pctrank)
+# Round-14 rotation note (preview verified at r13 close with
+# tools/plan_window.py --preview): the 4 r9-cohort names that spilled
+# at r13 (token_count_methods, wc, wc_mr_facade, window_ntile_pctrank)
 # cross the hard >3-stale floor at r14 and MUST head the window; the
-# planning cohort is the 48 names whose newest row is r10. Window =
-# 4 hard-stale + any r14 registrations/fingerprint changes + the r10
-# cohort; ~2 names spill to r15 (exact split depends on r14 changes).
-# Recompute from cert_state at r14 open (fold CORRECTNESS_r13.json
-# first — round-open checklist step 1), then run tools/plan_window.py
-# and paste.
+# planning cohort is the 47 names whose newest row is r10 (preview:
+# 46 fill, zorder_key_events spills to r15's head — plus 1 more spill
+# per r14 registration/fingerprint change, so registering
+# pipeline_chunk_index pushes 2 names to r15). Recompute from
+# cert_state at r14 open (fold CORRECTNESS_r13.json first —
+# round-open checklist step 1), then run tools/plan_window.py and
+# paste.
 #
 # The ROUND-14 registration candidate (staged r13 with code + oracle
 # + dual-fixture parity tests, the discipline every registration has

@@ -316,3 +316,91 @@ def test_span_rewrite_plan_has_no_sid_keyed_join(spark, sf_dir):
         .toString()
     )
     assert not any("sid" in ln for ln in plan.splitlines() if "Join" in ln)
+
+
+# ---------------------------------------------------------------- #
+# Property: the rewrite law holds for RANDOM corpora — a pure-python
+# third engine (no shared code with Spark or DuckDB) rederives the
+# full pipeline: tokenize, 60-bit md5 sids, global first occurrence
+# by (doc_id, pos), window-union removal, rebuild. Tiny vocabularies
+# force heavy genuine duplication, including within-doc repeats and
+# cross-doc boilerplate — the regimes the r13 hash-set rebuild and
+# packed-bigint min must preserve exactly.
+# ---------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_rand_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma"]),
+        min_size=0,
+        max_size=3 * DUP_NGRAM_K,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _python_span_rewrite(docs):
+    """[(doc_id, source, text)] -> {doc_id: (n_before, n_after,
+    new_text)} — independent rederivation of the whole rewrite."""
+    import hashlib
+    import re as _re
+
+    tok = _re.compile(r"[^\W\d_]+", _re.UNICODE)  # \p{L}+ equivalent
+    toks = {d: tok.findall(t) for d, _s, t in docs}
+    first: dict[int, tuple[int, int]] = {}
+    for d, _s, _t in sorted(docs):
+        t = toks[d]
+        for p in range(1, len(t) - DUP_NGRAM_K + 2):
+            sid = int(
+                hashlib.md5(
+                    " ".join(t[p - 1 : p - 1 + DUP_NGRAM_K]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            cand = (d, p)
+            if sid not in first or cand < first[sid]:
+                first[sid] = cand
+    out = {}
+    for d, _s, _t in docs:
+        t = toks[d]
+        if len(t) < DUP_NGRAM_K:
+            out[d] = (len(t), len(t), " ".join(t))
+            continue
+        kept_starts = set()
+        for p in range(1, len(t) - DUP_NGRAM_K + 2):
+            sid = int(
+                hashlib.md5(
+                    " ".join(t[p - 1 : p - 1 + DUP_NGRAM_K]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            if first[sid] == (d, p):
+                kept_starts.add(p)
+        covered = set()
+        for p in range(1, len(t) - DUP_NGRAM_K + 2):
+            if p not in kept_starts:
+                covered.update(range(p, p + DUP_NGRAM_K))
+        kept = [t[i - 1] for i in range(1, len(t) + 1) if i not in covered]
+        out[d] = (len(t), len(kept), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=_rand_corpus)
+def test_span_rewrite_matches_python_on_random_corpora(spark, corpus):
+    docs = [
+        (doc_id, "s", " ".join(words)) for doc_id, words in enumerate(corpus)
+    ]
+    want = _python_span_rewrite(docs)
+    got = {
+        r.doc_id: (r.n_before, r.n_after, r.new_text)
+        for r in span_dedup_rewrite(_docs(spark, docs)).collect()
+    }
+    assert got == want
