@@ -138,7 +138,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed, ["lang"], F.lit(KMV_K), [F.col("h")]
     )
     sk = sel.groupBy("lang").agg(
-        F.max("h").alias("kth"), F.count("*").alias("n_sketch")
+        F.max(_kth32()).alias("kth32"), F.count("*").alias("n_sketch")
     )
     ex = el.groupBy("lang").agg(F.count("*").alias("n_exact"))
     est = _kmv_estimate()
@@ -152,11 +152,22 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kth32(hcol: str = "h") -> F.Column:
+    """32-bit numeric prefix of the hash for the kth-value aggregate.
+
+    max over a STRING buffer falls to SortAggregate (non-hashable agg
+    buffer — the r5/r13 lesson; caught by the r13 bench-set audit).
+    The estimator reads only the first 8 hex chars of the kth value,
+    and fixed-width lowercase hex is order-isomorphic to its numeric
+    prefix (a <= b as strings => prefix32(a) <= prefix32(b)), so
+    max(prefix32) == prefix32(max) EXACTLY — the oracle keeps its
+    full-string max and both engines emit identical estimates."""
+    return F.conv(F.substring(hcol, 1, 8), 16, 10).cast("long")
+
+
 def _kmv_estimate() -> F.Column:
-    """Spark KMV estimate from (kth, n_sketch) columns."""
-    u = (F.conv(F.substring("kth", 1, 8), 16, 10).cast("long") + 1) / F.lit(
-        4294967296.0
-    )
+    """Spark KMV estimate from (kth32, n_sketch) columns."""
+    u = (F.col("kth32") + 1) / F.lit(4294967296.0)
     return F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch")).otherwise(
         F.floor(F.lit(KMV_K - 1) / u).cast("long")
     )
@@ -255,7 +266,7 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged_sel = select_first_by_hash(pool, ["g"], F.lit(KMV_K), [F.col("h")])
     msk = merged_sel.agg(
-        F.max("h").alias("kth"), F.count("*").alias("n_sketch")
+        F.max(_kth32()).alias("kth32"), F.count("*").alias("n_sketch")
     ).select(_kmv_estimate().alias("n_est_merged"))
     # direct whole-corpus sketch for the equality certificate
     gl = (
@@ -266,7 +277,7 @@ def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     direct_sel = select_first_by_hash(gl, ["g"], F.lit(KMV_K), [F.col("h")])
     dsk = direct_sel.agg(
-        F.max("h").alias("kth"), F.count("*").alias("n_sketch")
+        F.max(_kth32()).alias("kth32"), F.count("*").alias("n_sketch")
     ).select(_kmv_estimate().alias("n_est_direct"))
     ex = gl.agg(F.count("*").alias("n_exact"))
     return (

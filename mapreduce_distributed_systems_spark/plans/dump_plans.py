@@ -46,10 +46,15 @@ def render() -> str:
         "- **codegen**: WholeStageCodegen spans (JVM-compiled pipelines).",
         "- **1-part**: Exchange SinglePartition count — legitimate only",
         "  for O(1)-row scalars (global aggregates, TakeOrdered merge).",
+        "- **sortagg**: SortAggregate count in the final plan — a",
+        "  non-hashable aggregate buffer (min/max over strings or",
+        "  structs) falls out of hash aggregation; the bench set is",
+        "  kept at ZERO (r5 and r13 both paid for one), so any new",
+        "  SortAggregate is a reviewed decision, not an accident.",
         "- **pushed**: parquet-level pushed filters present.",
         "",
-        "| Query | exchanges | bcast | codegen | 1-part | pushed |",
-        "|---|---|---|---|---|---|",
+        "| Query | exchanges | bcast | codegen | 1-part | sortagg | pushed |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, spec in bench_specs().items():
         # cache-cold per query: a cache left by a previous query (or,
@@ -108,9 +113,11 @@ def render() -> str:
                 )
         n_cg = len({"\n".join(v) for v in cg_spans.values()})
         n_sp = plan.count("Exchange SinglePartition")
+        n_sa = plan.count("SortAggregate")
         pushed = "yes" if "PushedFilters: [" in plan and "PushedFilters: []" not in plan else ""
         lines.append(
-            f"| `{name}` | {n_ex} | {n_bc} | {n_cg} | {n_sp} | {pushed} |"
+            f"| `{name}` | {n_ex} | {n_bc} | {n_cg} | {n_sp} | {n_sa} "
+            f"| {pushed} |"
         )
     return "\n".join(lines) + "\n"
 

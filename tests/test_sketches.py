@@ -66,13 +66,14 @@ def test_kmv_lossless_below_k(spark):
     count (the estimator branch only engages at >= k)."""
     from mapreduce_distributed_systems_spark.operators.sketches import (
         _kmv_estimate,
+        _kth32,
     )
 
     df = spark.createDataFrame(
         [("g", f"el{i}") for i in range(37)], "lang string, el string"
     ).select("lang", F.md5("el").alias("h"))
     sk = df.distinct().groupBy("lang").agg(
-        F.max("h").alias("kth"), F.count("*").alias("n_sketch")
+        F.max(_kth32()).alias("kth32"), F.count("*").alias("n_sketch")
     )
     got = sk.select(_kmv_estimate().alias("est")).collect()[0].est
     assert got == 37
