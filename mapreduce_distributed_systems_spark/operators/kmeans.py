@@ -443,6 +443,65 @@ def _assign_stats_int8(
     return q8.mapInPandas(assign_batch, schema="cell int, qv array<bigint>")
 
 
+# Driver-side fit gate (optimization round 13, guide §1.2/§5): the
+# fit only ever reads the bounded md5-sample (<= cap rows), but the
+# distributed loop paid 2 + n_iter sequential Spark actions for it —
+# a dim probe, the init TakeOrdered, and one stats collect per Lloyd
+# round, each re-deriving a plan and (at bench SFs, where the sample
+# IS the uncached corpus) re-running the scan + quantize Python pass.
+# probe_jobs measured those actions + their submission gaps at
+# ~3.5 s of the retrieval_rrf_fusion_ivf wall at sf0.1. When the
+# sample bound is at most this many rows, ONE TakeOrdered collect
+# pulls the sample (in the same (md5, vec_id) order the init already
+# used) and the Lloyd rounds run in local numpy — the SAME
+# _argmin_cells / _coarse_index_for / floor-division arithmetic the
+# distributed stats pass executes, so the centroids are bit-identical
+# (tests/test_kmeans.py::test_driver_fit_matches_distributed).
+# Above the gate (corpus-scaled k: cap = FIT_PER_CELL x k) the
+# distributed loop is unchanged — at 100 TB the sample is big enough
+# that per-round cluster scans beat a single-process fit, exactly the
+# regime the two-level router exists for.
+DRIVER_FIT_MAX_ROWS = 4096
+
+
+def _kmeans_fit_int8_driver(
+    q8: DataFrame,
+    k: int,
+    n_iter: int,
+    cap: int,
+    two_level_gate: int,
+    two_level_w: int | None,
+) -> np.ndarray:
+    """Collect-once local fit. The TakeOrdered by (md5(vec_id),
+    vec_id) LIMIT cap is simultaneously the fit sample (when n > cap:
+    exactly _fit_sample_int8's definition; when n <= cap: all n rows,
+    since the limit never binds) and the init seeds (its first k rows
+    are the k smallest by (h, vec_id) — _init_centroids_int8's
+    definition, cap >= FIT_PER_CELL x k >= k always)."""
+    rows = (
+        q8.select(
+            "qv", F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id"
+        )
+        .orderBy("h", "vec_id")
+        .limit(cap)
+        .select("qv")
+        .collect()
+    )
+    m = np.array([r.qv for r in rows], dtype=np.int64)
+    cents = m[:k].copy()
+    for _ in range(n_iter):
+        ci = _coarse_index_for(cents, gate=two_level_gate, w=two_level_w)
+        a = _argmin_cells(m, cents, ci)
+        new = cents.copy()  # empty cells keep previous centroid
+        for c in np.unique(a):
+            mask = a == c
+            # same arithmetic as the distributed stats pass: int64
+            # element sums, floor division by the member count
+            new[c] = m[mask].sum(axis=0) // int(mask.sum())
+        cents = new
+    return cents
+
+
 def kmeans_fit_int8(
     q8: DataFrame,
     k: int = K,
@@ -455,12 +514,15 @@ def kmeans_fit_int8(
 
     Training input is the bounded md5-sample (see FIT_SAMPLE_CAP) —
     pass `n` (corpus size) if the caller already knows it to skip the
-    count. Per iteration: one narrow assignment pass carrying qv + one
-    groupBy(cell) shuffle of O(k x dim) integer partial sums; the only
-    driver-side action is the bounded k-row stats collect (same shape
-    as the float kmeans_fit above and MLlib's iteration). Centroid
-    update is floor(sum / n) — floor division, exact in int64,
-    mirrored exactly by the SQL oracle.
+    count. While the sample bound is at most DRIVER_FIT_MAX_ROWS the
+    whole fit runs driver-side off ONE bounded collect (see above);
+    past the gate, per iteration: one narrow assignment pass carrying
+    qv + one groupBy(cell) shuffle of O(k x dim) integer partial sums;
+    the only driver-side action is the bounded k-row stats collect
+    (same shape as the float kmeans_fit above and MLlib's iteration).
+    Centroid update is floor(sum / n) — floor division, exact in
+    int64, mirrored exactly by the SQL oracle. Both paths produce
+    bit-identical centroids.
 
     Above TWO_LEVEL_MIN_FIT_K cells (override via `two_level_gate`)
     each iteration routes the fit sample through a coarse index
@@ -471,6 +533,11 @@ def kmeans_fit_int8(
     flat fit."""
     if two_level_gate is None:
         two_level_gate = TWO_LEVEL_MIN_FIT_K
+    cap = max(FIT_SAMPLE_CAP, FIT_PER_CELL * k)
+    if cap <= DRIVER_FIT_MAX_ROWS:
+        return _kmeans_fit_int8_driver(
+            q8, k, n_iter, cap, two_level_gate, two_level_w
+        )
     fit = _fit_sample_int8(q8, n, k=k)
     dim = len(fit.select("qv").head()["qv"])
     cents = _init_centroids_int8(fit, k)

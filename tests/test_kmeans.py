@@ -83,6 +83,48 @@ def test_int8_fit_sample_lever(spark, sf_dir):
         km.FIT_PER_CELL = old_pc
 
 
+def test_driver_fit_matches_distributed(spark, sf_dir):
+    """The r13 driver-side bounded fit (one TakeOrdered collect +
+    local numpy Lloyd) must be bit-identical to the distributed
+    per-iteration stats loop it replaces below DRIVER_FIT_MAX_ROWS —
+    the IVF-family oracles replay the fit in unrolled SQL, so ANY
+    drift is a certified-hash break. Covers both the n <= cap regime
+    (sample = whole corpus; every certified SF) and the n > cap
+    regime (TakeOrdered sample), and the two-level-forced fit."""
+    import numpy as np
+
+    import mapreduce_distributed_systems_spark.operators.kmeans as km
+
+    q8 = km.quantize_int8(_emb(spark, sf_dir))
+    n = q8.count()
+
+    def both(k, **kw):
+        drv = km.kmeans_fit_int8(q8, k=k, n=n, **kw)
+        old = km.DRIVER_FIT_MAX_ROWS
+        km.DRIVER_FIT_MAX_ROWS = -1  # force the distributed loop
+        try:
+            dist = km.kmeans_fit_int8(q8, k=k, n=n, **kw)
+        finally:
+            km.DRIVER_FIT_MAX_ROWS = old
+        return drv, dist
+
+    drv, dist = both(km.K, n_iter=km.N_ITER_INT8)
+    assert np.array_equal(drv, dist)
+
+    # n > cap: shrink the cap so the TakeOrdered sample binds
+    old_cap, old_pc = km.FIT_SAMPLE_CAP, km.FIT_PER_CELL
+    km.FIT_SAMPLE_CAP, km.FIT_PER_CELL = 100, 4
+    try:
+        drv, dist = both(4, n_iter=2)
+        assert np.array_equal(drv, dist)
+    finally:
+        km.FIT_SAMPLE_CAP, km.FIT_PER_CELL = old_cap, old_pc
+
+    # forced two-level routing inside the fit (kmeans_cells_two_level)
+    drv, dist = both(km.K, n_iter=1, two_level_gate=0, two_level_w=10**9)
+    assert np.array_equal(drv, dist)
+
+
 # --------------------------------------------------------------------------
 # Two-level (coarse-quantizer) assignment — ROADMAP round-7 backlog #0.
 # Pure-numpy invariants (the dispatch is driver/executor-side numpy;
