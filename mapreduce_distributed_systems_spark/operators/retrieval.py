@@ -730,27 +730,42 @@ def retrieval_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical leg feeds both fusions, so it is cached (bounded:
     <= queries x BM25_TOP_K rows); the bench/driver session evicts
     caches at query boundaries."""
+    from concurrent.futures import ThreadPoolExecutor
+
     contrib = F.round(F.lit(RRF_SCALE) / (F.lit(RRF_K) + F.col("rank"))).cast(
         "long"
     )
     lex = doc_bm25_topk(spark, sf_dir).select(
         "query_id", "doc_id", contrib.alias("c_lex")
     ).cache()
-    # Materialize BEFORE fanning out (ADVICE r12 #1, the round-7
-    # _bm25_ranked precedent): the two fusion branches launch their
-    # stages concurrently, and a lazily populated cache lets them race
-    # to recompute the BM25 ranking — count() pins 'computed once'.
-    lex.count()
-    brute = ann_cosine_topk(spark, sf_dir).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        contrib.alias("c_dense"),
-    )
-    ivf = ann_ivf_kmeans(spark, sf_dir).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        contrib.alias("c_dense"),
-    )
+
+    def _build_dense():
+        # the dense legs' BUILD actions (the ann query-block collect,
+        # the bounded kmeans-fit sample collect) touch only the
+        # embeddings table — independent of the lexical leg, so they
+        # run on a driver thread concurrently with the BM25
+        # materialization below (guide §2.6). Same legs, same rows.
+        brute = ann_cosine_topk(spark, sf_dir).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            contrib.alias("c_dense"),
+        )
+        ivf = ann_ivf_kmeans(spark, sf_dir).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            contrib.alias("c_dense"),
+        )
+        return brute, ivf
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        dense_f = pool.submit(_build_dense)
+        # Materialize BEFORE fanning out (ADVICE r12 #1, the round-7
+        # _bm25_ranked precedent): the two fusion branches launch their
+        # stages concurrently, and a lazily populated cache lets them
+        # race to recompute the BM25 ranking — count() pins 'computed
+        # once'.
+        lex.count()
+        brute, ivf = dense_f.result()
     return _rrf_fuse(lex, brute).withColumn(
         "dense_leg", F.lit("brute")
     ).unionByName(_rrf_fuse(lex, ivf).withColumn("dense_leg", F.lit("ivf")))

@@ -263,19 +263,51 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_minhash,
 )
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
+    from concurrent.futures import ThreadPoolExecutor
 
     from mapreduce_distributed_systems_spark.operators.dedup import (
         dedup_minhash_lsh,
     )
 
-    # report-sized pair frames, persisted: four actions follow, and
-    # without the persist each would re-run the banded pipelines
+    # report-sized pair frames, persisted: the actions below would
+    # otherwise each re-run the banded pipelines.
     mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     sh = dedup_simhash64(spark, sf_dir).select("doc_a", "doc_b").persist()
-    n_mh = mh.count()
-    n_sh = sh.count()
-    n_both = mh.join(sh, ["doc_a", "doc_b"]).count()
-    n_either = mh.unionByName(sh).distinct().count()
+    # The two generators share NOTHING (different signatures, different
+    # band joins), so their materializing counts run as concurrent
+    # driver-thread jobs (guide §2.6): each pipeline's tail back-fills
+    # cores the other's barrier leaves idle, and Catalyst
+    # analysis/planning of the two big plans overlaps too (probe_jobs
+    # r13: ~3.3 s of the warm wall was sequential pre-job planning
+    # gaps). Independent jobs, same counts — results unchanged.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_mh, f_sh = pool.submit(mh.count), pool.submit(sh.count)
+        n_mh, n_sh = f_mh.result(), f_sh.result()
+    # intersection + union sizes in ONE job over the persisted
+    # report-sized frames: both pair sets are unique by construction
+    # (mh is a groupBy output, sh a distinct), so a full-outer join on
+    # the pair key has exactly |union| rows of which |intersection|
+    # match both sides — replacing the former join-count + separate
+    # union-distinct-count pair of jobs with one (same two numbers).
+    row = (
+        mh.withColumn("_a", F.lit(1))
+        .join(
+            sh.withColumn("_b", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "full_outer",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_either"),
+            F.sum(
+                (F.col("_a").isNotNull() & F.col("_b").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("n_both"),
+        )
+        .collect()[0]
+    )
+    n_both = int(row["n_both"] or 0)
+    n_either = int(row["n_either"])
     # round HALF-AWAY-FROM-ZERO like the oracle's SQL round() — Python
     # round() is banker's and would diverge on exact .00005 boundaries
     agreement = (

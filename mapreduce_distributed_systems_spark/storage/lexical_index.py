@@ -132,22 +132,32 @@ def write_bm25_index(
     manifest as positions_dir. Versions without it simply omit the
     key — readers that need phrase support must check (and tests pin
     that append commits carry the component forward)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     post_dir = os.path.join(base_dir, f"postings-{version:03d}")
     terms_dir = os.path.join(base_dir, f"terms-{version:03d}")
     dl_dir = os.path.join(base_dir, f"doclens-{version:03d}")
+
     # one task per bucket: repartition on the partition key BEFORE
     # partitionBy, else every upstream task writes a file into every
     # bucket dir (the vector_index round-8 small-files finding:
     # task_count x buckets files is the classic failure at scale)
-    (
-        post.withColumn("tb", term_bucket(F.col("term"), n_buckets))
-        .repartition("tb")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(post_dir)
-    )
-    terms.write.mode("overwrite").parquet(terms_dir)
-    doclens.write.mode("overwrite").parquet(dl_dir)
+    def _write_post():
+        (
+            post.withColumn("tb", term_bucket(F.col("term"), n_buckets))
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(post_dir)
+        )
+
+    def _write_terms():
+        terms.write.mode("overwrite").parquet(terms_dir)
+
+    def _write_dl():
+        doclens.write.mode("overwrite").parquet(dl_dir)
+
+    writes = [_write_post, _write_terms, _write_dl]
     manifest = {
         "version": version,
         "postings_dir": post_dir,
@@ -158,14 +168,32 @@ def write_bm25_index(
     }
     if positions is not None:
         pos_dir = os.path.join(base_dir, f"positions-{version:03d}")
-        (
-            positions.withColumn("tb", term_bucket(F.col("term"), n_buckets))
-            .repartition("tb")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(pos_dir)
-        )
+
+        def _write_pos():
+            (
+                positions.withColumn(
+                    "tb", term_bucket(F.col("term"), n_buckets)
+                )
+                .repartition("tb")
+                .write.mode("overwrite")
+                .partitionBy("tb")
+                .parquet(pos_dir)
+            )
+
+        writes.append(_write_pos)
         manifest["positions_dir"] = pos_dir
+    # r13 optimization (guide §2.6): the component writes are
+    # independent jobs — callers materialize the shared tf cache with
+    # an action BEFORE committing (build_and_commit_bm25's stats
+    # .first(); the append path's inputs re-read stored parquet), so
+    # concurrent writes cannot race to populate a cold cache. Running
+    # them from driver threads lets each write's straggler tail
+    # back-fill the others' idle cores. ALL writes still finish before
+    # any manifest byte appears — the pool join below is the barrier,
+    # so the data-before-pointer atomic-commit contract is unchanged.
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for f in [pool.submit(w) for w in writes]:
+            f.result()
     ver_path = os.path.join(base_dir, f"manifest-{version:03d}.json")
     ver_tmp = ver_path + ".tmp"
     with open(ver_tmp, "w") as f:

@@ -295,7 +295,7 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from mapreduce_distributed_systems_spark.operators.kmeans import (
-        assign_int8,
+        assign_carry_int8,
         kmeans_fit_int8,
         quantize_int8,
     )
@@ -315,12 +315,20 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_fit_int8(
         q8b, k=ivf_k_for(n_b), n_iter=IVF_KMEANS_ITER, n=n_b
     )
-    ab = assign_int8(q8b, cents).select("vec_id", "cell")
     cells = spark.createDataFrame(
         [(int(c), [int(x) for x in cents[c]]) for c in range(len(cents))],
         "cell int, cv array<bigint>",
     )
-    codes1 = q8b.join(ab, "vec_id").withColumn("gen", F.lit(1))
+    # one narrow assign pass CARRYING qv (r13 optimization): the former
+    # q8b.join(assign_int8(...), "vec_id") re-derived the quantize
+    # subtree for the probe side and paid a vec_id-keyed exchange —
+    # assign_carry_int8 exists precisely to co-locate (qv, cell) in one
+    # Python pass (same rows, same columns after the select)
+    codes1 = (
+        assign_carry_int8(q8b, cents)
+        .select("vec_id", "qv", "cell")
+        .withColumn("gen", F.lit(1))
+    )
     write_ivf_index(
         codes1, cells, base_dir, meta={"n_vectors": n_b}, version=1
     )
@@ -333,9 +341,10 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = emb.where(F.col("vec_id") % 2 == 1)
     q8n = quantize_int8(new)
-    an = assign_int8(q8n, frozen).select("vec_id", "cell")
     codes2 = codes_v1.unionByName(
-        q8n.join(an, "vec_id").withColumn("gen", F.lit(2))
+        assign_carry_int8(q8n, frozen)
+        .select("vec_id", "qv", "cell")
+        .withColumn("gen", F.lit(2))
     )
     write_ivf_index(
         codes2, cells_v1, base_dir, meta={"appended": True}, version=2
