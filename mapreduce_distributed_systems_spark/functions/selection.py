@@ -254,8 +254,30 @@ def select_first_by_value(
 
     Results are exactly `row_number() OVER (PARTITION BY group ORDER
     BY value [DESC], id) <= quota` for any distribution.
+
+    Plan economy, level 4 (optimization round 13): the boundary
+    tables are O(|groups|) rows and every consumer BROADCASTS them —
+    and a BroadcastExchange collects its input to the driver anyway —
+    so they are now pre-collected into LOCAL tables (one bounded
+    driver action each) instead of living as lazy subplans. Before,
+    each of the union's output branches embedded a full copy of each
+    boundary table's lineage (histogram -> pack -> walk over the
+    corpus cache), and the two scalar frames (`bounds` span in the
+    caller, `id_span` here) were cross-joined as 1-row broadcast
+    relations under EVERY branch: the executed curation plan carried
+    372 physical operators / 47 exchanges / 35 broadcast exchanges /
+    20 BroadcastNestedLoopJoins, AQE compiled 93 jobs per run, and
+    Catalyst planning alone was a measured 1.6 s of the 6.9 s sf0.1
+    warm wall. Collecting the bounded tables makes every aux input a
+    LocalTableScan leaf, the id span a pair of LITERALS, and level 1
+    + level 2 ONE job (the crossing row carries `_bbkt` from the
+    vsliver join, so the level-1 boundary is a projection of the
+    level-2 collect). Same rows out for any distribution — the
+    property suite in tests/test_selection.py diffs against the naive
+    window.
     """
     group_cols = list(group_cols)
+    spark = df.sparkSession
     val_order = F.col(value_col).desc() if value_desc else F.col(value_col)
 
     # THE corpus-sized pass: per-(group, bucket, value) counts,
@@ -277,30 +299,35 @@ def select_first_by_value(
     )
     wv = W.partitionBy(*group_cols).orderBy(val_order)
     vcum = vsliver.withColumn("_vcum", F.sum("_vc").over(wv))
-    # residual >= 1 and <= the boundary bucket's count, so exactly one
-    # value row per group crosses it: the boundary value. O(|groups|)
-    # rows; cached because it feeds two broadcast builds (the tagged
-    # frame and the level-3 quotas).
-    vbound = (
-        vcum.where(
-            (F.col("_vcum") - F.col("_vc") < F.col("_residual"))
-            & (F.col("_vcum") >= F.col("_residual"))
-        )
-        .select(
-            *group_cols,
-            F.col(value_col).alias("_bval"),
-            (
-                F.col("_residual") - (F.col("_vcum") - F.col("_vc"))
-            ).alias("_vres"),
-        )
-        .cache()
+    # the crossing row: for every group whose residual is >= 1 exactly
+    # one value row crosses it — the boundary value. (A non-positive
+    # residual — possible when `quota` is an expression that floors to
+    # <= 0 — has a level-1 boundary but NO crossing row; the left join
+    # below keeps such groups with a null _bval, preserving the old
+    # two-table behavior where they match neither keep-strictly-better
+    # nor the tie branch.)
+    crossing = vcum.where(
+        (F.col("_vcum") - F.col("_vc") < F.col("_residual"))
+        & (F.col("_vcum") >= F.col("_residual"))
+    ).select(
+        *group_cols,
+        F.col(value_col).alias("_bval"),
+        (F.col("_residual") - (F.col("_vcum") - F.col("_vc"))).alias("_vres"),
     )
+    # ONE bounded collect (O(|groups|) rows — the size every consumer
+    # would have broadcast regardless) yields the level-1 AND level-2
+    # boundary tables together.
+    b2 = bound.join(crossing, group_cols, "left")
+    blocal = spark.createDataFrame(b2.collect(), b2.schema)
 
-    # one tagged frame carries both boundary tables; every output
-    # branch below is a narrow filter over it (no per-branch shuffles)
-    tagged = (
-        df.join(F.broadcast(bound.drop("_residual")), group_cols, "left")
-        .join(F.broadcast(vbound.drop("_vres")), group_cols, "left")
+    # one tagged frame carries the boundary columns; every output
+    # branch below is a narrow filter over it (no per-branch shuffles).
+    # ONE left join against the local table replaces the former
+    # bound-then-vbound broadcast pair.
+    tagged = df.join(
+        F.broadcast(blocal.select(*group_cols, "_bbkt", "_bval")),
+        group_cols,
+        "left",
     )
     strictly_better = (
         F.col(value_col) > F.col("_bval")
@@ -320,22 +347,26 @@ def select_first_by_value(
     ).drop("_bbkt", "_bval")
 
     # level 3: first `_vres` of the tie mass by id, through the same
-    # threshold machinery with an id-span-scaled bucket. The span is a
-    # broadcast scalar over the full input (one cheap agg), so the
-    # bucket domain is bounded and monotone in id for any id range.
-    id_span = df.agg(
-        F.min(id_col).alias("_imn"), F.max(id_col).alias("_imx")
-    )
-    tie_b = tie.crossJoin(F.broadcast(id_span)).withColumn(
+    # threshold machinery with an id-span-scaled bucket. The span is
+    # one bounded scalar action over the full input, inlined as
+    # LITERALS (monotone in id for any id range; the former 1-row
+    # crossJoin-broadcast re-planned the span agg under every branch).
+    imn, imx = df.agg(F.min(id_col), F.max(id_col)).first()
+    if imn is None:  # empty input: tie is empty too, keep exprs typed
+        imn, imx = 0, 1
+    tie_b = tie.withColumn(
         "_ibkt",
         F.expr(
-            f"CAST((({id_col} - _imn) * {ID_BUCKETS}) div "
-            "greatest(_imx - _imn, 1) AS BIGINT)"
+            f"CAST((({id_col} - {imn}) * {ID_BUCKETS}) div "
+            f"greatest({imx} - {imn}, 1) AS BIGINT)"
         ),
     )
-    tie_quotas = vbound.select(*group_cols, F.col("_vres").alias("_quota"))
+    tie_quotas = blocal.where(F.col("_vres").isNotNull()).select(
+        *group_cols, F.col("_vres").alias("_quota")
+    )
     t_bound = _boundary_table(tie_b, group_cols, "_ibkt", quotas=tie_quotas)
-    t_tagged = tie_b.join(F.broadcast(t_bound), group_cols, "left")
+    t_local = spark.createDataFrame(t_bound.collect(), t_bound.schema)
+    t_tagged = tie_b.join(F.broadcast(t_local), group_cols, "left")
     t_keep = t_tagged.where(
         F.col("_bbkt").isNull() | (F.col("_ibkt") < F.col("_bbkt"))
     ).drop("_bbkt", "_residual")
@@ -346,5 +377,5 @@ def select_first_by_value(
         .where(F.col("_rn") <= F.col("_residual"))
         .drop("_rn", "_bbkt", "_residual")
     )
-    tie_kept = t_keep.unionByName(t_picked).drop("_ibkt", "_imn", "_imx")
+    tie_kept = t_keep.unionByName(t_picked).drop("_ibkt")
     return keep.unionByName(tie_kept)

@@ -434,14 +434,19 @@ def curation_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFra
     # any finishes populating it (round-7 profile: ~10 concurrent
     # re-executions of the scoring subtree, 92 jobs for one query)
     scored.count()
-    bounds = scored.agg(
-        F.max("score").alias("_mx"), F.min("score").alias("_mn")
-    )
-    bucketed = scored.crossJoin(F.broadcast(bounds)).withColumn(
+    # global score span as LITERALS (one bounded scalar action over
+    # the cache): the former 1-row crossJoin-broadcast span frame sat
+    # under every branch of the selection machinery's plan — 20
+    # BroadcastNestedLoopJoins in the executed r13-before plan, each
+    # an AQE-compiled sub-job (r13 optimization; same bucket values).
+    mx, mn = scored.agg(F.max("score"), F.min("score")).first()
+    if mx is None:  # empty corpus: no rows to bucket, keep exprs typed
+        mx, mn = 1, 0
+    bucketed = scored.withColumn(
         "_sbkt",
         F.expr(
-            f"CAST(((_mx - score) * {_SCORE_BUCKETS}) div "
-            "greatest(_mx - _mn, 1) AS BIGINT)"
+            f"CAST((({mx} - score) * {_SCORE_BUCKETS}) div "
+            f"greatest({mx} - ({mn}), 1) AS BIGINT)"
         ),
     )
     picked = select_first_by_value(
