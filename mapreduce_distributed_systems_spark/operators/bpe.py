@@ -161,13 +161,63 @@ def _word_freqs(docs: DataFrame) -> DataFrame:
     )
 
 
+# Driver-side training gate (optimization round 13, the kmeans
+# DRIVER_FIT_MAX_ROWS pattern): every merge round reads only the
+# vocabulary-sized word table, but the distributed loop paid one
+# pair-count aggregate + a one-row argmax collect PER ROUND —
+# probe_jobs measured 2 jobs x N_MERGES plus their submission gaps as
+# ~1.5 s of the 2.3 s sf0.1 warm wall. When the vocabulary fits the
+# bound, ONE limit-collect pulls the symbolized word table and the
+# rounds run in local Python with the SAME semantics: adjacent-pair
+# counts weighted by f (exact ints), argmax by (count desc, l, r) —
+# Python's code-point string order equals Spark's binary UTF8 order —
+# and greedy left-to-right non-overlapping str.replace, which is
+# exactly Spark's replace(). Bit-identical merges, pinned by
+# tests/test_bpe.py::test_driver_train_matches_distributed. Above the
+# gate (a real web-scale vocabulary) the distributed loop is
+# unchanged — the limit-collect probe costs one bounded job.
+BPE_DRIVER_MAX_WORDS = 65536
+
+
+def _train_merges_driver(spark: SparkSession, rows, schema, n_merges: int):
+    ws = [r["w"] for r in rows]
+    fs = [int(r["f"]) for r in rows]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, f in zip(ws, fs):
+            syms = [s for s in w.split("|") if s]
+            for j in range(len(syms) - 1):
+                k = (syms[j], syms[j + 1])
+                cnt[k] = cnt.get(k, 0) + f
+        if not cnt:  # vocabulary fully merged: data-bounded stop
+            break
+        (lft, rgt), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lft, rgt, lft + rgt, int(c)))
+        pat, rep = f"|{lft}||{rgt}|", f"|{lft}{rgt}|"
+        ws = [w.replace(pat, rep) for w in ws]
+    final_rows = [
+        tuple(w if fld.name == "w" else row[fld.name] for fld in schema)
+        for w, row in zip(ws, rows)
+    ]
+    return merges, spark.createDataFrame(final_rows, schema)
+
+
 def _train_merges(wdf: DataFrame, n_merges: int):
     """Run `n_merges` rounds over a symbolized word frame (any extra
     columns — e.g. the carried `word` — ride along untouched). Returns
     (merge rows, final word frame). Shared by the training query, the
     encode query, and the round-cost probe so the loop semantics exist
-    in exactly one place."""
+    in exactly one place. Runs driver-side below BPE_DRIVER_MAX_WORDS
+    (bit-identical — see the gate comment above)."""
     carried = [c for c in wdf.columns if c not in ("w",)]
+    probe = wdf.limit(BPE_DRIVER_MAX_WORDS + 1).collect()
+    if len(probe) <= BPE_DRIVER_MAX_WORDS:
+        return _train_merges_driver(
+            wdf.sparkSession, probe, wdf.schema, n_merges
+        )
     merges = []
     for rank in range(1, n_merges + 1):
         top_rows = (

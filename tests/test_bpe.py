@@ -173,3 +173,31 @@ def test_exhausted_vocabulary_matches_oracle(spark, tmp_path):
             assert len(s_rows) == 2  # data-bounded stop, not N_MERGES
         else:
             assert len(s_rows) == 2  # one row per doc survives exhaustion
+
+
+def test_driver_train_matches_distributed(spark, sf_dir):
+    """The r13 driver-side training gate (one bounded limit-collect +
+    local Python rounds) must be bit-identical to the distributed
+    per-round aggregate/argmax loop it replaces below
+    BPE_DRIVER_MAX_WORDS — the oracle replays the rounds CTE-for-CTE,
+    so any drift is a certified-hash break. Checks both the merge
+    table and the final (carried-word) frame."""
+    import mapreduce_distributed_systems_spark.operators.bpe as bpe
+    from mapreduce_distributed_systems_spark.sources import load_table
+
+    wf = bpe._word_freqs(load_table(spark, sf_dir, "documents"))
+    try:
+        sym = bpe._symbolized(wf, carry_word=True)
+        m_drv, f_drv = bpe._train_merges(sym, bpe.N_MERGES)
+        old = bpe.BPE_DRIVER_MAX_WORDS
+        bpe.BPE_DRIVER_MAX_WORDS = -1  # force the distributed loop
+        try:
+            m_dist, f_dist = bpe._train_merges(sym, bpe.N_MERGES)
+        finally:
+            bpe.BPE_DRIVER_MAX_WORDS = old
+        assert m_drv == m_dist
+        rows_drv = sorted(tuple(r) for r in f_drv.collect())
+        rows_dist = sorted(tuple(r) for r in f_dist.collect())
+        assert rows_drv == rows_dist
+    finally:
+        wf.unpersist()
