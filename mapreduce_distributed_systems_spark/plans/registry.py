@@ -128,26 +128,31 @@ def _load() -> None:
 # prefix of queries() (50 entries observed in rounds 1-12), so ordering
 # decides which queries get the hard external oracle signal. The window
 # ROTATES per round. Round-13 composition (computed mechanically by
-# tools/plan_window.py from the folded r1-r12 evidence — exactly as the
-# r12 rotation pre-computed, plus the r13 fingerprint changes):
+# tools/plan_window.py from the folded r1-r12 evidence; RE-PLANNED at
+# the r13 OPTIMIZATION round after its fn-source changes — five more
+# certified fingerprints moved, so five planning names spill to r14):
 #   (a) the two never-certified r13 registrations:
 #       dedup_span_rewrite (staged r10; Lee-et-al exact-substring
 #       dedup rewrite — the operation the r12-certified
 #       doc_dup_ngram_mass measurement motivates) and doc_chunking
 #       (the r12-staged chunking pair landed as ONE rel-keyed query —
-#       the THIRD documented registry-ceiling merge, executed BEFORE
-#       either half registered per VERDICT r12 #3; the staged
+#       the THIRD documented registry-ceiling merge; the staged
 #       callables doc_chunk_split / doc_chunk_dedup remain for
 #       composition and tests);
-#   (b) two changed-fingerprint queries, both from ADVICE r12:
-#       retrieval_rrf_fusion_ivf (cache materialized before the
-#       fusion fan-out, #1) and retrieval_quality_bm25_rrf (declares
-#       its _rrf_fuse / retrieval_rrf_fusion helpers, #2 — the
-#       fingerprint now covers the shared fusion body);
+#   (b) seven changed-fingerprint queries: retrieval_rrf_fusion_ivf
+#       (ADVICE r12 #1 cache materialization + the optimization
+#       round's dense-leg thread/caching), retrieval_quality_bm25_rrf
+#       (ADVICE r12 #2 helper fingerprinting), sketch_kmv_distinct /
+#       sketch_kmv_merge (numeric-prefix kth max restoring
+#       HashAggregate), and the optimization round's barrier-removal
+#       edits to ann_ivf_index_append, curation_top_quality_per_source
+#       and dedup_method_agreement (all replay-verified MATCH at
+#       sf0.001 + sf0.01 before the window was re-planned);
 #   (c) the 4 r8-cohort window_* names that spilled at r12 and cross
 #       the hard >3-stale floor this round;
-#   (d) 42 of the 46 r9-certified planning names (exactly 3 rounds
-#       old); the 4 spilled names (token_count_methods, wc,
+#   (d) 37 of the 44 r9-certified planning names (exactly 3 rounds
+#       old); the 7 spilled names (stratified_sample_per_lang,
+#       text_quality, text_token_rarity, token_count_methods, wc,
 #       wc_mr_facade, window_ntile_pctrank) HEAD the r14 window as
 #       its hard-stale floor.
 # Everything outside the window stays covered by tests/test_parity.py,
@@ -157,15 +162,20 @@ GATE_ORDER = (
     # -- never-certified (2) --
     "dedup_span_rewrite",
     "doc_chunking",
-    # -- changed-fingerprint (2) --
+    # -- changed-fingerprint (7) --
+    "ann_ivf_index_append",
+    "curation_top_quality_per_source",
+    "dedup_method_agreement",
     "retrieval_quality_bm25_rrf",
     "retrieval_rrf_fusion_ivf",
+    "sketch_kmv_distinct",
+    "sketch_kmv_merge",
     # -- hard-stale (4) --
     "window_range_30d",
     "window_rank_top3",
     "window_running_total",
     "window_value_picks",
-    # -- planning refresh (42) --
+    # -- planning refresh (37) --
     "chunk_documents",
     "corpus_decontamination_ngram",
     "curation_token_budget_select",
@@ -202,22 +212,20 @@ GATE_ORDER = (
     "q5_local_supplier",
     "sample_deterministic_10pct",
     "shard_pruned_read",
-    "sketch_kmv_distinct",
-    "sketch_kmv_merge",
     "skew_salted_agg",
-    "stratified_sample_per_lang",
-    "text_quality",
-    "text_token_rarity",
 )
 
-# Round-14 rotation note (preview verified at r13 close with
-# tools/plan_window.py --preview): the 4 r9-cohort names that spilled
-# at r13 (token_count_methods, wc, wc_mr_facade, window_ntile_pctrank)
-# cross the hard >3-stale floor at r14 and MUST head the window; the
-# planning cohort is the 47 names whose newest row is r10 (preview:
-# 46 fill, zorder_key_events spills to r15's head — plus 1 more spill
-# per r14 registration/fingerprint change, so registering
-# pipeline_chunk_index pushes 2 names to r15). Recompute from
+# Round-14 rotation note (preview re-verified after the r13
+# OPTIMIZATION re-plan with tools/plan_window.py --preview): the 7
+# r9-cohort names that spilled at r13 (stratified_sample_per_lang,
+# text_quality, text_token_rarity, token_count_methods, wc,
+# wc_mr_facade, window_ntile_pctrank) cross the hard >3-stale floor
+# at r14 and MUST head the window; the planning cohort is the 47
+# names whose newest row is r10 (preview: 43 fill;
+# training_epoch_shuffle, vocab_build_encode, window_dedup_latest,
+# zorder_key_events spill to r15's head — plus 1 more spill per r14
+# registration/fingerprint change, so registering
+# pipeline_chunk_index pushes 5 names to r15). Recompute from
 # cert_state at r14 open (fold CORRECTNESS_r13.json first —
 # round-open checklist step 1), then run tools/plan_window.py and
 # paste.
