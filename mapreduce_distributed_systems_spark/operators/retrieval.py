@@ -745,25 +745,16 @@ def retrieval_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # embeddings table — independent of the lexical leg, so they
         # run on a driver thread concurrently with the BM25
         # materialization below (guide §2.6). Same legs, same rows.
-        # Each leg is cached AND materialized here (bounded:
-        # <= queries x ANN top-k rows, like the lexical leg): before,
-        # the final fused plan embedded both rankers' full lineage —
-        # 1,856 plan lines, and probe_jobs measured a 2.6 s pure-
-        # driver planning gap between the last build action and the
-        # first fused-stage job. With all three legs as materialized
-        # InMemoryRelations the fused plan is the fusion alone.
         brute = ann_cosine_topk(spark, sf_dir).select(
             "query_id",
             F.col("neighbor_id").alias("doc_id"),
             contrib.alias("c_dense"),
-        ).cache()
-        brute.count()
+        )
         ivf = ann_ivf_kmeans(spark, sf_dir).select(
             "query_id",
             F.col("neighbor_id").alias("doc_id"),
             contrib.alias("c_dense"),
-        ).cache()
-        ivf.count()
+        )
         return brute, ivf
 
     with ThreadPoolExecutor(max_workers=1) as pool:
