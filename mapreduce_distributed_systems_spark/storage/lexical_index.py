@@ -113,6 +113,7 @@ def write_bm25_index(
     version: int = MANIFEST_VERSION,
     n_buckets: int = N_TERM_BUCKETS,
     positions: DataFrame | None = None,
+    pre_bucketed: bool = False,
 ) -> str:
     """Commit a BM25 index version: `post` is (term, doc_id, tf, dl)
     — the impact-pruned postings with doc length denormalized in —
@@ -131,7 +132,15 @@ def write_bm25_index(
     it is written under the same tb layout and recorded in the
     manifest as positions_dir. Versions without it simply omit the
     key — readers that need phrase support must check (and tests pin
-    that append commits carry the component forward)."""
+    that append commits carry the component forward).
+
+    `pre_bucketed=True` (r14 optimization, guide §2.4) declares that
+    the caller already attached a `tb` column computed with THIS
+    `n_buckets` and hash-repartitioned the component frames by it —
+    the shape `_prune_to_buckets` produces, where the prune window's
+    exchange doubles as the write layout exchange — so the writer
+    skips its own withColumn + repartition instead of paying a second,
+    redundant shuffle of the postings."""
     from concurrent.futures import ThreadPoolExecutor
 
     post_dir = os.path.join(base_dir, f"postings-{version:03d}")
@@ -142,10 +151,16 @@ def write_bm25_index(
     # partitionBy, else every upstream task writes a file into every
     # bucket dir (the vector_index round-8 small-files finding:
     # task_count x buckets files is the classic failure at scale)
+    def _bucketed(df: DataFrame) -> DataFrame:
+        if pre_bucketed:
+            return df  # tb attached + partitioned by the caller
+        return df.withColumn(
+            "tb", term_bucket(F.col("term"), n_buckets)
+        ).repartition("tb")
+
     def _write_post():
         (
-            post.withColumn("tb", term_bucket(F.col("term"), n_buckets))
-            .repartition("tb")
+            _bucketed(post)
             .write.mode("overwrite")
             .partitionBy("tb")
             .parquet(post_dir)
@@ -171,10 +186,7 @@ def write_bm25_index(
 
         def _write_pos():
             (
-                positions.withColumn(
-                    "tb", term_bucket(F.col("term"), n_buckets)
-                )
-                .repartition("tb")
+                _bucketed(positions)
                 .write.mode("overwrite")
                 .partitionBy("tb")
                 .parquet(pos_dir)
@@ -272,6 +284,35 @@ def read_positional_postings(
     )
 
 
+def _prune_to_buckets(rel: DataFrame, cap: int, n_buckets: int) -> DataFrame:
+    """impact_prune fused with the write layout's bucket exchange
+    (r14, guide §2.4 — two operations keyed compatibly share one
+    exchange): stage 1 is the same per-input-partition top-cap per
+    term (a superset of the global top-cap, no exchange); stage 2
+    repartitions by the PHYSICAL bucket key tb = pmod(xxhash64(term),
+    n_buckets) — hash(tb) clusters every term's rows, so the per-term
+    rank window runs on that same exchange (HashPartitioning(tb)
+    satisfies ClusteredDistribution(tb, term)) and the bucketed
+    parquet write consumes it directly. Identical rows to
+    impact_prune(rel, cap) (tb is constant within a term, so the
+    (tb, term) window partition IS the term partition) with ONE
+    exchange instead of prune-by-term + repartition-by-tb. Extra
+    columns (dl, positions) ride through untouched."""
+    w1 = W.partitionBy(F.spark_partition_id(), "term").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    local = rel.withColumn("_prn", F.row_number().over(w1)).where(
+        F.col("_prn") <= cap
+    ).drop("_prn")
+    local = local.withColumn(
+        "tb", term_bucket(F.col("term"), n_buckets)
+    ).repartition("tb")
+    w2 = W.partitionBy("tb", "term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return local.withColumn("_prn", F.row_number().over(w2)).where(
+        F.col("_prn") <= cap
+    ).drop("_prn")
+
+
 def build_and_commit_bm25(
     spark: SparkSession,
     sf_dir: str,
@@ -279,39 +320,79 @@ def build_and_commit_bm25(
     version: int = 1,
     with_positions: bool = False,
     cap: int = POSTING_CAP,
+    n_buckets: int = N_TERM_BUCKETS,
 ) -> str:
     """The scheduled build job: tokenize once, aggregate the index
     tables (the wc/indexer shuffle shape), impact-prune the postings,
-    commit. The (doc, term, tf) relation is cached only ACROSS the
-    build's writes — every write is an action, so the cache is
-    provably dead when this returns and is unpersisted here, not
-    leaked to the serving session (ADVICE r9 on the in-query twin).
-    `with_positions=True` additionally builds and commits the
-    positional component for phrase queries; `cap` overrides the
-    impact-prune posting cap (planted-corpus tests use a tiny cap to
-    exercise eviction paths cheaply). Both default to the round-10
-    certified build's behavior exactly."""
+    commit.
+
+    r14 single-pass restructure (VERDICT r13 #3, guide §2.3/§2.4):
+    ONE annotated relation feeds every component. The (doc, term, tf)
+    aggregate — built from ONE tokenize (posexplode when phrase
+    support is requested, so the positional component no longer pays
+    a second corpus tokenize) — takes one doc_id-keyed exchange that
+    computes dl = sum(tf) over the doc (an unordered window; per-doc
+    data is bounded by document length, so no hot-key risk) and marks
+    one row per doc. That relation is cached; then
+      - doclens   = the marked rows, map-only off the cache (was a
+                    groupBy shuffle per write);
+      - stats     = one bounded agg over doclens (the action that
+                    also materializes the cache);
+      - terms(df) = one map-side-combined agg (unchanged shape);
+      - postings  = _prune_to_buckets: the impact prune fused with
+                    the bucket-layout exchange, dl already carried
+                    (was prune-by-term + a doc-keyed dl join + a
+                    second repartition-by-tb);
+      - positions = the SAME pruned relation projected to its
+                    offsets column (was an independent posexplode
+                    tokenize + aggregate + prune).
+    The cache lives only ACROSS the build's writes — every write is
+    an action, so it is provably dead when this returns and is
+    unpersisted here, not leaked to the serving session (ADVICE r9).
+    `cap` overrides the impact-prune posting cap (planted-corpus
+    tests use a tiny cap to exercise eviction paths cheaply). Content
+    is byte-identical to the round-10 certified build: same prune
+    order, same dl/df/stats values (dl is an integer sum, so the
+    window's summation order cannot move avgdl)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
+    if with_positions:
+        tok = docs.select(
+            "doc_id", F.posexplode(words("text")).alias("pos", "term")
+        )
+        base = tok.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    else:
+        tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
+        base = tok.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+    wd = W.partitionBy("doc_id")
+    ann = (
+        base.withColumn("dl", F.sum("tf").over(wd).cast("long"))
+        # one row per doc for the doclens projection: (doc_id, term)
+        # is unique after the aggregate, so the min-term row is a
+        # deterministic single marker — min() shares the unordered
+        # window (no sort) the dl sum already pays
+        .withColumn("_first", F.col("term") == F.min("term").over(wd))
         .cache()
     )
     try:
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-        n_docs, avgdl = dl.agg(
+        doclens = ann.where(F.col("_first")).select("doc_id", "dl")
+        n_docs, avgdl = doclens.agg(
             F.count("*").cast("long"),
             F.sum("dl").cast("double") / F.count("*"),
-        ).first()
-        terms = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-        post = impact_prune(tf, cap).join(dl, "doc_id").select(
-            "term", "doc_id", "tf", "dl"
+        ).first()  # ... and this action materializes the cache
+        terms = ann.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
         )
+        pruned = _prune_to_buckets(ann, cap, n_buckets)
+        post = pruned.select("term", "doc_id", "tf", "dl", "tb")
         return write_bm25_index(
             post,
             terms,
-            dl,
+            doclens,
             {
                 "n_docs": int(n_docs),
                 "avgdl": float(avgdl),
@@ -319,12 +400,16 @@ def build_and_commit_bm25(
             },
             base_dir,
             version=version,
+            n_buckets=n_buckets,
             positions=(
-                positional_postings(docs, cap) if with_positions else None
+                pruned.select("term", "doc_id", "tf", "positions", "tb")
+                if with_positions
+                else None
             ),
+            pre_bucketed=True,
         )
     finally:
-        tf.unpersist()
+        ann.unpersist()
 
 
 def append_bm25_index(
@@ -360,10 +445,15 @@ def append_bm25_index(
     # construction, but rewriting every bucket keeps the commit one
     # self-contained version (at 100 TB this runs per touched bucket
     # with the untouched ones hard-linked forward; parquet-dir
-    # versioning here rewrites them — same contract, simpler files)
-    merged = impact_prune(
+    # versioning here rewrites them — same contract, simpler files).
+    # r14: the re-prune is fused with the write's bucket exchange
+    # (_prune_to_buckets), same rows as impact_prune with one less
+    # shuffle of the merged postings.
+    nb = int(manifest["n_term_buckets"])
+    merged = _prune_to_buckets(
         post0.select("term", "doc_id", "tf", "dl").unionByName(postn),
         cap,
+        nb,
     )
     dfn = tfn.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     terms = (
@@ -389,17 +479,19 @@ def append_bm25_index(
     if "positions_dir" in manifest:
         pos0 = read_positional_postings(spark, manifest)
         posn = positional_postings(new_docs, cap)
-        positions = impact_prune(
+        positions = _prune_to_buckets(
             pos0.select("term", "doc_id", "tf", "positions").unionByName(
                 posn
             ),
             cap,
-        ).select("term", "doc_id", "tf", "positions")
+            nb,
+        ).select("term", "doc_id", "tf", "positions", "tb")
     return write_bm25_index(
         merged, terms, doclens, stats, base_dir,
         version=manifest["version"] + 1,
-        n_buckets=int(manifest["n_term_buckets"]),  # layout carried forward
+        n_buckets=nb,  # layout carried forward
         positions=positions,
+        pre_bucketed=True,
     )
 
 
@@ -668,6 +760,8 @@ def phrase_topk_from_index(
     "positions — candidates bounded by PHRASE_LEN x the rarest term's "
     "posting cap, never a corpus scan. Ranked by hit count with a "
     "deterministic doc_id tiebreak.",
+    helpers=(build_and_commit_bm25, write_bm25_index, _prune_to_buckets,
+             phrase_topk_from_index),  # VERDICT r13 #1c + r14 build
 )
 def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build+commit the index WITH its positional component, reload
@@ -697,6 +791,10 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "write/commit/load cycle is semantically invisible. This is the "
     "serving path a 100 TB document store runs: indexing is a build "
     "job, queries read {manifest + probed term buckets}.",
+    # VERDICT r13 #1c + r14 single-pass build: the certified behavior
+    # lives in these shared helpers
+    helpers=(build_and_commit_bm25, write_bm25_index, _prune_to_buckets,
+             bm25_topk_from_index),
 )
 def doc_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("bm25_index_")
@@ -969,6 +1067,8 @@ def index_version_diff(
     "lockstep with the scoring postings. This is the change feed an "
     "incremental downstream (cache invalidation, replica shipping) "
     "consumes instead of re-reading the whole artifact.",
+    helpers=(build_and_commit_bm25, append_bm25_index, write_bm25_index,
+             _prune_to_buckets, index_version_diff),  # r13 #1c + r14
 )
 def bm25_index_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the base index from the even doc_id half WITH the
@@ -1125,6 +1225,8 @@ def gc_bm25_index(base_dir: str, keep_latest: int = 2) -> dict:
     "(tombstone-first crash-safe ledger), then serve from what "
     "remains — a post-GC index must return byte-identical BM25 "
     "rankings or the driver hash catches it.",
+    helpers=(build_and_commit_bm25, write_bm25_index, _prune_to_buckets,
+             bm25_topk_from_index, gc_bm25_index),  # r13 #1c + r14
 )
 def doc_bm25_serve_post_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered r12 (oracle: BM25_ORACLE, identical to
