@@ -403,7 +403,17 @@ def _fit_sample_int8(q8: DataFrame, n: int | None, k: int = K) -> DataFrame:
         n = q8.count()
     cap = max(FIT_SAMPLE_CAP, FIT_PER_CELL * k)
     if n <= cap:
-        return q8
+        # ADVICE r13 #2: a STALE caller-supplied n (<= cap while the
+        # frame actually holds more rows) would make the distributed
+        # fit train on the whole frame while the driver-side gate
+        # trains on the cap-row md5-sample — divergent centroids. The
+        # bounded limit-count (early-stopped at cap+1 rows) verifies
+        # the claim; a dishonest n falls through to the sample, which
+        # is correct for ANY true row count. This branch only runs on
+        # the distributed path (cap > DRIVER_FIT_MAX_ROWS), so no
+        # certified bench path pays the probe job.
+        if q8.limit(cap + 1).count() <= cap:
+            return q8
     # cached: the sample subplan is a full-corpus quantize + TakeOrdered
     # and feeds the dim probe, the init collect, and every Lloyd round —
     # uncached it would re-scan the corpus per consumer. Bounded at
@@ -590,6 +600,10 @@ def _kmeans_cells_oracle() -> str:
     "float Lloyd variant remains as kmeans_fit for "
     "embedding-centroid analytics, invariant-tested in "
     "tests/test_kmeans.py.",
+    # VERDICT r13 #1c: the fit body (incl. the r13 driver-fit gate)
+    # is shared module machinery — declare it so edits drift this
+    # query's certified fingerprint
+    helpers=(kmeans_fit_int8,),
 )
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -618,6 +632,7 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "where w < g trades bounded routing recall for the sqrt(k) scan "
     "(agreement floor: tests/test_kmeans.py; speedup: "
     "tools/probe_two_level.py and the BENCH_NOTES fit-scaling table).",
+    helpers=(kmeans_fit_int8,),  # VERDICT r13 #1c
 )
 def kmeans_cells_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(

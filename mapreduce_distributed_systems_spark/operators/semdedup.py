@@ -38,6 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_distributed_systems_spark.operators.kmeans import (
+    kmeans_fit_int8,
+)
 from mapreduce_distributed_systems_spark.operators.similarity import (
     DIM,
     IVF_KMEANS_ITER,
@@ -189,6 +192,10 @@ def semdedup_frame(ids, m, cent, tau: float = SEMDEDUP_TAU):
     "survivor. Pair work bounded by ivf_k_for's ~constant cell size; "
     "SEMDEDUP_CELL_CAP turns a silent O(cell^2) blowup into a loud "
     "refit error.",
+    # VERDICT r13 #1c: the quantizer fit lives in the shared
+    # kmeans_fit_int8 (r13 driver-fit gate) — its source is part of
+    # this query's certified definition
+    helpers=(kmeans_fit_int8,),
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered r12 (oracle: SEMDEDUP_ORACLE): one row per vector

@@ -781,35 +781,27 @@ ANN_IVF_KMEANS_ORACLE = _ivf_kmeans_oracle(
 )
 
 
-@register(
-    "ann_ivf_kmeans",
-    oracle=ANN_IVF_KMEANS_ORACLE,
-    tags=("similarity", "ann", "ivf", "kmeans"),
-    doc="IVF with a REAL learned coarse quantizer: integer-exact Lloyd "
-    "k-means over the int8-quantized corpus (kmeans_fit_int8 — int8 "
-    "vectors, bigint distances, floor-division centroid updates); "
-    "queries probe the 3 nearest cells by centroid distance, cosine "
-    "rank (integer dot products) runs only inside probed cells. The "
-    "production IVF-SQ8 shape: build once, then scan n_probe/k of the "
-    "corpus at 1/8 the bytes. Every learned quantity is an integer, so "
-    "the DuckDB oracle replays the whole pipeline — init, 2 Lloyd "
-    "rounds, final assignment, probe, rank — bit-for-bit (round-4 "
-    "upgrade from a rows-only to a hash-certified check). Recall floor "
-    "vs the float brute force: tests/test_similarity.py.",
+from mapreduce_distributed_systems_spark.operators.kmeans import (  # noqa: E402
+    # imported HERE, not at module head: kmeans's registrations import
+    # this module's DIM/_kmeans_cells_sql at their decoration time, so
+    # this import must run after those names exist for both import
+    # orders to resolve (helpers= needs the callable at decoration).
+    kmeans_fit_int8,
 )
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q8, assigned, cells = _ivf_build(spark, sf_dir)
-    return _ivf_probe_topk(q8, assigned, cells, N_PROBE)
 
 
 def _ivf_build(spark: SparkSession, sf_dir: str):
     """Build the IVF-SQ8 index once: quantized corpus, final cell
-    assignment, and the centroid table. Shared by ann_ivf_kmeans and
-    the recall-curve query (which probes the SAME index at several
+    assignment (CARRYING the quantized vector — r14, the same
+    assign_carry_int8 one-pass shape ann_ivf_index_append adopted in
+    r13, so the probe stage never pays a corpus-sized vec_id join
+    back to q8 that re-runs the scan+quantize subtree per consumer),
+    and the centroid table. Shared by ann_ivf_kmeans and the
+    recall-curve query (which probes the SAME index at several
     n_probe settings — refitting per setting would both waste the
     dominant cost and change the question being asked)."""
     from mapreduce_distributed_systems_spark.operators.kmeans import (
-        assign_int8,
+        assign_carry_int8,
         kmeans_fit_int8,
         quantize_int8,
     )
@@ -828,8 +820,8 @@ def _ivf_build(spark: SparkSession, sf_dir: str):
         q8, k=ivf_k_for(n), n_iter=IVF_KMEANS_ITER, n=n
     )
     # final assignment with the FINAL centroids so the index and the
-    # probe routing agree
-    assigned = assign_int8(q8, cents).select("vec_id", "cell")
+    # probe routing agree; qv rides along in the one narrow pass
+    assigned = assign_carry_int8(q8, cents)
     cells = spark.createDataFrame(
         [(int(c), [int(x) for x in cents[c]]) for c in range(len(cents))],
         "cell int, cv array<bigint>",
@@ -859,10 +851,12 @@ def _ivf_probe_topk(
         .where(F.col("cell_rank") <= n_probe)
         .select("query_id", "cell")
     )
-    q8a = q8.join(assigned, "vec_id")
+    # `assigned` carries qv (assign_carry_int8, r14) — no vec_id join
+    # back to q8, which used to re-run the scan+quantize+assign
+    # subtree once per probe consumer
     cand = (
         F.broadcast(probed)
-        .join(q8a, "cell")
+        .join(assigned, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 F.col("qv").alias("nv"))
@@ -879,6 +873,30 @@ def _ivf_probe_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= TOP_K
     )
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=ANN_IVF_KMEANS_ORACLE,
+    tags=("similarity", "ann", "ivf", "kmeans"),
+    doc="IVF with a REAL learned coarse quantizer: integer-exact Lloyd "
+    "k-means over the int8-quantized corpus (kmeans_fit_int8 — int8 "
+    "vectors, bigint distances, floor-division centroid updates); "
+    "queries probe the 3 nearest cells by centroid distance, cosine "
+    "rank (integer dot products) runs only inside probed cells. The "
+    "production IVF-SQ8 shape: build once, then scan n_probe/k of the "
+    "corpus at 1/8 the bytes. Every learned quantity is an integer, so "
+    "the DuckDB oracle replays the whole pipeline — init, 2 Lloyd "
+    "rounds, final assignment, probe, rank — bit-for-bit (round-4 "
+    "upgrade from a rows-only to a hash-certified check). Recall floor "
+    "vs the float brute force: tests/test_similarity.py.",
+    # VERDICT r13 #1c + r14 assign_carry change: the certified
+    # behavior lives in these shared helpers
+    helpers=(kmeans_fit_int8, _ivf_build, _ivf_probe_topk),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q8, assigned, cells = _ivf_build(spark, sf_dir)
+    return _ivf_probe_topk(q8, assigned, cells, N_PROBE)
 
 
 # --------------------------------------------------------------------------
@@ -941,6 +959,7 @@ FROM pairs WHERE round(cos_q8, 6) >= {EMB_IVF_COSINE_THRESHOLD}
     "expected cell size — and therefore pair work per vector — stays "
     "constant; at driver/bench SFs the formula returns the k=8 "
     "operating point the static oracle pins.",
+    helpers=(kmeans_fit_int8,),  # VERDICT r13 #1c
 )
 def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_distributed_systems_spark.operators.kmeans import (
@@ -1086,6 +1105,7 @@ ANN_RECALL_CURVE_ORACLE = _recall_curve_oracle()
     "both engines (the oracle replays the fit once per CTE with "
     "identical integer arithmetic, so all three probes see the same "
     "centroids).",
+    helpers=(kmeans_fit_int8, _ivf_build, _ivf_probe_topk),
 )
 def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce

@@ -50,6 +50,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_distributed_systems_spark.operators.kmeans import (
+    kmeans_fit_int8,
+)
 from mapreduce_distributed_systems_spark.operators.similarity import (
     ANN_IVF_KMEANS_ORACLE,
     DIM,
@@ -139,9 +142,11 @@ def build_and_commit_ivf(
     spark: SparkSession, sf_dir: str, base_dir: str, version: int = 1
 ) -> str:
     """The scheduled build job: fit the int8 quantizer (the certified
-    _ivf_build path), join codes with their final assignment, commit."""
-    q8, assigned, cells = _ivf_build(spark, sf_dir)
-    codes = q8.join(assigned, "vec_id")
+    _ivf_build path) and commit. Since r14 `assigned` carries qv from
+    the one assign_carry_int8 pass, so the codes table IS the
+    assignment output — the former corpus-sized q8-join-back is gone."""
+    _q8, assigned, cells = _ivf_build(spark, sf_dir)
+    codes = assigned.select("vec_id", "qv", "cell")
     meta = {"n_cells": cells.count()}
     return write_ivf_index(codes, cells, base_dir, meta=meta, version=version)
 
@@ -160,15 +165,21 @@ def build_and_commit_ivf(
     "semantically invisible. This is the serving path a 100 TB "
     "embedding store runs: the Lloyd fit is a build job, queries only "
     "read {manifest + probed cell partitions}.",
+    # VERDICT r13 #1c + r14 assign_carry: shared fit/build helpers are
+    # part of the certified definition
+    helpers=(kmeans_fit_int8, _ivf_build, _ivf_probe_topk,
+             build_and_commit_ivf),
 )
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("ivf_index_")
     build_and_commit_ivf(spark, sf_dir, base)
     codes, cells, _manifest = read_ivf_index(spark, base)
     # serve purely from the stored artifact: quantized vectors AND
-    # assignments both come from the index
+    # assignments both come from the index (the codes table carries qv
+    # alongside the cell, so the r14 carry-through probe reads it
+    # directly — no join)
     q8 = codes.select("vec_id", "qv")
-    assigned = codes.select("vec_id", "cell")
+    assigned = codes.select("vec_id", "cell", "qv")
     return _ivf_probe_topk(q8, assigned, cells, N_PROBE)
 
 
@@ -200,6 +211,7 @@ ORDER BY c.cell"""
     "SQL, so a hash match certifies the stored bytes themselves — "
     "the balance check an index build job runs before swapping the "
     "pointer (skewed cells => refit with larger k).",
+    helpers=(kmeans_fit_int8, _ivf_build, build_and_commit_ivf),
 )
 def ivf_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("ivf_stats_")
@@ -290,6 +302,7 @@ ORDER BY c.cell"""
     "cell-partitioned write; periodic REFIT (when cell-balance stats "
     "from ivf_index_cell_stats degrade) is the documented escape "
     "hatch, committed the same way as version+1.",
+    helpers=(kmeans_fit_int8,),  # VERDICT r13 #1c (assign_carry was r13)
 )
 def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
