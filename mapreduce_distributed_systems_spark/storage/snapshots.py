@@ -122,16 +122,61 @@ def compact_snapshot(
     )
 
 
-def _writes_with_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op-log writes with the epoch-midpoint cutoff attached (the same
-    arbitrary-by-construction cutoff kv_snapshot_compaction uses)."""
+def _op_write_bounds_us(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(min, max) write timestamp in unix microseconds — ONE bounded
+    1-row job over the ts/event_type columns. r14 (VERDICT r13 #5,
+    guide §6): collecting the bounds up front turns every cutoff into
+    a LITERAL, so the head/tail splits become scan-level predicates
+    (pushed to the parquet reader) instead of a crossJoin against a
+    broadcast 1-row bounds frame that forces the full op log through
+    a runtime filter. Integer microseconds collected directly (never
+    datetime round-trips), so the derived cutoffs are bit-identical
+    to the oracle's `(epoch_us(min)+epoch_us(max)) // 2` arithmetic."""
     ops = op_log(load_table(spark, sf_dir, "events"))
-    writes = ops.where(F.col("op") != "get")
-    bounds = writes.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
-    return writes.crossJoin(F.broadcast(bounds)).withColumn(
-        "cutoff",
-        F.expr("timestamp_micros((unix_micros(t0) + unix_micros(t1)) div 2)"),
+    row = (
+        ops.where(F.col("op") != "get")
+        .agg(
+            F.expr("unix_micros(min(ts))").alias("t0"),
+            F.expr("unix_micros(max(ts))").alias("t1"),
+        )
+        .first()
     )
+    return int(row.t0), int(row.t1)
+
+
+def _events_upto(
+    spark: SparkSession, sf_dir: str, cutoff_us: int, after: bool = False
+) -> DataFrame:
+    """The events table filtered to ts <= (or, with after=True, >) a
+    literal microsecond cutoff, with the predicate expressed in the
+    parquet file's NATIVE ts domain BEFORE normalize_ts's cast — the
+    only form the scan can push down (a filter on the cast column is
+    opaque to parquet). Handles every ts representation the driver
+    data has shipped (sources/tables.normalize_ts): int64 ns under
+    nanosAsLong (ts_us = ns div 1000, so ts <= c ⟺ ns <= c*1000+999
+    for the non-negative timestamps the fixtures carry), naive-µs
+    TIMESTAMP_NTZ (the UTC-session cast is value-preserving, so the
+    NTZ literal is exact), and TIMESTAMP."""
+    from mapreduce_distributed_systems_spark.session import (
+        ensure_session_compat,
+    )
+    from mapreduce_distributed_systems_spark.sources.tables import (
+        normalize_ts,
+    )
+
+    ensure_session_compat(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dt = dict(raw.dtypes)["ts"]
+    if dt == "bigint":  # TIMESTAMP(NANOS) surfaced as int64 ns
+        bound = F.lit(cutoff_us * 1000 + 999)
+    elif dt == "timestamp_ntz":
+        bound = F.expr(
+            f"cast(timestamp_micros({cutoff_us}) as timestamp_ntz)"
+        )
+    else:
+        bound = F.timestamp_micros(F.lit(cutoff_us))
+    cond = F.col("ts") > bound if after else F.col("ts") <= bound
+    return normalize_ts(raw.where(cond))
 
 
 @register(
@@ -144,12 +189,21 @@ def _writes_with_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pointer), read it back through the manifest, replay only the "
     "tail on top. Gated on the FULL-replay oracle, proving the "
     "materialized checkpoint round-trip is semantically invisible — "
-    "the storage twin of kv_snapshot_compaction's in-plan split.",
+    "the storage twin of kv_snapshot_compaction's in-plan split. "
+    "r14: the epoch-midpoint cutoff is collected once as an integer "
+    "literal, so the head/tail scans are parquet-pushed predicates "
+    "instead of a crossJoin against a broadcast bounds row.",
+    helpers=(_op_write_bounds_us, _events_upto),
 )
 def kv_snapshot_manifest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wc = _writes_with_cutoff(spark, sf_dir)
-    head = wc.where(F.col("ts") <= F.col("cutoff"))
-    tail = wc.where(F.col("ts") > F.col("cutoff"))
+    t0, t1 = _op_write_bounds_us(spark, sf_dir)
+    cutoff_us = (t0 + t1) // 2
+    head = op_log(_events_upto(spark, sf_dir, cutoff_us)).where(
+        F.col("op") != "get"
+    )
+    tail = op_log(_events_upto(spark, sf_dir, cutoff_us, after=True)).where(
+        F.col("op") != "get"
+    )
     base = tempfile.mkdtemp(prefix="kv_snap_")
     write_snapshot(replay(head), base, cutoff_repr="epoch-midpoint")
     snap, _manifest = read_snapshot(spark, base)
@@ -199,11 +253,16 @@ GROUP BY w.key
     "cutoff must equal replaying the log prefix up to that cutoff — "
     "the table-format time-travel contract (read version N, not "
     "current state). The oracle recomputes the prefix replay with the "
-    "identical integer-microsecond midpoint cutoff.",
+    "identical integer-microsecond midpoint cutoff (collected once as "
+    "a literal since r14, so the prefix scan is a pushed predicate).",
+    helpers=(_op_write_bounds_us, _events_upto),
 )
 def kv_get_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wc = _writes_with_cutoff(spark, sf_dir)
-    head = wc.where(F.col("ts") <= F.col("cutoff"))
+    t0, t1 = _op_write_bounds_us(spark, sf_dir)
+    cutoff_us = (t0 + t1) // 2
+    head = op_log(_events_upto(spark, sf_dir, cutoff_us)).where(
+        F.col("op") != "get"
+    )
     base = tempfile.mkdtemp(prefix="kv_tt_")
     write_snapshot(replay(head), base, cutoff_repr="epoch-midpoint")
     snap, _manifest = read_snapshot(spark, base)
@@ -284,29 +343,29 @@ WHERE sa.key IS NULL OR sa.value_a <> sb.value_b
     "integer-microsecond third-point cutoffs. No 'removed' branch by "
     "construction: the op model has no delete, so version N's keys "
     "are a superset of version N-1's.",
+    helpers=(_op_write_bounds_us, _events_upto),
 )
 def kv_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ops = op_log(load_table(spark, sf_dir, "events"))
-    writes = ops.where(F.col("op") != "get")
-    bounds = writes.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
-    wc = writes.crossJoin(F.broadcast(bounds)).select(
-        "*",
-        F.expr(
-            "timestamp_micros((2 * unix_micros(t0) + unix_micros(t1)) div 3)"
-        ).alias("ca"),
-        F.expr(
-            "timestamp_micros((unix_micros(t0) + 2 * unix_micros(t1)) div 3)"
-        ).alias("cb"),
-    )
+    t0, t1 = _op_write_bounds_us(spark, sf_dir)
+    ca = (2 * t0 + t1) // 3
+    cb = (t0 + 2 * t1) // 3
     base = tempfile.mkdtemp(prefix="kv_diff_")
     write_snapshot(
-        replay(wc.where(F.col("ts") <= F.col("ca"))),
+        replay(
+            op_log(_events_upto(spark, sf_dir, ca)).where(
+                F.col("op") != "get"
+            )
+        ),
         base,
         cutoff_repr="epoch-third-1",
         version=1,
     )
     write_snapshot(
-        replay(wc.where(F.col("ts") <= F.col("cb"))),
+        replay(
+            op_log(_events_upto(spark, sf_dir, cb)).where(
+                F.col("op") != "get"
+            )
+        ),
         base,
         cutoff_repr="epoch-third-2",
         version=2,
