@@ -197,6 +197,13 @@ def select_first_by_hash(
 # second-level id-bucket domain for the tie-mass refinement below
 ID_BUCKETS = 1 << 16
 
+# localization sanity bound: the boundary tables are O(|groups|) rows
+# and every consumer broadcasts them anyway, but a caller passing a
+# high-cardinality group key must fail loudly instead of OOMing the
+# driver (VERDICT r13 #5). 2^20 groups x ~100 B/row ~ 100 MB — the
+# order of the broadcast sizes the consumers already tolerate.
+_BOUNDARY_MAX_GROUPS = 1 << 20
+
 
 def select_first_by_value(
     df: DataFrame,
@@ -211,6 +218,16 @@ def select_first_by_value(
     value DESC by default, `id_col` ascending as the tiebreak — with
     EVERY window in the plan bounded even when the value distribution
     is tie-degenerate.
+
+    EAGER-SNAPSHOT CONTRACT (ADVICE r13 #1): since the round-13
+    plan-economy change this function executes bounded Spark jobs at
+    PLAN-CONSTRUCTION time (the O(|groups|) boundary-table collect
+    below) and inlines the result into the returned DataFrame as
+    local tables/literals. The input `df` must therefore be immutable
+    between building the returned plan and executing it — rebuilding
+    against changed underlying data is required (all repo callers
+    read immutable parquet fixtures), and plan-only tooling
+    (explain()) will trigger those bounded jobs.
 
     `df` must carry an integer `bucket_col` that is a pure function of
     `value_col`, monotone in the value order (e.g. a span-scaled score
@@ -318,7 +335,19 @@ def select_first_by_value(
     # would have broadcast regardless) yields the level-1 AND level-2
     # boundary tables together.
     b2 = bound.join(crossing, group_cols, "left")
-    blocal = spark.createDataFrame(b2.collect(), b2.schema)
+    brows = b2.collect()
+    # loud bound (VERDICT r13 #5): the localization is only sane while
+    # the group-key cardinality is broadcast-sized; a caller passing a
+    # high-cardinality key must fail with the cause named, not OOM the
+    # driver — the dup_spans raise_error discipline, driver-side.
+    if len(brows) > _BOUNDARY_MAX_GROUPS:
+        raise ValueError(
+            f"select_first_by_value: {len(brows)} boundary rows exceed "
+            f"the {_BOUNDARY_MAX_GROUPS}-group localization bound — the "
+            "group key is too high-cardinality for a broadcast-shaped "
+            "boundary table; use select_first_by_hash or a window"
+        )
+    blocal = spark.createDataFrame(brows, b2.schema)
 
     # one tagged frame carries the boundary columns; every output
     # branch below is a narrow filter over it (no per-branch shuffles).

@@ -213,8 +213,14 @@ def _train_merges(wdf: DataFrame, n_merges: int):
     in exactly one place. Runs driver-side below BPE_DRIVER_MAX_WORDS
     (bit-identical — see the gate comment above)."""
     carried = [c for c in wdf.columns if c not in ("w",)]
-    probe = wdf.limit(BPE_DRIVER_MAX_WORDS + 1).collect()
-    if len(probe) <= BPE_DRIVER_MAX_WORDS:
+    # gate probe (ADVICE r13 #3): decide with a cheap 1-column count
+    # first — the old limit(N+1).collect() pulled up to 65,537 FULL
+    # symbolized word rows to the driver even on the above-gate
+    # web-scale path where they were then discarded. The count's limit
+    # early-stops the scan; only a below-gate vocabulary pays the full
+    # bounded collect (which then reads the just-materialized persist).
+    if wdf.limit(BPE_DRIVER_MAX_WORDS + 1).count() <= BPE_DRIVER_MAX_WORDS:
+        probe = wdf.collect()
         return _train_merges_driver(
             wdf.sparkSession, probe, wdf.schema, n_merges
         )
@@ -268,6 +274,9 @@ def _symbolized(wf: DataFrame, carry_word: bool = False) -> DataFrame:
     "merge table itself, and a pure-Python re-derivation pins it "
     "against a third implementation. At 100 TB the corpus is read "
     "once; every round touches only the vocabulary-sized word table.",
+    # VERDICT r13 #1c: the merge loop (incl. the r13 driver-side gate
+    # and the r14 count-probe) lives in the shared helper
+    helpers=(_train_merges,),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = _word_freqs(load_table(spark, sf_dir, "documents"))
@@ -322,6 +331,7 @@ GROUP BY d.doc_id
     "plan shape, vocabulary-bounded per-term cardinality, no hot key. "
     "The oracle threads the original word through every rewrite CTE "
     "and replays the whole train-then-encode chain.",
+    helpers=(_train_merges,),  # VERDICT r13 #1c
 )
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

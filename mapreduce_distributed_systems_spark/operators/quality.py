@@ -26,6 +26,9 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_distributed_systems_spark.functions.selection import (
+    select_first_by_value as _select_first_by_value_helper,
+)
 from mapreduce_distributed_systems_spark.plans.registry import register
 from mapreduce_distributed_systems_spark.sources import load_table
 
@@ -407,6 +410,9 @@ WHERE rk <= {CURATION_QUOTA}
     "window sees an expected tie_mass/65536 sliver even for a "
     "constant-score corpus (property-tested in tests/test_selection.py "
     "against the naive window).",
+    # r13 localization + r14 loud boundary-row guard live in the
+    # shared helper — part of this query's certified definition
+    helpers=(_select_first_by_value_helper,),
 )
 def curation_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_distributed_systems_spark.functions.selection import (
