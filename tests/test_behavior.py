@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -96,6 +98,7 @@ print("CHAOS_OK")
 """
 
 
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_chaos_retries_match_golden(sf_dir):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = textwrap.dedent(CHAOS_SCRIPT).format(repo=repo, sf_dir=sf_dir)

@@ -12,6 +12,11 @@ itself, by driver protocol).
 
 from __future__ import annotations
 
+import pytest
+
+# driver-budget profile (pytest.ini): bench-protocol end-to-end subprocess run (~6 min); the driver runs bench.py itself
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import subprocess

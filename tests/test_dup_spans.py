@@ -4,6 +4,8 @@ duplicates, and the skew-free plan shape (no sid-keyed join)."""
 
 from __future__ import annotations
 
+import pytest
+
 
 from mapreduce_distributed_systems_spark.operators.dup_spans import (
     DUP_NGRAM_K,
@@ -394,6 +396,7 @@ def _python_span_rewrite(docs):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(corpus=_rand_corpus)
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_span_rewrite_matches_python_on_random_corpora(spark, corpus):
     docs = [
         (doc_id, "s", " ".join(words)) for doc_id, words in enumerate(corpus)

@@ -17,6 +17,11 @@ old doc.
 
 from __future__ import annotations
 
+import pytest
+
+# driver-budget profile (pytest.ini): incremental-vs-full corpus replays (~24 s)
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from mapreduce_distributed_systems_spark.operators.dedup import (

@@ -198,6 +198,7 @@ def test_post_gc_serve_matches_bm25_oracle(spark, sf_dir):
     compare_spark_vs_oracle(df, BM25_ORACLE, sf_dir)
 
 
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_gc_after_streaming_appends_preserves_head_content(spark, sf_dir):
     """The realistic 24/7 ops sequence: base build -> streamed
     microbatch appends (version per batch) -> retention GC. The

@@ -5,6 +5,11 @@ kill-and-resume under the at-least-once foreachBatch sink."""
 
 from __future__ import annotations
 
+import pytest
+
+# driver-budget profile (pytest.ini): streaming restart/redelivery replays (~40 s); content equivalence covered by test_lexical_index + parity
+pytestmark = pytest.mark.slow
+
 import glob
 import json
 import os

@@ -9,6 +9,11 @@ relation (the r12 CDC invariant, applied per streamed version)."""
 
 from __future__ import annotations
 
+import pytest
+
+# driver-budget profile (pytest.ini): streamed positional lockstep replays (~26 s)
+pytestmark = pytest.mark.slow
+
 import tempfile
 
 from pyspark.sql import functions as F

@@ -7,10 +7,13 @@ bench delta."""
 
 from __future__ import annotations
 
+import pytest
+
 import difflib
 import os
 
 
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_plans_md_matches_live_bench_plans(spark):
     import mapreduce_distributed_systems_spark.plans.dump_plans as dp
 

@@ -4,6 +4,11 @@ the shifted copies keep keys disjoint from the originals."""
 
 from __future__ import annotations
 
+import pytest
+
+# driver-budget profile (pytest.ini): synthetic-scale probes
+pytestmark = pytest.mark.slow
+
 import importlib.util
 import os
 import tempfile

@@ -5,6 +5,8 @@ items 3-4)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -144,6 +146,7 @@ score_rows = st.lists(
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(rows=score_rows, quota=st.integers(min_value=1, max_value=30))
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_value_bucket_selection_matches_naive_topk(spark, rows, quota):
     # conftest's `spark` is session-scoped, which hypothesis allows
     # (only function-scoped fixtures trip its health check)

@@ -4,6 +4,8 @@ similarity keep-rule on planted frames, and cell-local clustering."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -110,6 +112,7 @@ def test_transitive_chain_forms_one_cluster():
     assert sum(keep) == 1
 
 
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_seeded_random_differential_vs_oracle(spark):
     """Seeded random embedding corpora with PLANTED near-dups (scaled
     copies quantize to identical int8 vectors -> cos exactly 1) must

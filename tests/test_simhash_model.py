@@ -8,6 +8,8 @@ agreement on randomized corpora pins the expressions to the spec."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import re
 from collections import Counter
@@ -48,6 +50,7 @@ def model_signature(text: str) -> tuple[int, int]:
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(st.lists(doc_strategy, min_size=1, max_size=6))
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_spark_signature_matches_python_model(spark, docs):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]

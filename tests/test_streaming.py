@@ -4,6 +4,8 @@ and late data beyond the watermark must be dropped."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -55,6 +57,7 @@ def _staged_stream(spark, src_dir, collected):
     return folded.writeStream.foreachBatch(sink).outputMode("update")
 
 
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_checkpoint_restart_exactly_once(spark, sf_dir):
     # stage events as 4 files ordered by time so batches are a
     # deterministic prefix-partition of the log
@@ -134,6 +137,7 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_append_tumbling_restart_resumes_from_checkpoint(spark, sf_dir):
     """Kill-and-resume for the append-mode production path (VERDICT r4
     item 6): process part of the time-ordered log, stop mid-stream,
@@ -512,6 +516,7 @@ def test_dedup_stream_actually_sees_redelivery(spark, sf_dir):
     assert doubled == {k: 2 * v for k, v in batch.items()}
 
 
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_dedup_stream_state_survives_restart(spark, sf_dir):
     """Kill-and-resume for the ingestion-dedup path: first delivery of
     the full log, crash, then — after restart from the same checkpoint
@@ -584,6 +589,7 @@ def test_dedup_stream_state_survives_restart(spark, sf_dir):
     assert got == want, "redelivered rows leaked through restarted dedup state"
 
 
+@pytest.mark.slow  # driver-budget profile, see pytest.ini
 def test_attribution_join_state_survives_restart(spark, sf_dir):
     """Stream-stream join state recovery: all VIEW events arrive and
     are buffered, the query stops, and the PURCHASE events arrive only

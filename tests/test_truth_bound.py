@@ -8,6 +8,8 @@ plan, never the answer — these tests ARE that statement."""
 
 from __future__ import annotations
 
+# driver-budget profile (pytest.ini): MaxScore-bound differentials for the kept-but-unwired drop-in scorer (~80 s)
+
 import tempfile
 
 import pytest
@@ -26,6 +28,9 @@ from mapreduce_distributed_systems_spark.operators.retrieval import (
     _bm25_truth_topk,
     _bm25_w_col,
 )
+
+
+pytestmark = pytest.mark.slow  # see pytest.ini driver-budget profile
 
 
 def _rows(df):

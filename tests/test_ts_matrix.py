@@ -17,6 +17,8 @@ future representation drift fails here before the driver sees it.
 
 from __future__ import annotations
 
+# driver-budget profile (pytest.ini): dual ts-representation robustness replays (~35 s); content covered by test_parity
+
 import os
 import tempfile
 
@@ -41,6 +43,9 @@ QUERIES = [
 ]
 
 REPRESENTATIONS = ("ntz_us", "ltz_us", "nanos")
+
+
+pytestmark = pytest.mark.slow  # see pytest.ini driver-budget profile
 
 
 def _write_repr(table: pa.Table, repr_name: str, dest: str) -> None:
