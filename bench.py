@@ -57,6 +57,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mapreduce_distributed_systems_spark.plans.registry import bench_specs
 from mapreduce_distributed_systems_spark.session import get_spark
 
+# Canary normalization (r14, VERDICT r13 #3): the 3-pass-median
+# protocol cannot reject SUSTAINED host load (the r13 driver run
+# measured a uniform ~2x inflation on ~40 plan-pinned, code-untouched
+# queries). These canaries are pinned-plan queries untouched since r9
+# whose sf0.1 warm medians on a quiet box (loadavg_1m < 1 at query
+# start; r14 close run) are recorded below, so every bench artifact
+# SELF-LABELS its load: canary.inflation_median ~ 1.0 means the walls
+# are comparable across runs; >> 1 means the box was contended and
+# per-query deltas should be read against that factor, not as code
+# regressions. Telemetry only — reported walls are never rescaled.
+CANARY_REF_SEC = {
+    "wc": 0.274,
+    "q1_pricing_summary": 0.305,
+    "text_denylist_scrub": 0.306,
+    "events_tumbling_hourly": 0.293,
+    "window_running_total": 0.355,
+    "multimodal_resize": 0.280,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,6 +160,23 @@ def main() -> None:
         "wall_sec": bench_wall,
         "wall_vs_reported": round(bench_wall / total, 3) if total else None,
     }
+    # canary self-labeling (see CANARY_REF_SEC): per-canary inflation
+    # vs the committed quiet-box reference, and its median — additions
+    # to the SIDECAR only, the final driver line keeps its shape
+    canary_now = {n: timings[n] for n in CANARY_REF_SEC if n in timings}
+    canary_infl = {
+        n: round(canary_now[n] / CANARY_REF_SEC[n], 3) for n in canary_now
+    }
+    canary = {
+        "ref_sec": CANARY_REF_SEC,
+        "now_sec": canary_now,
+        "inflation": canary_infl,
+        "inflation_median": (
+            round(statistics.median(canary_infl.values()), 3)
+            if canary_infl
+            else None
+        ),
+    }
     # io bytes: sidecar file + an early line (NOT part of the final line
     # — the driver's stdout tail must always end with the compact JSON)
     io_doc = {
@@ -148,6 +184,7 @@ def main() -> None:
         "io": io,
         "sf": sf,
         "load": load,
+        "canary": canary,
         # raw per-pass walls behind the medians, for drift forensics
         "passes": passes,
     }

@@ -114,6 +114,10 @@ def events_tumbling_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_tumbling_streaming_append",
     oracle=TUMBLING_ORACLE,  # identical oracle to the batch twin
     tags=("events", "window-agg", "streaming", "append"),
+    bench=True,  # r14 (VERDICT r13 #7): first bench row for a streaming
+    # path — measures the readStream/watermark/append-sink overhead the
+    # batch twins never exercise. Additions-only harness change: a new
+    # `queries` key, nothing removed or renamed.
     doc="APPEND-mode streaming tumbling window — the 24/7 production "
     "path where the watermark closes and emits each window exactly "
     "once. A far-future sentinel row (event_type sentinel, filtered "
