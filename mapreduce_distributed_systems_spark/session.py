@@ -66,6 +66,16 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
         # default; read as raw int64 ns and convert in sources/tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r14 (guide §6): filterless count()/min/max over parquet read
+        # footer statistics instead of scanning rows — the corpus-size
+        # probes that drive the scale levers (ivf_k_for, lsh_bits_for,
+        # fit-sample caps) become metadata reads (measured 2.3 s ->
+        # 0.24 s for the first count in a session at sf0.1, and at
+        # 100 TB a row-count job over the full corpus disappears
+        # entirely). Values are identical by construction — the same
+        # footer row counts DuckDB's oracles trust; aggregates with
+        # filters or grouping are never pushed and keep their plans.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

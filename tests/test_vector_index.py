@@ -39,8 +39,10 @@ def test_round_trip_preserves_codes_and_cells(spark, sf_dir):
         _ivf_build,
     )
 
-    q8, assigned, cells = _ivf_build(spark, sf_dir)
-    codes = q8.join(assigned, "vec_id")
+    _q8, assigned, cells = _ivf_build(spark, sf_dir)
+    # r14: assigned carries qv from the one assign_carry pass — the
+    # codes table is a projection, not a join
+    codes = assigned.select("vec_id", "qv", "cell")
     base = tempfile.mkdtemp(prefix="ivf_rt_")
     write_ivf_index(codes, cells, base)
     codes2, cells2, manifest = read_ivf_index(spark, base)
@@ -61,8 +63,8 @@ def test_version_time_travel_across_refits(spark, sf_dir):
         _ivf_build,
     )
 
-    q8, assigned, cells = _ivf_build(spark, sf_dir)
-    codes = q8.join(assigned, "vec_id")
+    _q8, assigned, cells = _ivf_build(spark, sf_dir)
+    codes = assigned.select("vec_id", "qv", "cell")  # r14 carry-through
     base = tempfile.mkdtemp(prefix="ivf_tt_")
     write_ivf_index(codes, cells, base, version=1)
     # "refit": v2 drops half the corpus (a deterministic visible change)
