@@ -68,12 +68,12 @@ from mapreduce_distributed_systems_spark.session import get_spark
 # per-query deltas should be read against that factor, not as code
 # regressions. Telemetry only — reported walls are never rescaled.
 CANARY_REF_SEC = {
-    "wc": 0.274,
-    "q1_pricing_summary": 0.305,
-    "text_denylist_scrub": 0.306,
-    "events_tumbling_hourly": 0.293,
-    "window_running_total": 0.355,
-    "multimodal_resize": 0.280,
+    "wc": 0.369,
+    "q1_pricing_summary": 0.363,
+    "text_denylist_scrub": 0.388,
+    "events_tumbling_hourly": 0.272,
+    "window_running_total": 0.479,
+    "multimodal_resize": 0.371,
 }
 
 
